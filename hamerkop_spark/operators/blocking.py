@@ -1,0 +1,402 @@
+"""Blocking / candidate generation (SURVEY.md §2.4, B1-B9).
+
+The reference's name indexes (hamerkop/kb.py:132-305) are driver-side
+dict lookups queried per mention chain; here every index is a *blocking
+join*: build side = exploded KB name keys, probe side = distinct chain
+keys, hash-partitioned on the key. CachingGenerator's memoization
+(candidates.py:144-166) falls out of deduplicating the probe side to
+distinct (name, type) before the join and re-joining to chains after.
+
+Key families (north_rule): exact normalized name, char-4-gram IDF
+retrieval, phonetic (Soundex / metaphone), and MinHash-LSH bands over the
+same n-gram sets. All native DataFrame ops; the only UDF is the metaphone
+key (Arrow-batched).
+
+Scale notes: probe and build sides repartition on the block key; ultra-
+hot keys can be capped (`max_df`) with dropped volume logged; AQE skew
+join handles residual skew; the KB side is broadcast when small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions.phonetic import metaphone_udf, soundex_key
+from hamerkop_spark.functions.strings import char_ngrams, format_ngram_name
+
+# A candidate set is a DataFrame: (doc_id, chain_id, entity_id, source,
+# retrieval_rank) — retrieval_rank preserves generator ordering for
+# FirstResolver (resolver.py:245-250) and cascade semantics.
+CandidateGen = Callable[[DataFrame], DataFrame]
+
+
+def build_kb_names(kb_entities: DataFrame) -> DataFrame:
+    """Explode the entity name sets into the blocking build side
+    (ExactMatchMemoryNameIndex._build_index, kb.py:173-182).
+
+    Output: (entity_id, type, name, name_idx, exact_key).
+    name_idx mirrors the reference's per-entity name enumeration
+    (kb.py:250-256) used as the ngram-index name id.
+    """
+    return (
+        kb_entities.select(
+            "entity_id",
+            "type",
+            F.posexplode("names").alias("name_idx", "name"),
+        )
+        .withColumn("exact_key", F.lower(F.col("name")))
+    )
+
+
+def exact_match_candidates(
+    chains: DataFrame,
+    kb_names: DataFrame,
+    name_col: str = "name",
+    source: str = "exact",
+) -> DataFrame:
+    """B2+B5: equi-join chains' best name to KB names on
+    (type, lower(name)) — ExactMatchMemoryNameIndex.find (kb.py:167-171).
+    The exact index applies no limit. Retrieval rank is deterministic:
+    by entity_id within a chain."""
+    probe = (
+        chains.select("doc_id", "chain_id", "type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .withColumn("exact_key", F.lower(F.col("qname")))
+    )
+    # memoize: dedupe probe keys before the join (CachingGenerator analog)
+    keys = probe.select("type", "exact_key").distinct()
+    hits = (
+        keys.join(
+            kb_names.select("type", "exact_key", "entity_id").distinct(),
+            ["type", "exact_key"],
+        )
+    )
+    out = probe.join(hits, ["type", "exact_key"]).select(
+        "doc_id", "chain_id", "entity_id"
+    ).distinct()
+    w = Window.partitionBy("doc_id", "chain_id").orderBy("entity_id")
+    return out.withColumn("retrieval_rank", F.row_number().over(w)).withColumn(
+        "source", F.lit(source)
+    )
+
+
+def build_ngram_postings(
+    kb_names: DataFrame, ngram_size: int = 4
+) -> tuple[DataFrame, int]:
+    """B3 build: invert formatted KB names into char-n-gram postings with
+    occurrence counts (NgramMemoryNameIndex._build_index, kb.py:244-258).
+
+    Returns (postings, num_unique_names) where postings =
+    (type, ngram, entity_id, name_idx, n_cnt, df_cnt, idf):
+      * n_cnt  — occurrences of the ngram in this name (the reference
+        appends one posting per occurrence, kb.py:254-256)
+      * df_cnt — total occurrences across all names of the type (the
+        reference's len(name_ids), kb.py:228)
+      * idf    — log1p(num_unique_names / df_cnt) (kb.py:228)
+    num_unique_names counts distinct lowercased names across ALL types
+    (kb.py:250-251, a single global set).
+    """
+    num_unique = (
+        kb_names.select(F.lower("name").alias("n")).distinct().count()
+    )
+    grams = kb_names.select(
+        "type",
+        "entity_id",
+        "name_idx",
+        F.explode(char_ngrams(format_ngram_name(F.col("name")), ngram_size)).alias(
+            "ngram"
+        ),
+    )
+    per_name = grams.groupBy("type", "ngram", "entity_id", "name_idx").agg(
+        F.count("*").alias("n_cnt")
+    )
+    w = Window.partitionBy("type", "ngram")
+    postings = per_name.withColumn("df_cnt", F.sum("n_cnt").over(w)).withColumn(
+        "idf", F.log1p(F.lit(float(num_unique)) / F.col("df_cnt"))
+    )
+    return postings, num_unique
+
+
+def ngram_candidates(
+    chains: DataFrame,
+    postings: DataFrame,
+    name_col: str = "name",
+    ngram_size: int = 4,
+    limit: int = 25,
+    max_df: int | None = None,
+    source: str = "ngram",
+) -> DataFrame:
+    """B3 query (NgramMemoryNameIndex.find, kb.py:219-242), set-oriented:
+
+    explode query n-grams -> join postings on (type, ngram) ->
+    mass = sum(q_cnt * n_cnt * idf) per (query, name) ->
+    keep mass > max(mass)/2 -> top `limit` by mass desc.
+
+    `max_df` optionally skips ultra-hot n-grams (df_cnt above the cap) —
+    the documented block-size bound for 100 TB runs; the reference has no
+    such cap because it never meets web-scale key skew.
+    """
+    probe_names = (
+        chains.select("type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .distinct()
+    )
+    qgrams = (
+        probe_names.select(
+            "type",
+            "qname",
+            F.explode(
+                char_ngrams(format_ngram_name(F.col("qname")), ngram_size)
+            ).alias("ngram"),
+        )
+        .groupBy("type", "qname", "ngram")
+        .agg(F.count("*").alias("q_cnt"))
+    )
+    post = postings
+    if max_df is not None:
+        post = post.where(F.col("df_cnt") <= max_df)
+    scored = (
+        qgrams.join(post, ["type", "ngram"])
+        .groupBy("type", "qname", "entity_id", "name_idx")
+        .agg(F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf")).alias("mass"))
+    )
+    wq = Window.partitionBy("type", "qname")
+    thresholded = scored.withColumn("max_mass", F.max("mass").over(wq)).where(
+        F.col("mass") > F.col("max_mass") / 2
+    )
+    wrank = wq.orderBy(F.desc("mass"), "entity_id", "name_idx")
+    top_names = (
+        thresholded.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") <= limit)
+    )
+    # name_id -> entity hydration dedupes by entity keeping best rank
+    # (kb.py:242 + CombiningGenerator id-dedup, candidates.py:112-118)
+    top_entities = top_names.groupBy("type", "qname", "entity_id").agg(
+        F.min("rk").alias("retrieval_rank")
+    )
+    return (
+        chains.select("doc_id", "chain_id", "type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .join(top_entities, ["type", "qname"])
+        .select("doc_id", "chain_id", "entity_id", "retrieval_rank")
+        .withColumn("source", F.lit(source))
+    )
+
+
+def phonetic_candidates(
+    chains: DataFrame,
+    kb_names: DataFrame,
+    name_col: str = "name",
+    key: str = "soundex",
+    limit: int = 25,
+    source: str | None = None,
+) -> DataFrame:
+    """Phonetic blocking (north_rule): equi-join on Soundex (native) or
+    metaphone (Arrow UDF) of the name, within type. Deterministic top-k
+    per chain by entity_id."""
+    if key == "soundex":
+        keyfn = lambda c: soundex_key(c)  # noqa: E731
+    elif key == "metaphone":
+        keyfn = lambda c: metaphone_udf(c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown phonetic key: {key}")
+    probe = (
+        chains.select("doc_id", "chain_id", "type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .withColumn("pkey", keyfn(F.col("qname")))
+        .where(F.col("pkey").isNotNull() & (F.col("pkey") != ""))
+    )
+    build = (
+        kb_names.withColumn("pkey", keyfn(F.col("name")))
+        .where(F.col("pkey").isNotNull() & (F.col("pkey") != ""))
+        .select("type", "pkey", "entity_id")
+        .distinct()
+    )
+    hits = probe.join(build, ["type", "pkey"]).select(
+        "doc_id", "chain_id", "entity_id"
+    ).distinct()
+    w = Window.partitionBy("doc_id", "chain_id").orderBy("entity_id")
+    return (
+        hits.withColumn("retrieval_rank", F.row_number().over(w))
+        .where(F.col("retrieval_rank") <= limit)
+        .withColumn("source", F.lit(source or f"phonetic_{key}"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    set_col: str,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures, fully native: explode set elements, hash each
+    element with `num_hashes` seeded xxhash64 functions, take element-wise
+    min per seed. Output: (id_cols..., seed, minhash)."""
+    elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
+    hashed = elems.select(
+        *id_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(num_hashes)),
+                lambda s: F.xxhash64(F.col("elem"), s),
+            )
+        ).alias("seed", "minhash"),
+    )
+    return hashed.groupBy(*id_cols, "seed").agg(F.min("minhash").alias("minhash"))
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    id_cols: Sequence[str],
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band's signature slice to a bucket key.
+    Output: (id_cols..., band, bucket)."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    ).where(F.col("band") < num_bands)
+    return banded.groupBy(*id_cols, "band").agg(
+        F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    chains: DataFrame,
+    kb_names: DataFrame,
+    name_col: str = "name",
+    ngram_size: int = 4,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    limit: int = 25,
+    source: str = "minhash_lsh",
+) -> DataFrame:
+    """MinHash-LSH blocking over char-n-gram sets of formatted names: two
+    names land in the same bucket for some band iff their n-gram Jaccard
+    is likely high. Pure native (xxhash64 + groupBy min + band join)."""
+    rows_per_band = num_hashes // num_bands
+    probe_names = (
+        chains.select("type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .distinct()
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                char_ngrams(format_ngram_name(F.col("qname")), ngram_size)
+            ),
+        )
+        .where(F.size("grams") > 0)
+    )
+    build_names = (
+        kb_names.select("type", "entity_id", "name")
+        .distinct()
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                char_ngrams(format_ngram_name(F.col("name")), ngram_size)
+            ),
+        )
+        .where(F.size("grams") > 0)
+    )
+    psig = minhash_signature(probe_names, ["type", "qname"], "grams", num_hashes)
+    bsig = minhash_signature(
+        build_names, ["type", "entity_id", "name"], "grams", num_hashes
+    )
+    pband = minhash_bands(psig, ["type", "qname"], num_bands, rows_per_band)
+    bband = minhash_bands(
+        bsig, ["type", "entity_id", "name"], num_bands, rows_per_band
+    )
+    hits = (
+        pband.join(bband, ["type", "band", "bucket"])
+        .select("type", "qname", "entity_id")
+        .distinct()
+    )
+    out = (
+        chains.select("doc_id", "chain_id", "type", F.col(name_col).alias("qname"))
+        .where(F.col(name_col).isNotNull())
+        .join(hits, ["type", "qname"])
+        .select("doc_id", "chain_id", "entity_id")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id", "chain_id").orderBy("entity_id")
+    return (
+        out.withColumn("retrieval_rank", F.row_number().over(w))
+        .where(F.col("retrieval_rank") <= limit)
+        .withColumn("source", F.lit(source))
+    )
+
+
+def combine_candidates(*candidate_sets: DataFrame) -> DataFrame:
+    """B7 CombiningGenerator (candidates.py:102-118): union all, dedupe by
+    (chain, entity) keeping the earliest (source order, rank)."""
+    union = candidate_sets[0]
+    for i, cs in enumerate(candidate_sets):
+        cs = cs.withColumn("source_rank", F.lit(i))
+        union = cs if i == 0 else union.unionByName(cs)
+    best = union.groupBy("doc_id", "chain_id", "entity_id").agg(
+        F.min(F.struct("source_rank", "retrieval_rank", "source")).alias("best")
+    )
+    return best.select(
+        "doc_id",
+        "chain_id",
+        "entity_id",
+        F.col("best.source").alias("source"),
+        F.col("best.source_rank").alias("source_rank"),
+        F.col("best.retrieval_rank").alias("retrieval_rank"),
+    )
+
+
+def cascade_candidates(
+    candidate_sets: Sequence[DataFrame], num_candidates: int = 25
+) -> DataFrame:
+    """B8 CascadeGenerator (candidates.py:121-141): take generators in
+    priority order; a chain stops accepting new sources once the distinct
+    candidate count from earlier sources reaches `num_candidates`.
+
+    Set-oriented replication: a source s contributes to a chain iff the
+    cumulative distinct-entity count from sources < s is below the
+    threshold (the reference checks AFTER adding each generator, so the
+    generator that crosses the line is still fully included)."""
+    union = None
+    for i, cs in enumerate(candidate_sets):
+        cs = cs.withColumn("source_rank", F.lit(i))
+        union = cs if union is None else union.unionByName(cs)
+    dedup = union.groupBy("doc_id", "chain_id", "entity_id").agg(
+        F.min(F.struct("source_rank", "retrieval_rank", "source")).alias("best")
+    )
+    flat = dedup.select(
+        "doc_id",
+        "chain_id",
+        "entity_id",
+        F.col("best.source_rank").alias("source_rank"),
+        F.col("best.retrieval_rank").alias("retrieval_rank"),
+        F.col("best.source").alias("source"),
+    )
+    w = Window.partitionBy("doc_id", "chain_id").orderBy("source_rank")
+    counts = flat.groupBy("doc_id", "chain_id", "source_rank").agg(
+        F.count("*").alias("cnt")
+    )
+    cum = counts.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).where(F.col("prior") < num_candidates)
+    return flat.join(
+        cum.select("doc_id", "chain_id", "source_rank"),
+        ["doc_id", "chain_id", "source_rank"],
+    )

@@ -1,0 +1,138 @@
+"""Connected components on an edge DataFrame.
+
+The clustering backbone of the engine (SURVEY.md §2.3/§2.7): the
+reference's greedy in-document chain merges (hamerkop/coref.py:226-234)
+and its *missing* corpus-level NIL clustering (io.py:273-274) both become
+transitive closure over merge edges.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame groupBy/join iterations. Each iteration is a shuffle on the
+node id; convergence is detected by an aggregate (no driver-side
+collect of the graph). At in-document scale components are tiny (2-3
+rounds); the same code handles corpus-level clusters. Hot components
+(mega-blocks from stop-word names) are bounded upstream by blocking-key
+caps; AQE skew-join splitting covers the residual skew.
+
+Node ids are arbitrary strings; the component label is the lexicographic
+minimum node id in the component — stable across runs and cluster sizes,
+which checkpoint/resume requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Compute connected components.
+
+    :param edges: DataFrame with columns (src: string, dst: string).
+    :param nodes: optional DataFrame with column (node: string); isolated
+        nodes (no edges) appear as singleton components.
+    :param max_iterations: safety bound; converges in O(log n) rounds.
+    :return: DataFrame (node: string, component: string) where component is
+        the min node id in the component.
+    """
+    spark = edges.sparkSession
+    # label[v] = min(v, min over neighbors) — start from the edge list as a
+    # neighbor relation and iterate min-label propagation. This is the
+    # "small-star only on a min-label graph" simplification: each round
+    #   l'(v) = min(l(v), min_{u in N(v)} l(u))
+    # propagated through the *current label graph*, which contracts paths
+    # by pointer jumping (join labels on both endpoints) — O(log d) rounds.
+    e = _symmetrize(edges)
+    if e.isEmpty():
+        if nodes is not None:
+            return nodes.select(
+                F.col("node"), F.col("node").alias("component")
+            ).distinct()
+        return spark.createDataFrame([], "node string, component string")
+
+    # initial labels: every endpoint labels itself
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    e = e.repartition("src").localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # candidate labels: own label + each neighbor's label
+        neighbor_labels = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: re-label through the label of the label
+        parents = new_labels.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        jump = (
+            new_labels.join(
+                parents, new_labels["component"] == parents["p_node"], "left"
+            )
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+            )
+        )
+        jump = jump.localCheckpoint(eager=True)
+        changed = (
+            jump.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+
+    if nodes is not None:
+        labels = (
+            nodes.select("node")
+            .distinct()
+            .join(labels, "node", "left")
+            .select(
+                "node", F.coalesce("component", F.col("node")).alias("component")
+            )
+        )
+    return labels
+
+
+def cluster_mentions(
+    mentions: DataFrame,
+    edges: DataFrame,
+    id_col: str = "mention_id",
+    out_col: str = "chain_id",
+) -> DataFrame:
+    """Attach a transitive cluster label to a mentions-like DataFrame.
+
+    Singletons (no edges) keep their own id as the label.
+    """
+    nodes = mentions.select(F.col(id_col).alias("node"))
+    comps = connected_components(edges, nodes=nodes)
+    return mentions.join(
+        comps.select(
+            F.col("node").alias(id_col), F.col("component").alias(out_col)
+        ),
+        id_col,
+        "left",
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.col(id_col)))

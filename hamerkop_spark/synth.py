@@ -1,0 +1,249 @@
+"""Deterministic synthetic web corpus + KB generator (SURVEY.md §7 M0).
+
+Everything is seeded (`random.Random(seed)`) and generated driver-side,
+so two runs produce byte-identical tables — required because the
+acceptance surface (labeled pairs, extraction byte-parity) is derived
+from this corpus. No external data (brief requirement).
+
+Shapes follow FIXTURES.md:
+  pages           (url, warc_ts, html, text, lang)       — input_hint
+  conll           CONLL schema (token tag doc_id start stop sent row_idx)
+  kb_entities_raw 47-column LoReHLT shape (io.py:339-386)
+  kb_alt_names    (entityid, alternatename)
+  ground_truth    submission format (io.py:257-266)
+  labeled_pairs   (key_a, key_b, block_key, label)       — F1 surface
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from pyspark.sql import SparkSession
+
+from hamerkop_spark.schemas import CONLL, GROUND_TRUTH, KB_COLUMNS, KB_RAW, PAGES
+from hamerkop_spark.sources.web import wrap_text_as_html
+
+FIRST = ["John", "Mary", "Ahmed", "Fatima", "Wei", "Chen", "Ivan", "Olga",
+         "Kofi", "Amina", "Jose", "Lucia", "Pierre", "Anna", "David", "Sara"]
+LAST = ["Smith", "Johnson", "Okafor", "Haile", "Zhang", "Petrov", "Garcia",
+        "Dubois", "Keita", "Mwangi", "Rahman", "Silva", "Kim", "Tanaka"]
+CITY = ["Springfield", "Rivertown", "Lakeview", "Hillcrest", "Stonebridge",
+        "Fairview", "Maplewood", "Ashford", "Brookfield", "Claremont",
+        "Addis Ketema", "Port Azure"]
+ORG_A = ["United", "National", "Global", "Eastern", "Central", "Royal",
+         "Pacific", "Northern"]
+ORG_B = ["Development", "Trade", "Relief", "Water", "Health", "Mining",
+         "Transport", "Energy"]
+ORG_C = ["Council", "Agency", "Commission", "Bank", "Institute", "Union",
+         "Authority", "Cooperative"]
+LOCS = ["Blue River", "Mount Harmon", "Lake Solara", "Green Valley",
+        "Sand Hills", "Crystal Falls"]
+FILLER = ("officials reported that the meeting about water supply and "
+          "regional trade was postponed until further notice because of "
+          "heavy rain across the province").split()
+COUNTRIES = ["US", "ET", "NG", "FR", "CN", "RU", "BR", "KE"]
+
+
+def _misspell(rng: random.Random, name: str) -> str:
+    """Deterministic single-character misspelling (never first char)."""
+    if len(name) < 4:
+        return name + "e"
+    i = rng.randrange(1, len(name) - 1)
+    if name[i] == " ":
+        i += 1
+    op = rng.randrange(3)
+    if op == 0:  # drop
+        return name[:i] + name[i + 1:]
+    if op == 1:  # double
+        return name[:i] + name[i] + name[i:]
+    return name[:i] + name[i + 1] + name[i] + name[i + 2:]  # swap
+
+
+def _acronym(name: str) -> str:
+    return "".join(w[0].upper() for w in name.split())
+
+
+def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
+    """Returns (entities_rows_47col, alt_name_rows, entity_meta dict)."""
+    entities, alts, meta = [], [], {}
+
+    def blank_row():
+        return ["" for _ in KB_COLUMNS]
+
+    def add(eid, etype, name, origin, country, links, alt_names):
+        row = blank_row()
+        row[0], row[1], row[2], row[3], row[4] = origin, etype, eid, name, name
+        row[12] = country
+        if etype in ("GPE", "LOC"):
+            row[5] = f"{rng.uniform(-60, 60):.4f}"
+            row[6] = f"{rng.uniform(-150, 150):.4f}"
+            row[9] = "PPL"
+            row[10] = "populated place"
+            row[21] = str(rng.randrange(1000, 5_000_000))
+        if etype == "PER":
+            row[26] = country
+            row[27] = rng.choice(["minister", "director", "president"])
+        if etype == "ORG":
+            row[39] = country
+        row[46] = "|".join(links)
+        entities.append(row)
+        for a in alt_names:
+            alts.append((eid, a))
+        meta[eid] = {"type": etype, "name": name, "alts": list(alt_names)}
+
+    eid = 1
+    used = set()
+    for _ in range(n_per):
+        name = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+        while name in used:
+            name = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+        used.add(name)
+        alt = [_misspell(rng, name)]
+        links = []
+        if rng.random() < 0.5:
+            links = ["http://en.wikipedia.org/wiki/" + name.replace(" ", "_")]
+        add(f"E{eid:05d}", "PER", name, "WLL", rng.choice(COUNTRIES), links, alt)
+        eid += 1
+    for _ in range(n_org):
+        name = f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)}"
+        while name in used:
+            name = f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)}"
+        used.add(name)
+        alt = [_acronym(name), _misspell(rng, name)]
+        links = ["http://en.wikipedia.org/wiki/" + name.replace(" ", "_")]
+        add(f"E{eid:05d}", "ORG", name, "APB", rng.choice(COUNTRIES), links, alt)
+        eid += 1
+    for i in range(n_gpe):
+        base = CITY[i % len(CITY)]
+        name = base if i < len(CITY) else f"New {base}"
+        alt = [_misspell(rng, name)]
+        links = []
+        if rng.random() < 0.7:
+            links = ["http://en.wikipedia.org/wiki/" + name.replace(" ", "_")]
+        add(f"E{eid:05d}", "GPE", name, "GEO", rng.choice(COUNTRIES), links, alt)
+        eid += 1
+    for i in range(n_loc):
+        name = LOCS[i % len(LOCS)]
+        add(f"E{eid:05d}", "LOC", name, "GEO", rng.choice(COUNTRIES), [], [])
+        eid += 1
+    return entities, alts, meta
+
+
+def build_docs(rng: random.Random, meta: dict, n_docs: int):
+    """Generate documents mentioning KB entities (by canonical name, alt
+    name or acronym) plus NIL mentions (invented names). Returns
+    (page_rows, conll_rows, gt_rows, mention_records)."""
+    pages, conll, gt = [], [], []
+    mention_records = []  # (mention_key, entity_or_nil_cluster, block_key)
+    ids = sorted(meta.keys())
+    doc_tokens_choices = ["_NW_", "_DF_", "_WL_", "_SN_", "_RF_"]
+    nil_names = [f"{rng.choice(FIRST)} {rng.choice(LAST)}x" for _ in range(12)]
+
+    for d in range(n_docs):
+        dt_token = doc_tokens_choices[d % len(doc_tokens_choices)]
+        url = f"http://news.example.com/en/IL5{dt_token}{d:06d}.html"
+        n_ment = rng.randrange(3, 9)
+        tokens, tags = [], []
+        mentions = []  # (start_tok, n_tok, type, eid, surface)
+        for _ in range(n_ment):
+            # filler prefix
+            for _ in range(rng.randrange(2, 6)):
+                tokens.append(rng.choice(FILLER))
+                tags.append("O")
+            if rng.random() < 0.15:
+                surface = rng.choice(nil_names)
+                etype = "PER"
+                ref = "NIL:" + surface.lower()
+            else:
+                ref = rng.choice(ids)
+                e = meta[ref]
+                etype = e["type"]
+                choices = [e["name"]] + e["alts"]
+                surface = rng.choice(choices)
+            stoks = surface.split()
+            mentions.append((len(tokens), len(stoks), etype, ref, surface))
+            for j, t in enumerate(stoks):
+                tokens.append(t)
+                tags.append(("B-" if j == 0 else "I-") + etype)
+        # trailing filler
+        for _ in range(rng.randrange(2, 6)):
+            tokens.append(rng.choice(FILLER))
+            tags.append("O")
+
+        # char offsets: 1-based inclusive, single spaces between tokens
+        text = " ".join(tokens)
+        pos = 1
+        offs = []
+        for t in tokens:
+            offs.append((pos, pos + len(t) - 1))
+            pos += len(t) + 1
+        ts = _dt.datetime(2025, 1, 1) + _dt.timedelta(minutes=d)
+        pages.append((url, ts, bytearray(wrap_text_as_html(text, url)), text, "eng"))
+        sent = 0
+        for i, (t, tag) in enumerate(zip(tokens, tags)):
+            conll.append((t, tag, url, offs[i][0], offs[i][1], f"segment-{sent}", int(offs[i][0])))
+            if t.endswith("."):
+                sent += 1
+        for (st, ntok, etype, ref, surface) in mentions:
+            c_start = offs[st][0]
+            c_stop = offs[st + ntok - 1][1]
+            key = f"{url}:{c_start}-{c_stop}"
+            if ref.startswith("NIL:"):
+                kb_id = "NIL" + format(abs(hash_stable(ref)) % 100000, "05d")
+            else:
+                kb_id = ref
+            gt.append(
+                ("gold", key, surface, f"{url}:{c_start}-{c_stop}", kb_id,
+                 etype, "NAM", 1.0)
+            )
+            block_key = surface.split()[-1].lower()
+            mention_records.append((key, kb_id, block_key))
+    return pages, conll, gt, mention_records
+
+
+def hash_stable(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def build_labeled_pairs(mention_records, max_pairs_per_key: int = 200):
+    """Pairs of mentions sharing a blocking key, labeled same-entity (1)
+    or not (0) — the pairwise-F1 surface (FIXTURES.md §7)."""
+    by_key: dict[str, list] = {}
+    for key, ref, block in mention_records:
+        by_key.setdefault(block, []).append((key, ref))
+    pairs = []
+    for block, members in sorted(by_key.items()):
+        members = sorted(members)[: int(max_pairs_per_key**0.5) * 2 + 20]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ka, ra = members[i]
+                kb, rb = members[j]
+                pairs.append((ka, kb, block, 1 if ra == rb else 0))
+    return pairs
+
+
+def make_corpus(
+    spark: SparkSession, n_docs: int = 60, seed: int = 42
+) -> dict:
+    rng = random.Random(seed)
+    entities, alts, meta = build_kb(rng)
+    pages, conll, gt, mention_records = build_docs(rng, meta, n_docs)
+    pairs = build_labeled_pairs(mention_records)
+    return {
+        "pages": spark.createDataFrame(pages, PAGES),
+        "conll": spark.createDataFrame(conll, CONLL),
+        "kb_entities_raw": spark.createDataFrame(entities, KB_RAW),
+        "kb_alt_names": spark.createDataFrame(
+            alts, "entityid string, alternatename string"
+        ),
+        "ground_truth": spark.createDataFrame(gt, GROUND_TRUTH),
+        "labeled_pairs": spark.createDataFrame(
+            pairs, "key_a string, key_b string, block_key string, label int"
+        ),
+        "n_mentions": len(mention_records),
+    }
