@@ -62,9 +62,11 @@ def nysiis_py(name: str) -> str:
         elif s[i : i + 2] == "PH":
             ch2, skip = "FF", 2
         elif ch == "H" and (prev not in _VOWELS or (i + 1 < len(s) and s[i + 1] not in _VOWELS)):
-            ch2, skip = prev, 1
+            # replacement inherits the previous char's *mapped* value:
+            # vowels have all been folded to A
+            ch2, skip = ("A" if prev in _VOWELS else prev), 1
         elif ch == "W" and prev in _VOWELS:
-            ch2, skip = prev, 1
+            ch2, skip = "A", 1
         else:
             ch2, skip = ch, 1
         for c2 in ch2:

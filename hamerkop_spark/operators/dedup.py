@@ -184,18 +184,25 @@ def simhash_dedup_pairs(
     """SimHash near-dup pairs: 64-bit signature, blocked on 4 x 16-bit
     chunks (pigeonhole: any pair within hamming distance 3 shares at
     least one exact chunk), verified by popcount on the full signature."""
-    sigs = docs.select(
+    # empty/whitespace docs all hash to 0 — at web scale they would form
+    # one quadratic mega-bucket, so they never enter pairing
+    nonempty = docs.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    sigs = nonempty.select(
         F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sig")
     )
     chunks = sigs.select(
         "_id",
         "sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("chunk_idx", "chunk"),
     )

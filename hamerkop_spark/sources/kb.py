@@ -113,7 +113,7 @@ def language_name_filter(
             "row_idx",
         ).withColumn(
             "pri",
-            F.when(F.lower("lang").isin(list(allowed)), 0).otherwise(1),
+            F.when(F.col("glang").isin(list(allowed)), 0).otherwise(1),
         )
         return (
             ranked.groupBy("gname")

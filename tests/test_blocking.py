@@ -1,0 +1,169 @@
+"""Blocking operators: exact join, ngram-IDF retrieval parity against a
+pure-python oracle implementing the documented reference semantics
+(kb.py:219-264), phonetic + MinHash-LSH recall, cascade/combine."""
+
+import collections
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.operators import blocking as B
+from hamerkop_spark.schemas import KB_ENTITIES
+
+KB_ROWS = [
+    ("E1", "GPE", "New York", ["New York", "NYC", "New York City"]),
+    ("E2", "GPE", "York", ["York"]),
+    ("E3", "GPE", "Newark", ["Newark"]),
+    ("E4", "PER", "John Smith", ["John Smith", "Jon Smith"]),
+    ("E5", "PER", "John Smythe", ["John Smythe"]),
+    ("E6", "ORG", "United Nations", ["United Nations", "UN"]),
+]
+
+
+def mk_kb(spark):
+    rows = [
+        dict(entity_id=eid, type=t, name=n, names=names, origin="geonames",
+             urls=[], geo_type=None, geo_country=None, geo_latitude=None,
+             geo_longitude=None, geo_population=None, per_location=None,
+             per_titles=None, per_orgs=None, org_location=None)
+        for (eid, t, n, names) in KB_ROWS
+    ]
+    return spark.createDataFrame(rows, KB_ENTITIES)
+
+
+def mk_chains(spark, rows):
+    """rows: (doc_id, chain_id, type, name)"""
+    return spark.createDataFrame(
+        rows, "doc_id string, chain_id string, type string, name string"
+    )
+
+
+# --- pure-python oracle of the reference's ngram retrieval semantics ----
+
+def _fmt(s):
+    import re
+    s = re.sub(r"\p{P}", " ", s) if False else "".join(
+        " " if _is_punct(c) else c for c in s
+    ).strip()
+    return "_" + s.lower().replace(" ", "_") + "_"
+
+
+def _is_punct(c):
+    import unicodedata
+    return unicodedata.category(c).startswith("P")
+
+
+def _ngrams(s, n):
+    return [s[i:i + n] for i in range(len(s) - n + 1)]
+
+
+def oracle_find(query, etype, n=4, limit=25):
+    index = collections.defaultdict(list)
+    unique = set()
+    for eid, typ, _, names in KB_ROWS:
+        for i, name in enumerate(names):
+            unique.add(name.lower())
+            for g in _ngrams(_fmt(name), n):
+                index[(typ, g)].append((eid, i))
+    N = len(unique)
+    mass = collections.defaultdict(float)
+    for g in _ngrams(_fmt(query), n):
+        ids = index[(etype, g)]
+        if not ids:
+            continue
+        idf = math.log1p(N / len(ids))
+        for nid in ids:
+            mass[nid] += idf
+    if not mass:
+        return set()
+    thr = max(mass.values()) / 2
+    top = sorted(
+        ((k, v) for k, v in mass.items() if v > thr),
+        key=lambda kv: -kv[1],
+    )[:limit]
+    return {eid for (eid, _), _v in top}
+
+
+def test_exact_match_candidates(spark):
+    kb_names = B.build_kb_names(mk_kb(spark))
+    chains = mk_chains(spark, [
+        ("d1", "c1", "GPE", "new york"),    # CI hit on E1
+        ("d1", "c2", "PER", "John Smith"),  # hit on E4
+        ("d1", "c3", "GPE", "John Smith"),  # wrong type: no hit
+        ("d1", "c4", "PER", "Nobody"),      # miss
+    ])
+    out = B.exact_match_candidates(chains, kb_names)
+    got = sorted((r["chain_id"], r["entity_id"]) for r in out.collect())
+    assert got == [("c1", "E1"), ("c2", "E4")]
+
+
+@pytest.mark.parametrize("query,etype", [
+    ("New York", "GPE"),
+    ("Newyork", "GPE"),
+    ("York", "GPE"),
+    ("Jon Smith", "PER"),
+    ("Smythe", "PER"),
+    ("zzzz", "GPE"),
+])
+def test_ngram_parity_with_oracle(spark, query, etype):
+    kb_names = B.build_kb_names(mk_kb(spark))
+    postings, n_unique = B.build_ngram_postings(kb_names)
+    chains = mk_chains(spark, [("d1", "c1", etype, query)])
+    out = B.ngram_candidates(chains, postings)
+    got = {r["entity_id"] for r in out.collect()}
+    assert got == oracle_find(query, etype)
+
+
+def test_ngram_unique_name_count(spark):
+    _, n_unique = B.build_ngram_postings(B.build_kb_names(mk_kb(spark)))
+    expected = len({n.lower() for _, _, _, names in KB_ROWS for n in names})
+    assert n_unique == expected
+
+
+def test_phonetic_soundex(spark):
+    kb_names = B.build_kb_names(mk_kb(spark))
+    chains = mk_chains(spark, [("d1", "c1", "PER", "Jon Smith")])
+    out = B.phonetic_candidates(chains, kb_names, key="soundex")
+    got = {r["entity_id"] for r in out.collect()}
+    assert "E4" in got  # Jon ~ John
+
+
+def test_minhash_lsh_finds_near_name(spark):
+    kb_names = B.build_kb_names(mk_kb(spark))
+    chains = mk_chains(spark, [("d1", "c1", "GPE", "New York Citty")])
+    out = B.minhash_lsh_candidates(chains, kb_names, num_hashes=32, num_bands=16)
+    got = {r["entity_id"] for r in out.collect()}
+    assert "E1" in got
+
+
+def test_combine_dedupes_by_entity(spark):
+    kb_names = B.build_kb_names(mk_kb(spark))
+    chains = mk_chains(spark, [("d1", "c1", "GPE", "New York")])
+    exact = B.exact_match_candidates(chains, kb_names)
+    postings, _ = B.build_ngram_postings(kb_names)
+    ngram = B.ngram_candidates(chains, postings)
+    both = B.combine_candidates(exact, ngram)
+    per_entity = collections.Counter(
+        (r["chain_id"], r["entity_id"]) for r in both.collect()
+    )
+    assert all(v == 1 for v in per_entity.values())
+    # first source wins for shared hits
+    srcs = {r["entity_id"]: r["source"] for r in both.collect()}
+    assert srcs["E1"] == "exact"
+
+
+def test_cascade_stops_after_threshold(spark):
+    # source 0 already yields >= 1 candidate -> source 1 excluded
+    c0 = spark.createDataFrame(
+        [("d1", "c1", "E1", 1, "s0")],
+        "doc_id string, chain_id string, entity_id string, retrieval_rank int, source string",
+    )
+    c1 = spark.createDataFrame(
+        [("d1", "c1", "E2", 1, "s1"), ("d1", "c2", "E3", 1, "s1")],
+        "doc_id string, chain_id string, entity_id string, retrieval_rank int, source string",
+    )
+    out = B.cascade_candidates([c0, c1], num_candidates=1)
+    got = sorted((r["chain_id"], r["entity_id"]) for r in out.collect())
+    # c1: source 0 filled the quota -> E2 dropped; c2: nothing earlier -> E3 kept
+    assert got == [("c1", "E1"), ("c2", "E3")]

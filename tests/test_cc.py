@@ -1,0 +1,60 @@
+"""Connected components: chains, isolated nodes, determinism."""
+
+from hamerkop_spark.operators.cc import cluster_mentions, connected_components
+
+
+def comps(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    n = spark.createDataFrame([(x,) for x in nodes], "node string") if nodes else None
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes=n).collect()
+    }
+
+
+def test_simple_chain(spark):
+    got = comps(spark, [("a", "b"), ("b", "c"), ("d", "e")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_long_path_converges(spark):
+    n = 20
+    edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)]
+    got = comps(spark, edges)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == n + 1
+
+
+def test_star_and_cycle(spark):
+    edges = [("hub", f"s{i}") for i in range(5)] + [("x", "y"), ("y", "z"), ("z", "x")]
+    got = comps(spark, edges)
+    assert got["s3"] == "hub"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_isolated_nodes(spark):
+    got = comps(spark, [("a", "b")], nodes=["a", "b", "lonely"])
+    assert got["lonely"] == "lonely"
+    assert got["b"] == "a"
+
+
+def test_empty_edges(spark):
+    got = comps(spark, [], nodes=["p", "q"])
+    assert got == {"p": "p", "q": "q"}
+
+
+def test_deterministic_label_is_min(spark):
+    got = comps(spark, [("z9", "m5"), ("m5", "a1")])
+    assert set(got.values()) == {"a1"}
+
+
+def test_cluster_mentions_helper(spark):
+    mentions = spark.createDataFrame(
+        [("m1",), ("m2",), ("m3",)], "mention_id string"
+    )
+    edges = spark.createDataFrame([("m2", "m3")], "src string, dst string")
+    out = {
+        r["mention_id"]: r["chain_id"]
+        for r in cluster_mentions(mentions, edges).collect()
+    }
+    assert out == {"m1": "m1", "m2": "m2", "m3": "m2"}

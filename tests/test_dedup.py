@@ -1,0 +1,92 @@
+"""Dedup operator tests: exact, minhash-LSH, simhash, n-gram jaccard,
+embedding cosine."""
+
+import pytest
+
+from hamerkop_spark.operators import dedup as D
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while officials reported "
+    "that the meeting about water supply was postponed until further notice"
+)
+NEAR = BASE_TEXT.replace("lazy", "sleepy")
+FAR = (
+    "completely different content about mining projects in the northern "
+    "province approved by the council yesterday evening"
+)
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [("a", BASE_TEXT), ("b", BASE_TEXT + "!"), ("c", NEAR), ("d", FAR)],
+        "doc_id string, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: (r["dup_of"], r["is_duplicate"])
+           for r in D.exact_dedup(docs(spark)).collect()}
+    # 'a' and 'b' differ only by punctuation -> same fingerprint
+    assert out["a"] == ("a", False)
+    assert out["b"] == ("a", True)
+    assert out["c"][1] is False
+    assert out["d"][1] is False
+
+
+def test_minhash_pairs_find_near(spark):
+    pairs = {
+        (r["src"], r["dst"])
+        for r in D.minhash_dedup_pairs(docs(spark), num_hashes=64, num_bands=16).collect()
+    }
+    assert ("a", "b") in pairs
+    assert ("a", "c") in pairs or ("c", "a") in pairs or ("a", "c") in pairs
+    assert not any("d" in p for p in pairs)
+
+
+def test_minhash_dedup_end_to_end(spark):
+    out = {r["doc_id"]: r["dup_cluster"]
+           for r in D.minhash_dedup(docs(spark), num_hashes=64, num_bands=16).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["d"] != out["a"]
+
+
+def test_simhash_pairs(spark):
+    pairs = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in D.simhash_dedup_pairs(docs(spark), max_hamming=6).collect()
+    }
+    assert ("a", "b") in pairs
+    assert not any("d" in p for p in pairs)
+
+
+def test_simhash_deterministic(spark):
+    s1 = D._simhash64(["hello", "world"])
+    s2 = D._simhash64(["hello", "world"])
+    assert s1 == s2
+    assert D._simhash64(["hello"]) != D._simhash64(["goodbye"])
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = {
+        tuple(sorted((r["src"], r["dst"]))): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs(spark), min_jaccard=0.5).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0)  # punct normalized away
+    assert ("a", "c") in out
+    assert not any("d" in p for p in out)
+
+
+def test_embedding_neardup(spark):
+    emb = spark.createDataFrame(
+        [
+            ("v1", [1.0, 0.0, 0.0, 0.0]),
+            ("v2", [0.99, 0.05, 0.0, 0.0]),
+            ("v3", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    out = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in D.embedding_neardup_pairs(emb, min_cosine=0.95).collect()
+    }
+    assert out == {("v1", "v2")}

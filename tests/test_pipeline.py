@@ -1,0 +1,71 @@
+"""End-to-end acceptance: full pipeline on the seeded synthetic corpus,
+pairwise F1 >= 0.99 (BASELINE.json metric), resume, invariant."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.plans.pipeline import evaluate_pipeline, run_pipeline
+from hamerkop_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return make_corpus(spark, n_docs=40, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("hkwork"))
+    return run_pipeline(spark, corpus, work, resume=False), work
+
+
+def test_pairwise_f1_gate(spark, corpus, result):
+    res, _ = result
+    ev = evaluate_pipeline(res, corpus["labeled_pairs"])
+    assert ev.tp + ev.fn > 0, "labeled-pair surface must be non-empty"
+    assert ev.f1 >= 0.99, f"pairwise F1 {ev.f1} below gate (p={ev.precision}, r={ev.recall})"
+
+
+def test_all_stages_produce_rows(result):
+    res, _ = result
+    for m in res["metrics"]:
+        assert m["rows"] > 0, m
+
+
+def test_resume_skips_stages(spark, corpus, result):
+    res, work = result
+    res2 = run_pipeline(spark, corpus, work, resume=True)
+    assert all(m["resumed"] for m in res2["metrics"])
+    ev = evaluate_pipeline(res2, corpus["labeled_pairs"])
+    assert ev.f1 >= 0.99
+
+
+def test_extraction_invariant_enforced(spark, corpus, tmp_path):
+    bad = corpus["pages"].withColumn(
+        "html",
+        F.when(
+            F.col("url").contains("000001"),
+            F.lit(bytearray(b"<html><body><article>tampered</article></body></html>")),
+        ).otherwise(F.col("html")),
+    )
+    tables = dict(corpus)
+    tables["pages"] = bad
+    with pytest.raises(AssertionError, match="extraction invariant"):
+        run_pipeline(spark, tables, str(tmp_path / "bad"), resume=False)
+
+
+def test_decisions_reference_kb(result):
+    res, _ = result
+    ids = {r["entity_id"] for r in res["decisions"].collect()}
+    kb_ids = {r["entity_id"] for r in res["kb_entities"].collect()}
+    assert ids <= kb_ids
+
+
+def test_corpus_determinism(spark):
+    c1 = make_corpus(spark, n_docs=5, seed=123)
+    c2 = make_corpus(spark, n_docs=5, seed=123)
+    t1 = sorted(r["text"] for r in c1["pages"].collect())
+    t2 = sorted(r["text"] for r in c2["pages"].collect())
+    assert t1 == t2

@@ -1,0 +1,92 @@
+"""Eval metrics: pairwise F1, MUC, B3 (values mirror the reference's
+tests/test_coref.py math), candidate recall, resolver report."""
+
+import pytest
+
+from hamerkop_spark.operators import scoring as SC
+
+
+def assign(spark, pairs):
+    return spark.createDataFrame(pairs, "mention_id string, cluster string")
+
+
+def test_pairwise_f1_perfect(spark):
+    a = assign(spark, [("m1", "c1"), ("m2", "c1"), ("m3", "c2")])
+    lp = spark.createDataFrame(
+        [("m1", "m2", "k", 1), ("m1", "m3", "k", 0)],
+        "key_a string, key_b string, block_key string, label int",
+    )
+    r = SC.pairwise_f1(a, lp)
+    assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
+
+
+def test_pairwise_f1_mixed(spark):
+    # predicted merges m1,m2,m3; truth: only m1-m2 same
+    a = assign(spark, [("m1", "c"), ("m2", "c"), ("m3", "c")])
+    lp = spark.createDataFrame(
+        [("m1", "m2", "k", 1), ("m1", "m3", "k", 0), ("m2", "m3", "k", 0)],
+        "key_a string, key_b string, block_key string, label int",
+    )
+    r = SC.pairwise_f1(a, lp)
+    assert r.precision == pytest.approx(1 / 3)
+    assert r.recall == 1.0
+
+
+def clus(spark, pairs):
+    return spark.createDataFrame(pairs, "mention_key string, cluster string")
+
+
+def test_muc_identical(spark):
+    pred = clus(spark, [("a", "1"), ("b", "1"), ("c", "2"), ("d", "2")])
+    r = SC.muc(pred, pred)
+    assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
+
+
+def test_muc_one_merge_error(spark):
+    # gold: {a,b},{c,d}; pred: {a,b,c,d} — MUC: p_num=4-2=2, p_den=3,
+    # r_num=(2-1)+(2-1)=2, r_den=2 -> P=2/3, R=1
+    pred = clus(spark, [("a", "1"), ("b", "1"), ("c", "1"), ("d", "1")])
+    gold = clus(spark, [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")])
+    r = SC.muc(pred, gold)
+    assert r.precision == pytest.approx(2 / 3)
+    assert r.recall == pytest.approx(1.0)
+
+
+def test_b3_identical_multi(spark):
+    pred = clus(spark, [("a", "1"), ("b", "1"), ("c", "2"), ("d", "2")])
+    r = SC.b3(pred, pred)
+    assert (r.precision, r.recall) == (1.0, 1.0)
+
+
+def test_b3_merge_error(spark):
+    # pred {a,b,c,d}, gold {a,b},{c,d}:
+    # precision: (2^2 + 2^2)/4 / 4 = 2/4 = 0.5 ; recall: each gold cluster
+    # num=(2^2)/2=2 -> (2+2)/4 = 1.0
+    pred = clus(spark, [("a", "1"), ("b", "1"), ("c", "1"), ("d", "1")])
+    gold = clus(spark, [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")])
+    r = SC.b3(pred, gold)
+    assert r.precision == pytest.approx(0.5)
+    assert r.recall == pytest.approx(1.0)
+
+
+def test_candidate_recall(spark):
+    cands = spark.createDataFrame(
+        [("d1", "c1", "E1"), ("d1", "c1", "E2"), ("d1", "c2", "E3")],
+        "doc_id string, chain_id string, entity_id string",
+    )
+    gold = spark.createDataFrame(
+        [("d1", "c1", "PER", ["E1"]), ("d1", "c2", "PER", ["E9"]),
+         ("d1", "c3", "GPE", ["E3"])],
+        "doc_id string, chain_id string, entity_type string, gold_links array<string>",
+    )
+    out = {r["entity_type"]: r["recall"] for r in SC.candidate_recall(cands, gold).collect()}
+    assert out["PER"] == pytest.approx(0.5)
+    assert out["GPE"] == 0.0
+
+
+def test_kb_loading_recall(spark):
+    kb = spark.createDataFrame([("E1",), ("E2",)], "entity_id string")
+    gold = spark.createDataFrame([("E1",), ("E3",)], "entity_id string")
+    r = SC.kb_loading_recall(kb, gold)
+    assert r.recall == pytest.approx(0.5)
+    assert r.missed == 1

@@ -1,0 +1,96 @@
+"""Distance bundle + phonetic keys."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions import phonetic as PH
+from hamerkop_spark.functions import textdist as TD
+
+
+def pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "a string, b string")
+
+
+def test_native_levenshtein_matches_python(spark):
+    rows = [("kitten", "sitting"), ("abc", "abc"), ("", "xy"), ("flaw", "lawn")]
+    df = pairs_df(spark, rows).select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    for r in df.collect():
+        assert r["d"] == TD.levenshtein_py(r["a"], r["b"])
+
+
+def test_levenshtein_norm(spark):
+    df = pairs_df(spark, [("abcd", "abcx")]).select(
+        TD.levenshtein_norm(F.col("a"), F.col("b")).alias("v")
+    )
+    assert df.collect()[0]["v"] == pytest.approx(0.25)
+
+
+def test_jaro_winkler_known_values(spark):
+    # standard published values
+    cases = {
+        ("MARTHA", "MARHTA"): 0.9611,
+        ("DIXON", "DICKSONX"): 0.8133,
+        ("JELLYFISH", "SMELLYFISH"): 0.8963,
+        ("same", "same"): 1.0,
+        ("", "x"): 0.0,
+    }
+    df = pairs_df(spark, list(cases)).select(
+        "a", "b", TD.jaro_winkler_udf(F.col("a"), F.col("b")).alias("v")
+    )
+    for r in df.collect():
+        assert r["v"] == pytest.approx(cases[(r["a"], r["b"])], abs=1e-3)
+
+
+def test_token_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b", "c"])], "a array<string>, b array<string>"
+    ).select(TD.token_jaccard(F.col("a"), F.col("b")).alias("v"))
+    assert df.collect()[0]["v"] == pytest.approx(1 / 3)
+
+
+def test_cosine_native(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    ).select(TD.cosine_native(F.col("a"), F.col("b")).alias("v"))
+    vals = [r["v"] for r in df.collect()]
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == 0.0  # zero-norm guard
+
+
+def test_soundex_groups_variants(spark):
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("John Smith",), ("Jon Smith",)], "s string"
+    ).select("s", PH.soundex_key(F.col("s")).alias("k"))
+    got = {r["s"]: r["k"] for r in df.collect()}
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["John Smith"] == got["Jon Smith"]  # first token only
+
+
+def test_nysiis_deterministic_and_groups():
+    # standard NYSIIS reference values
+    assert PH.nysiis_py("Smith") == "SNAT"
+    assert PH.nysiis_py("Brown") == PH.nysiis_py("Braun") == "BRAN"
+    assert PH.nysiis_py("") == ""
+    assert PH.nysiis_py("MacDonald").startswith("MC")
+
+
+def test_metaphone_groups_variants():
+    assert PH.metaphone_py("Smith") == PH.metaphone_py("Smyth")
+    assert PH.metaphone_py("Katherine") == PH.metaphone_py("Catherine")
+    assert PH.metaphone_py("") == ""
+
+
+def test_phonetic_udfs(spark):
+    df = spark.createDataFrame([("Smith",), ("Smyth",)], "s string").select(
+        "s", PH.nysiis_udf(F.col("s")).alias("n"), PH.metaphone_udf(F.col("s")).alias("m")
+    )
+    rows = {r["s"]: r for r in df.collect()}
+    # UDFs agree with the pure-python functions
+    assert rows["Smith"]["n"] == PH.nysiis_py("Smith")
+    assert rows["Smyth"]["n"] == PH.nysiis_py("Smyth")
+    # metaphone groups the spelling variants
+    assert rows["Smith"]["m"] == rows["Smyth"]["m"]
