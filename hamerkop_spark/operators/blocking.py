@@ -128,6 +128,7 @@ def ngram_candidates(
     limit: int = 25,
     max_df: int | None = None,
     source: str = "ngram",
+    broadcast_postings: bool = False,
 ) -> DataFrame:
     """B3 query (NgramMemoryNameIndex.find, kb.py:219-242), set-oriented:
 
@@ -138,6 +139,16 @@ def ngram_candidates(
     `max_df` optionally skips ultra-hot n-grams (df_cnt above the cap) —
     the documented block-size bound for 100 TB runs; the reference has no
     such cap because it never meets web-scale key skew.
+
+    `broadcast_postings`: the (type, ngram) key is intrinsically skewed
+    (common ngrams post to many names) — a shuffle join on it serializes
+    into the hot-key partitions. When the postings table fits in memory
+    (pruned KB, or per-bucket postings at full scale), broadcasting it
+    turns the retrieval into a map-side hash join: the probe side never
+    shuffles on the skewed key and the only shuffle left is the uniform
+    per-query aggregation. This is the scale-path default for KBs that
+    passed the reference's load filters (~10M entities prune to far
+    less, io.py:511-513).
     """
     probe_names = (
         chains.select("type", F.col(name_col).alias("qname"))
@@ -158,6 +169,8 @@ def ngram_candidates(
     post = postings
     if max_df is not None:
         post = post.where(F.col("df_cnt") <= max_df)
+    if broadcast_postings:
+        post = F.broadcast(post)
     scored = (
         qgrams.join(post, ["type", "ngram"])
         .groupBy("type", "qname", "entity_id", "name_idx")

@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ER rows are small but compute-dense (nested string-distance
+        # expressions): the 64MB size-based coalesce target would fold
+        # mid-pipeline shuffles down to one task and serialize the
+        # scoring stage. Keep partitions fine-grained; parallelismFirst
+        # then respects cluster parallelism instead of byte size.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

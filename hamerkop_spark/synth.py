@@ -25,9 +25,11 @@ from hamerkop_spark.schemas import CONLL, GROUND_TRUTH, KB_COLUMNS, KB_RAW, PAGE
 from hamerkop_spark.sources.web import wrap_text_as_html
 
 FIRST = ["John", "Mary", "Ahmed", "Fatima", "Wei", "Chen", "Ivan", "Olga",
-         "Kofi", "Amina", "Jose", "Lucia", "Pierre", "Anna", "David", "Sara"]
+         "Kofi", "Amina", "Jose", "Lucia", "Pierre", "Anna", "David", "Sara",
+         "Elena", "Omar", "Grace", "Tariq", "Mei", "Paulo", "Nadia", "Viktor"]
 LAST = ["Smith", "Johnson", "Okafor", "Haile", "Zhang", "Petrov", "Garcia",
-        "Dubois", "Keita", "Mwangi", "Rahman", "Silva", "Kim", "Tanaka"]
+        "Dubois", "Keita", "Mwangi", "Rahman", "Silva", "Kim", "Tanaka",
+        "Novak", "Berg", "Costa", "Ali", "Moreno", "Weber"]
 CITY = ["Springfield", "Rivertown", "Lakeview", "Hillcrest", "Stonebridge",
         "Fairview", "Maplewood", "Ashford", "Brookfield", "Claremont",
         "Addis Ketema", "Port Azure"]
@@ -49,9 +51,13 @@ def _misspell(rng: random.Random, name: str) -> str:
     """Deterministic single-character misspelling (never first char)."""
     if len(name) < 4:
         return name + "e"
-    i = rng.randrange(1, len(name) - 1)
-    if name[i] == " ":
-        i += 1
+    positions = [
+        j for j in range(1, len(name) - 1)
+        if name[j] != " " and name[j + 1] != " "
+    ]
+    if not positions:
+        return name + "e"
+    i = rng.choice(positions)
     op = rng.randrange(3)
     if op == 0:  # drop
         return name[:i] + name[i + 1:]
@@ -114,9 +120,14 @@ def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
         links = ["http://en.wikipedia.org/wiki/" + name.replace(" ", "_")]
         add(f"E{eid:05d}", "ORG", name, "APB", rng.choice(COUNTRIES), links, alt)
         eid += 1
+    gpe_prefix = ["", "New ", "East ", "West ", "North ", "South ", "Upper ",
+                  "Lower ", "Old ", "Port "]
     for i in range(n_gpe):
         base = CITY[i % len(CITY)]
-        name = base if i < len(CITY) else f"New {base}"
+        series = i // len(CITY)
+        name = f"{gpe_prefix[series % len(gpe_prefix)]}{base}"
+        if series >= len(gpe_prefix):
+            name = f"{name} {series // len(gpe_prefix)}"
         alt = [_misspell(rng, name)]
         links = []
         if rng.random() < 0.7:
@@ -124,13 +135,16 @@ def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
         add(f"E{eid:05d}", "GPE", name, "GEO", rng.choice(COUNTRIES), links, alt)
         eid += 1
     for i in range(n_loc):
-        name = LOCS[i % len(LOCS)]
+        base = LOCS[i % len(LOCS)]
+        series = i // len(LOCS)
+        name = base if series == 0 else f"{base} {series}"
         add(f"E{eid:05d}", "LOC", name, "GEO", rng.choice(COUNTRIES), [], [])
         eid += 1
     return entities, alts, meta
 
 
-def build_docs(rng: random.Random, meta: dict, n_docs: int):
+def build_docs(rng: random.Random, meta: dict, n_docs: int,
+               misspell_prob: float = 0.0):
     """Generate documents mentioning KB entities (by canonical name, alt
     name or acronym) plus NIL mentions (invented names). Returns
     (page_rows, conll_rows, gt_rows, mention_records)."""
@@ -161,6 +175,12 @@ def build_docs(rng: random.Random, meta: dict, n_docs: int):
                 etype = e["type"]
                 choices = [e["name"]] + e["alts"]
                 surface = rng.choice(choices)
+                # optional surface noise: exercises the fuzzy-blocking +
+                # edit-distance path and diversifies the probe-key space
+                # (bench scaling workload); off by default so exact-path
+                # tests stay deterministic
+                if misspell_prob and rng.random() < misspell_prob:
+                    surface = _misspell(rng, surface)
             stoks = surface.split()
             mentions.append((len(tokens), len(stoks), etype, ref, surface))
             for j, t in enumerate(stoks):
@@ -228,11 +248,20 @@ def build_labeled_pairs(mention_records, max_pairs_per_key: int = 200):
 
 
 def make_corpus(
-    spark: SparkSession, n_docs: int = 60, seed: int = 42
+    spark: SparkSession,
+    n_docs: int = 60,
+    seed: int = 42,
+    misspell_prob: float = 0.0,
+    kb_mult: int = 1,
 ) -> dict:
     rng = random.Random(seed)
-    entities, alts, meta = build_kb(rng)
-    pages, conll, gt, mention_records = build_docs(rng, meta, n_docs)
+    entities, alts, meta = build_kb(
+        rng, n_per=40 * kb_mult, n_org=30 * kb_mult, n_gpe=24 * kb_mult,
+        n_loc=6 * kb_mult,
+    )
+    pages, conll, gt, mention_records = build_docs(
+        rng, meta, n_docs, misspell_prob=misspell_prob
+    )
     pairs = build_labeled_pairs(mention_records)
     return {
         "pages": spark.createDataFrame(pages, PAGES),
