@@ -41,11 +41,17 @@ def _fmt_name(c):
 
 
 def _char_ngrams(c, n):
+    # zip-of-shifted-slices form (see hamerkop_spark.functions.strings
+    # .char_ngrams): evaluates `c` once instead of once per position
+    chars = F.split(c, "")
+    m = F.size(chars) - (n - 1)
+    sliced = [F.slice(chars, j + 1, m).alias(f"c{j}") for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*sliced),
+        lambda st: F.concat(*[st[f"c{j}"] for j in range(n)]),
+    )
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - (n - 1)),
-            lambda i: c.substr(i, F.lit(n)),
-        )
+        grams
     )
 
 

@@ -78,13 +78,21 @@ def char_ngrams(c: Column, n: int = 2) -> Column:
     """Sliding char n-grams as array<string> (string.py:71-74).
 
     Empty array when len(s) < n, matching the Python range() semantics.
-    Pure Catalyst: sequence + transform + substring, no UDF.
+    Pure Catalyst via n shifted char-array slices + arrays_zip — NOT
+    `transform(sequence, i -> substr(c, i, n))`: expressions inside a
+    transform lambda are re-evaluated per element, so any upstream
+    normalization feeding `c` would rerun once per position. Here `c`
+    is evaluated exactly once (for the split).
     """
+    chars = F.split(c, "")
+    m = F.size(chars) - (n - 1)
+    sliced = [F.slice(chars, j + 1, m).alias(f"c{j}") for j in range(n)]
+    zipped = F.arrays_zip(*sliced)
+    grams = F.transform(
+        zipped, lambda st: F.concat(*[st[f"c{j}"] for j in range(n)])
+    )
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - (n - 1)),
-            lambda i: c.substr(i, F.lit(n)),
-        )
+        grams
     )
 
 

@@ -245,20 +245,24 @@ def minhash_signature(
     set_col: str,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signatures, fully native: explode set elements, hash each
-    element with `num_hashes` seeded xxhash64 functions, take element-wise
-    min per seed. Output: (id_cols..., seed, minhash)."""
+    """MinHash signatures, fully native and shuffle-lean: one row per set
+    element (not element x hash — a k-way posexplode would multiply the
+    shuffle volume k times), `num_hashes` seeded xxhash64 values as
+    separate `min` aggregates so map-side partial aggregation reduces
+    each partition to one row per id before the shuffle.
+
+    Output: (id_cols..., sig: array<bigint>) with sig[i] = min over
+    elements of xxhash64(elem, i+1)."""
     elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
-    hashed = elems.select(
+    mins = [
+        F.min(F.xxhash64(F.col("elem"), F.lit(s + 1))).alias(f"_mh{s}")
+        for s in range(num_hashes)
+    ]
+    agg = elems.groupBy(*id_cols).agg(*mins)
+    return agg.select(
         *id_cols,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(num_hashes)),
-                lambda s: F.xxhash64(F.col("elem"), s),
-            )
-        ).alias("seed", "minhash"),
+        F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)]).alias("sig"),
     )
-    return hashed.groupBy(*id_cols, "seed").agg(F.min("minhash").alias("minhash"))
 
 
 def minhash_bands(
@@ -268,22 +272,22 @@ def minhash_bands(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """LSH banding: hash each band's signature slice to a bucket key.
+    Narrow transform (posexplode of num_bands per row, no shuffle).
     Output: (id_cols..., band, bucket)."""
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    ).where(F.col("band") < num_bands)
-    return banded.groupBy(*id_cols, "band").agg(
-        F.xxhash64(
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
                 ),
                 ",",
             )
-        ).alias("bucket")
+        ),
+    )
+    return signatures.select(
+        *id_cols, F.posexplode(bands).alias("band", "bucket")
     )
 
 

@@ -38,19 +38,32 @@ def exact_dedup(
     )
 
 
-def _word_shingles(text_col: str, k: int = 3) -> F.Column:
-    toks = F.filter(
+def _word_tokens(text_col: str) -> F.Column:
+    return F.filter(
         F.split(normalize_for_fingerprint(F.col(text_col)), r"\s+"),
         lambda t: t != "",
     )
-    return F.when(F.size(toks) < k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, k)
-            ),
-        )
+
+
+def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles of a token array via k shifted slices + arrays_zip.
+
+    Deliberately NOT `transform(sequence, i -> ...)` over positions:
+    expressions referenced inside a transform lambda are re-evaluated
+    per element (no CSE across lambda iterations — and CollapseProject
+    re-inlines any 'materialized' token column), so a per-position
+    formulation reruns the tokenizer O(n·k) times or copies O(n) slices
+    per position. Here `toks` is evaluated exactly k times."""
+    m = F.size(toks) - (k - 1)
+    sliced = [F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)]
+    zipped = F.arrays_zip(*sliced)
+    shingles = F.transform(
+        zipped,
+        lambda st: F.concat_ws(" ", *[st[f"t{j}"] for j in range(k)]),
     )
+    return F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(shingles)
 
 
 def minhash_dedup_pairs(
@@ -68,38 +81,22 @@ def minhash_dedup_pairs(
 
     Returns (src, dst) pairs with src < dst; feed to
     connected_components for cluster-level dedup."""
+    from hamerkop_spark.operators.blocking import minhash_bands, minhash_signature
+
     rows_per_band = num_hashes // num_bands
-    shingled = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(_word_shingles(text_col, shingle_k)).alias("sh"),
-    ).where(F.size("sh") > 0)
-    elems = shingled.select("_id", F.explode("sh").alias("elem"))
-    hashed = elems.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(num_hashes)),
-                lambda s: F.xxhash64(F.col("elem"), s),
-            )
-        ).alias("seed", "mh"),
-    )
-    sig = hashed.groupBy("_id", "seed").agg(F.min("mh").alias("mh"))
-    bands = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .where(F.col("band") < num_bands)
-        .groupBy("_id", "band")
-        .agg(
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
+    shingled = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _word_tokens(text_col).alias("toks"),
         )
+        .select(
+            "_id",
+            F.array_distinct(_shingles_of(F.col("toks"), shingle_k)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
     )
+    sig = minhash_signature(shingled, ["_id"], "sh", num_hashes)
+    bands = minhash_bands(sig, ["_id"], num_bands, rows_per_band)
     wb = Window.partitionBy("band", "bucket")
     bounded = bands.withColumn("bsize", F.count("*").over(wb)).where(
         F.col("bsize") <= max_bucket
