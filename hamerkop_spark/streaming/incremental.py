@@ -1,0 +1,180 @@
+"""Incremental ingest with Structured Streaming.
+
+The batch pipeline's stages are pure DataFrame functions, so the
+stateless ones lift directly onto streaming DataFrames:
+
+* `stream_pages` — file-source stream over the pages table (new parquet
+  files = newly crawled WARC batches); the same pinned extraction
+  (sources/web.py) runs per micro-batch, preserving the byte-identity
+  invariant.
+* `windowed_mention_counts` — watermarked tumbling-window aggregation
+  (late crawl records tolerated up to the watermark).
+* `sessionize_events` — custom stateful operator via
+  applyInPandasWithState: per-user session assembly with a gap timeout,
+  the Structured-Streaming analog of the batch lag/cumsum sessionizer
+  (__spark_entry__.q_events_sessionize).
+* `foreach_batch_linker` — per-micro-batch entity linking: each batch of
+  pages runs the batch blocking+resolve stages against the (static) KB
+  and appends decisions; exactly-once via checkpointed sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hamerkop_spark.schemas import PAGES
+from hamerkop_spark.sources.web import ingest_pages
+
+
+def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """File-source stream of PAGES-schema parquet; one file per
+    micro-batch by default (maxFilesPerTrigger tunable by caller)."""
+    return spark.readStream.schema(PAGES).parquet(pages_dir)
+
+
+def stream_documents(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """Streaming ingest: extraction runs per micro-batch (stateless
+    mapInPandas lifts unchanged onto the stream)."""
+    return ingest_pages(stream_pages(spark, pages_dir))
+
+
+def windowed_mention_counts(
+    documents: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-language document counts with late-data
+    tolerance (watermark on warc_ts)."""
+    return (
+        documents.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ts", T.LongType()),  # epoch nanos
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+
+def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user session state: events extend the open session unless the
+    gap exceeds 30 min; a processing-time timeout flushes the final
+    session."""
+    gap_ns = 30 * 60 * 1_000_000_000  # pandas datetime64[ns].astype(int64) is epoch ns
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            sid, n, start, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_id": sid,
+                        "n_events": n,
+                        "session_start": pd.Timestamp(start, unit="ns"),
+                        "session_end": pd.Timestamp(last, unit="ns"),
+                    }
+                ]
+            )
+        return
+
+    if state.exists:
+        sid, n, start, last = state.get
+    else:
+        sid, n, start, last = 0, 0, None, None
+
+    closed = []
+    for pdf in pdf_iter:
+        ts_ns = pdf["ts"].astype("int64").sort_values()
+        for t in ts_ns:
+            t = int(t)
+            if last is None:
+                sid, n, start, last = sid + 1, 1, t, t
+            elif t - last > gap_ns:
+                closed.append((sid, n, start, last))
+                sid, n, start, last = sid + 1, 1, t, t
+            else:
+                n += 1
+                last = max(last, t)
+    state.update((sid, n, start, last))
+    state.setTimeoutDuration(60 * 1000)
+    if closed:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": s,
+                    "n_events": c,
+                    "session_start": pd.Timestamp(a, unit="ns"),
+                    "session_end": pd.Timestamp(b, unit="ns"),
+                }
+                for (s, c, a, b) in closed
+            ]
+        )
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md brief: stateful
+    streaming via applyInPandasWithState): per-user 30-min-gap sessions,
+    emitted when closed by a newer event or by state timeout."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def foreach_batch_linker(
+    documents_stream: DataFrame,
+    kb_names: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Per-micro-batch entity linking: run the batch exact-blocking stage
+    on each arriving document batch against the static KB and append
+    decisions. The KB side is a static DataFrame — stream-static joins
+    are the supported shape; exactly-once via the streaming checkpoint."""
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        chains = batch_df.select(
+            F.col("url").alias("doc_id"),
+            F.col("url").alias("chain_id"),
+            F.lit("PER").alias("type"),
+            F.col("text").alias("name"),
+        )
+        hits = exact_match_candidates(chains, kb_names)
+        hits.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    return (
+        documents_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,115 @@
+"""Structured Streaming paths: streaming ingest preserves the extraction
+invariant; watermarked windows aggregate; stateful sessionization."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.schemas import PAGES
+from hamerkop_spark.sources.web import wrap_text_as_html
+from hamerkop_spark.streaming import incremental as S
+
+
+@pytest.fixture()
+def pages_dir(spark, tmp_path):
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (
+            f"http://x/{i}",
+            ts + datetime.timedelta(minutes=30 * i),
+            bytearray(wrap_text_as_html(f"doc {i} body", f"http://x/{i}")),
+            f"doc {i} body",
+            "eng",
+        )
+        for i in range(6)
+    ]
+    d = str(tmp_path / "pages")
+    spark.createDataFrame(rows, PAGES).write.parquet(d)
+    return d
+
+
+def run_stream(df, spark, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_documents_invariant(spark, pages_dir):
+    docs = S.stream_documents(spark, pages_dir)
+    out = run_stream(docs, spark, "docs_stream")
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r["extracted_text"] == r["text"] for r in rows)
+
+
+def test_windowed_counts(spark, pages_dir):
+    docs = S.stream_documents(spark, pages_dir)
+    win = S.windowed_mention_counts(docs, window="1 hour", watermark="2 hours")
+    # complete mode for the memory sink: append-mode window results only
+    # emit on the batch AFTER the watermark passes, and availableNow runs
+    # a single batch
+    out = run_stream(win, spark, "win_stream", output_mode="complete")
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 6
+    # 6 pages at 30-min spacing span three 1-hour windows
+    assert len(rows) == 3
+
+
+def test_sessionize_events(spark, tmp_path):
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap
+    for m in (0, 5, 10):
+        rows.append((1, base + datetime.timedelta(minutes=m)))
+    for m in (180, 185):
+        rows.append((1, base + datetime.timedelta(minutes=m)))
+    # user 2: one session
+    rows.append((2, base,))
+    d = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(d)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+    sessions = S.sessionize_events(stream)
+    out = run_stream(sessions, spark, "sess_stream")
+    rows = out.collect()
+    # the closed session (user 1, first 3 events) must be emitted; the
+    # still-open sessions are held in state awaiting timeout
+    closed = [(r["user_id"], r["n_events"]) for r in rows]
+    assert (1, 3) in closed
+
+
+def test_foreach_batch_linker(spark, tmp_path):
+    ts = datetime.datetime(2025, 1, 1)
+    # pages whose full text equals a KB name -> exact block hit
+    rows = [
+        ("http://x/1", ts, bytearray(wrap_text_as_html("John Smith", "u")),
+         "John Smith", "eng"),
+        ("http://x/2", ts, bytearray(wrap_text_as_html("nobody here", "u")),
+         "nobody here", "eng"),
+    ]
+    pages_d = str(tmp_path / "p")
+    spark.createDataFrame(rows, PAGES).write.parquet(pages_d)
+    kb_names = spark.createDataFrame(
+        [("E1", "PER", "john smith", 0, "john smith")],
+        "entity_id string, type string, name string, name_idx int, exact_key string",
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs = S.stream_documents(spark, pages_d)
+    q = S.foreach_batch_linker(docs, kb_names, sink, ckpt).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    assert [(r["doc_id"], r["entity_id"]) for r in got] == [("http://x/1", "E1")]
+    # exactly-once: restarting with the same checkpoint adds nothing
+    q2 = S.foreach_batch_linker(
+        S.stream_documents(spark, pages_d), kb_names, sink, ckpt
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 1
