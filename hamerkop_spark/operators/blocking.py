@@ -83,6 +83,30 @@ def exact_match_candidates(
     )
 
 
+def with_type_groups(
+    df: DataFrame, *type_sets: Sequence[str], type_col: str = "type"
+) -> DataFrame:
+    """B4 TypeIgnoringIndex (kb.py:278-305): conflate entity types into
+    group keys so e.g. GPE and LOC block together. Applied to BOTH sides
+    of a blocking join, the equi-join on `type_group` reproduces the
+    reference's query-all-conflated-types behavior; dedupe by
+    (chain, entity) afterwards (the combine step already does).
+
+    Types not in any set keep themselves as the group key."""
+    expr = F.col(type_col)
+    mapped = None
+    for ts in type_sets:
+        group_key = "|".join(sorted(ts))
+        cond = expr.isin(list(ts))
+        mapped = (
+            F.when(cond, F.lit(group_key))
+            if mapped is None
+            else mapped.when(cond, F.lit(group_key))
+        )
+    group = mapped.otherwise(expr) if mapped is not None else expr
+    return df.withColumn("type_group", group)
+
+
 def build_ngram_postings(
     kb_names: DataFrame, ngram_size: int = 4
 ) -> tuple[DataFrame, int]:

@@ -1,0 +1,110 @@
+"""T9 romanizer, S10/S11 resource loaders, B4 type-group conflation."""
+
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions.translit import romanize, romanize_py
+from hamerkop_spark.operators.blocking import with_type_groups
+from hamerkop_spark.sources.resources import cached_lookup, read_dictionary, read_set
+
+
+def test_romanize_py():
+    assert romanize_py("Москва") == "Moskva"
+    assert romanize_py("Αθήνα") == "Athina"
+    assert romanize_py("café") == "cafe"
+    assert romanize_py("ascii") == "ascii"
+
+
+def test_romanize_column_contract(spark):
+    df = spark.createDataFrame(
+        [("Москва", "rus"), ("plain ascii", "rus"), ("Москва", "eng")],
+        "s string, lang string",
+    )
+    out = df.select("s", "lang", romanize(F.col("s"), F.col("lang")).alias("r"))
+    got = {(r["s"], r["lang"]): r["r"] for r in out.collect()}
+    # reference contract (string.py:145-150): None for English docs and
+    # pure-ASCII strings
+    assert got[("Москва", "rus")] == "Moskva"
+    assert got[("plain ascii", "rus")] is None
+    assert got[("Москва", "eng")] is None
+
+
+def test_name_projector_with_romanizer(spark):
+    from hamerkop_spark.operators.preprocess import name_projector
+
+    df = spark.createDataFrame(
+        [("m1", "d", "Москва", "GPE", "newswire", "rus")],
+        "mention_id string, doc_id string, string string, type string, "
+        "doc_type string, lang string",
+    )
+    out = name_projector(romanize)(df)
+    assert out.collect()[0]["translit_string"] == "Moskva"
+
+
+def test_read_dictionary_and_set(spark, tmp_path):
+    d = tmp_path / "dict.tsv"
+    d.write_text("Running\trun\nDogs\tdog\n")
+    dic = read_dictionary(spark, str(d))
+    assert sorted(map(tuple, dic.collect())) == [("dogs", "dog"), ("running", "run")]
+    s = tmp_path / "set.txt"
+    s.write_text("Alpha\n\nBeta\nalpha\n")
+    st = read_set(spark, str(s))
+    assert sorted(r["value"] for r in st.collect()) == ["alpha", "beta"]
+
+
+def test_cached_lookup(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    reqs = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    calls = []
+
+    def compute(misses):
+        rows = [(r["key"],) for r in misses.collect()]
+        calls.append(rows)
+        return spark.createDataFrame(
+            [(k, k.upper()) for (k,) in rows], "key string, value string"
+        )
+
+    out1 = cached_lookup(spark, cache, reqs, "k", compute)
+    assert sorted((r["k"], r["value"]) for r in out1.collect()) == [
+        ("a", "A"), ("a", "A"), ("b", "B")]
+    # second call: everything cached, compute not invoked again
+    out2 = cached_lookup(spark, cache, reqs, "k", compute)
+    assert out2.count() == 3
+    assert len(calls) == 1
+
+
+def test_with_type_groups(spark):
+    df = spark.createDataFrame(
+        [("GPE",), ("LOC",), ("PER",), ("ORG",)], "type string"
+    )
+    out = {r["type"]: r["type_group"] for r in
+           with_type_groups(df, ["GPE", "LOC"]).collect()}
+    assert out == {"GPE": "GPE|LOC", "LOC": "GPE|LOC", "PER": "PER", "ORG": "ORG"}
+
+
+def test_type_group_blocking(spark):
+    """GPE query retrieves a LOC entity when types are conflated (B4)."""
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+    from hamerkop_spark.schemas import KB_ENTITIES
+
+    kb = spark.createDataFrame(
+        [dict(entity_id="E1", type="LOC", name="Blue River",
+              names=["Blue River"], origin="geonames", urls=[], geo_type=None,
+              geo_country=None, geo_latitude=None, geo_longitude=None,
+              geo_population=None, per_location=None, per_titles=None,
+              per_orgs=None, org_location=None)],
+        KB_ENTITIES,
+    )
+    from hamerkop_spark.operators.blocking import build_kb_names
+
+    kb_names = with_type_groups(build_kb_names(kb), ["GPE", "LOC"]).drop(
+        "type"
+    ).withColumnRenamed("type_group", "type")
+    chains = with_type_groups(
+        spark.createDataFrame(
+            [("d1", "c1", "GPE", "blue river")],
+            "doc_id string, chain_id string, type string, name string",
+        ),
+        ["GPE", "LOC"],
+    ).drop("type").withColumnRenamed("type_group", "type")
+    hits = exact_match_candidates(chains, kb_names).collect()
+    assert [(r["chain_id"], r["entity_id"]) for r in hits] == [("c1", "E1")]
