@@ -116,6 +116,28 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def jaro_winkler_max_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Max Jaro-Winkler over the cross product of two small name arrays
+    (lowercased) — the pairwise-scoring bundle form (north_rule). Name
+    sets per pair are tiny (chain strings x entity names), so the nested
+    loop is bounded; the Arrow batch amortizes the Python boundary."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        xs = a.iloc[i]
+        ys = b.iloc[i]
+        best = 0.0
+        if xs is not None and ys is not None:
+            for x in xs:
+                lx = x.lower()
+                for y in ys:
+                    v = jaro_winkler_py(lx, y.lower())
+                    if v > best:
+                        best = v
+        out[i] = best
+    return pd.Series(out)
+
+
 def levenshtein_py(s1: str, s2: str) -> int:
     """Pure-python Levenshtein for parity tests against F.levenshtein."""
     if s1 == s2:

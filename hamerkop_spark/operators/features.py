@@ -172,6 +172,17 @@ def levenshtein_feature() -> Column:
     )
 
 
+def jaro_winkler_feature() -> Column:
+    """north_rule string-distance bundle: max Jaro-Winkler over (chain
+    all-strings x entity names), Arrow-batched pandas UDF (the one
+    deliberate Python crossing in the scoring stage)."""
+    from hamerkop_spark.functions.textdist import jaro_winkler_max_udf
+
+    return jaro_winkler_max_udf(
+        F.col("chain_all_strings"), F.col("entity_names")
+    )
+
+
 STANDARD_FEATURES = {
     "f_origin": origin_feature,
     "f_num_names": number_of_names_feature,
@@ -181,6 +192,7 @@ STANDARD_FEATURES = {
     "f_shared_tokens": shared_tokens_feature,
     "f_last_name": last_name_feature,
     "f_levenshtein": levenshtein_feature,
+    "f_jaro_winkler": jaro_winkler_feature,
 }
 
 

@@ -35,18 +35,23 @@ from hamerkop_spark.sources.conll import extract_mentions
 from hamerkop_spark.sources.web import check_extraction_invariant, ingest_pages
 
 # Default linear match decision (R5 analog): calibrated so exact-name or
-# wikipedia evidence alone crosses the threshold, fuzzy-only evidence
-# needs corroboration. Mirrors the reference's cascade preference order.
+# wikipedia evidence alone crosses the threshold, and strong
+# Jaro-Winkler similarity (>= ~0.93, i.e. a one-edit misspelling of a
+# medium-length name) links while generic name resemblance (~0.6-0.8)
+# stays NIL. Mirrors the reference's cascade preference order; the
+# cascade's earlier exact/wikipedia/edit-distance stages take the easy
+# decisions, so this stage only sees the fuzzy residue.
 DEFAULT_WEIGHTS = {
     "f_exact_match": 2.0,
     "f_wikipedia": 1.5,
-    "f_shared_tokens": 1.0,
-    "f_last_name": 0.5,
-    "f_levenshtein": -2.0,
-    "f_num_names": 0.1,
-    "f_num_links": 0.1,
+    "f_jaro_winkler": 4.2,
+    "f_shared_tokens": 0.5,
+    "f_last_name": 0.25,
+    "f_levenshtein": -1.0,
+    "f_num_names": 0.05,
+    "f_num_links": 0.05,
 }
-DEFAULT_BIAS = -0.75
+DEFAULT_BIAS = -3.45
 DEFAULT_THRESHOLD = 0.25
 
 
@@ -123,6 +128,7 @@ def run_pipeline(
     bias: float = DEFAULT_BIAS,
     threshold: float = DEFAULT_THRESHOLD,
     candidate_limit: int = 25,
+    generators: tuple = ("exact", "ngram"),
 ) -> dict:
     """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
     kb_alt_names (DataFrames). Returns dict with every stage DataFrame
@@ -162,12 +168,36 @@ def run_pipeline(
     )
     chains = runner.run("chains", lambda: C.chains_table(chained))
 
-    # 5. blocking: exact first, ngram-IDF to fill (cascade, B8)
+    # 5. blocking cascade (B8): precise key families first, fuzzy ones
+    #    fill remaining candidate slots
     def mk_candidates():
-        exact = B.exact_match_candidates(chains, kb_names)
-        postings, _ = B.build_ngram_postings(kb_names)
-        ngram = B.ngram_candidates(chains, postings, limit=candidate_limit)
-        return B.cascade_candidates([exact, ngram], num_candidates=candidate_limit)
+        sets = []
+        for gen in generators:
+            if gen == "exact":
+                sets.append(B.exact_match_candidates(chains, kb_names))
+            elif gen == "ngram":
+                postings, _ = B.build_ngram_postings(kb_names)
+                sets.append(
+                    B.ngram_candidates(
+                        chains, postings, limit=candidate_limit,
+                        broadcast_postings=True,
+                    )
+                )
+            elif gen == "phonetic":
+                sets.append(
+                    B.phonetic_candidates(
+                        chains, kb_names, key="soundex", limit=candidate_limit
+                    )
+                )
+            elif gen == "minhash":
+                sets.append(
+                    B.minhash_lsh_candidates(
+                        chains, kb_names, limit=candidate_limit
+                    )
+                )
+            else:
+                raise ValueError(f"unknown generator: {gen}")
+        return B.cascade_candidates(sets, num_candidates=candidate_limit)
 
     candidates = runner.run("candidates", mk_candidates)
 

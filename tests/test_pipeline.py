@@ -63,6 +63,20 @@ def test_decisions_reference_kb(result):
     assert ids <= kb_ids
 
 
+def test_noisy_corpus_fuzzy_path(spark, tmp_path):
+    """25-30% of mention surfaces misspelled: the fuzzy path (ngram
+    blocking + Jaro-Winkler linear decision) must still clear the F1
+    gate — this is the web-text robustness the north_rule targets."""
+    noisy = make_corpus(spark, n_docs=40, seed=7, misspell_prob=0.3)
+    res = run_pipeline(
+        spark, noisy, str(tmp_path / "noisy"), resume=False,
+        generators=("exact", "ngram", "phonetic", "minhash"),
+    )
+    ev = evaluate_pipeline(res, noisy["labeled_pairs"])
+    assert ev.tp + ev.fn > 0
+    assert ev.f1 >= 0.99, f"noisy-corpus F1 {ev.f1} (p={ev.precision}, r={ev.recall})"
+
+
 def test_corpus_determinism(spark):
     c1 = make_corpus(spark, n_docs=5, seed=123)
     c2 = make_corpus(spark, n_docs=5, seed=123)
