@@ -16,7 +16,10 @@ import sys
 import types
 
 REF = "/root/reference/hamerkop"
-_ORDER = ["core", "utilities", "lang", "string", "preprocessor", "coref", "kb"]
+_ORDER = [
+    "core", "utilities", "lang", "string", "preprocessor", "coref", "kb",
+    "features", "resolver",
+]
 _loaded: dict | None = None
 
 
@@ -50,6 +53,15 @@ def load_reference() -> dict:
         stub.detect = _unavailable
         stub.detect_langs = _unavailable
         sys.modules["langdetect"] = stub
+    # features/resolver import the C `editdistance` package (not
+    # installed); back it with this repo's pure-python Levenshtein so the
+    # oracle computes identical values
+    if "editdistance" not in sys.modules:
+        from hamerkop_spark.functions.textdist import levenshtein_py
+
+        ed = types.ModuleType("editdistance")
+        ed.eval = levenshtein_py
+        sys.modules["editdistance"] = ed
     pkg_name = "hamerkop_ref"
     pkg = types.ModuleType(pkg_name)
     pkg.__path__ = [REF]
