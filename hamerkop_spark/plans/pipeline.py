@@ -274,3 +274,49 @@ def run_pipeline(
 def evaluate_pipeline(result: dict, labeled_pairs: DataFrame):
     """Pairwise F1 of the produced clusters on the labeled-pair surface."""
     return pairwise_f1(result["clusters"], labeled_pairs, id_col="mention_id")
+
+
+def evaluate_full(result: dict, ground_truth: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """The complete scorer battery the reference runs in-pipeline
+    (SURVEY.md B10/B11/R9/C7): candidate recall by type, resolver P/R
+    counts by type, MUC and B³ against gold clusters, plus the pairwise
+    F1 acceptance metric."""
+    from hamerkop_spark.operators.scoring import (
+        b3,
+        candidate_recall,
+        kb_loading_recall,
+        muc,
+        resolver_report,
+    )
+    from hamerkop_spark.sources.output import gold_cluster_key, parse_ground_truth
+
+    gt = parse_ground_truth(ground_truth)
+    chained = result["mentions_chained"].select(
+        "doc_id", "char_start", "char_stop", "chain_id", "mention_id"
+    )
+    gt_chain = gt.join(chained, ["doc_id", "char_start", "char_stop"])
+    gold_rows = gt_chain.select(
+        "doc_id", "chain_id", "entity_type", "link_type", "gold_links"
+    )
+    linked_gold = gold_rows.where(F.col("link_type") == "link")
+
+    pred_clusters = result["clusters"].select(
+        F.col("mention_id").alias("mention_key"), "cluster"
+    )
+    gold_clusters = gold_cluster_key(gt_chain).select(
+        F.col("mention_id").alias("mention_key"),
+        F.col("gold_cluster").alias("cluster"),
+    )
+    gold_ids = (
+        linked_gold.select(F.explode("gold_links").alias("entity_id")).distinct()
+    )
+    return {
+        "pairwise": pairwise_f1(result["clusters"], labeled_pairs, "mention_id"),
+        "candidate_recall": candidate_recall(result["candidates"], linked_gold),
+        "resolver_report": resolver_report(
+            result["decisions"], result["candidates"], gold_rows
+        ),
+        "muc": muc(pred_clusters, gold_clusters),
+        "b3": b3(pred_clusters, gold_clusters),
+        "kb_recall": kb_loading_recall(result["kb_entities"], gold_ids),
+    }

@@ -37,15 +37,16 @@ def parse_ground_truth(gt: DataFrame) -> DataFrame:
     """S6 OutputReader.read (io.py:300-332): parse extents into
     (doc_id, char_start, char_stop); NIL detection by substring; '|'-split
     multi-gold links; NIL rows carry cluster_id instead."""
-    ext = F.split("extents", ":")
-    # reference: doc_id = extents.split(':')[0], offsets from [1]
-    # (io.py:318-320)
-    offsets = F.split(F.element_at(ext, 2), "-")
+    # reference: doc_id = extents.split(':')[0] (io.py:318-320) — valid
+    # because LoReHLT doc ids never contain ':'. This corpus uses urls as
+    # doc ids (input_hint: doc_id := url), so anchor on the LAST colon;
+    # for colon-free ids the two rules agree.
+    rx = r"^(.*):([0-9]+)-([0-9]+)$"
     is_nil = F.col("kb_id").contains("NIL")
     return gt.select(
-        F.element_at(ext, 1).alias("doc_id"),
-        F.element_at(offsets, 1).cast("int").alias("char_start"),
-        F.element_at(offsets, 2).cast("int").alias("char_stop"),
+        F.regexp_extract("extents", rx, 1).alias("doc_id"),
+        F.regexp_extract("extents", rx, 2).cast("int").alias("char_start"),
+        F.regexp_extract("extents", rx, 3).cast("int").alias("char_stop"),
         F.col("entity_type"),
         F.when(is_nil, F.lit("NIL")).otherwise(F.lit("link")).alias("link_type"),
         F.when(is_nil, F.array().cast("array<string>"))

@@ -152,7 +152,14 @@ def build_docs(rng: random.Random, meta: dict, n_docs: int,
     mention_records = []  # (mention_key, entity_or_nil_cluster, block_key)
     ids = sorted(meta.keys())
     doc_tokens_choices = ["_NW_", "_DF_", "_WL_", "_SN_", "_RF_"]
-    nil_names = [f"{rng.choice(FIRST)} {rng.choice(LAST)}x" for _ in range(12)]
+    # NIL identities must be clearly out-of-KB: a single trailing char
+    # (old scheme) left them one edit from real entities — an undecidable
+    # case that even the reference's edit-distance resolver borderlines.
+    # "-gar/-sky" suffixes keep them name-like but 3+ edits from any KB
+    # name.
+    nil_names = [
+        f"{rng.choice(FIRST)}gar {rng.choice(LAST)}sky" for _ in range(12)
+    ]
 
     for d in range(n_docs):
         dt_token = doc_tokens_choices[d % len(doc_tokens_choices)]

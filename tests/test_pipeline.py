@@ -77,6 +77,25 @@ def test_noisy_corpus_fuzzy_path(spark, tmp_path):
     assert ev.f1 >= 0.99, f"noisy-corpus F1 {ev.f1} (p={ev.precision}, r={ev.recall})"
 
 
+def test_evaluate_full_battery(spark, corpus, result):
+    from hamerkop_spark.plans.pipeline import evaluate_full
+
+    res, _ = result
+    ev = evaluate_full(res, corpus["ground_truth"], corpus["labeled_pairs"])
+    assert ev["pairwise"].f1 >= 0.99
+    cr = {r["entity_type"]: r["recall"] for r in ev["candidate_recall"].collect()}
+    assert all(v >= 0.95 for v in cr.values()), cr
+    rr = ev["resolver_report"].collect()
+    total_correct = sum(r["n_correct"] for r in rr)
+    total_recallable = sum(r["n_recallable"] for r in rr)
+    assert total_recallable > 0
+    assert total_correct / total_recallable >= 0.95
+    assert sum(r["n_false_alarm"] for r in rr) == 0
+    assert ev["muc"].f1 >= 0.95
+    assert ev["b3"].f1 >= 0.95
+    assert ev["kb_recall"].recall == 1.0
+
+
 def test_corpus_determinism(spark):
     c1 = make_corpus(spark, n_docs=5, seed=123)
     c2 = make_corpus(spark, n_docs=5, seed=123)
