@@ -560,6 +560,54 @@ def q_s6_extents_parse(spark, sf):
     )
 
 
+def q_c3_acronym_key(spark, sf):
+    """C3 AcronymStage initials key (coref.py:330-335 shape): uppercased
+    first letters of each name's words, grouped."""
+    from hamerkop_spark.functions.strings import acronym_initials
+
+    part = _t(spark, sf, "part")
+    return (
+        part.select(acronym_initials(F.col("p_name")).alias("akey"))
+        .groupBy("akey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_chains_agg(spark, sf):
+    """MentionChain aggregation shape (core.py:192-206): longest-string
+    name via argmax + distinct-name set size, per group. Expressed with a
+    deterministic window argmax (ties broken by key) so Spark max_by and
+    DuckDB arg_max tie-handling differences can't flip results."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.col("l_partkey")
+    )
+    best = (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_partkey").alias("best_part"))
+    )
+    counts = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_lines"),
+    )
+    return best.join(counts, "l_orderkey")
+
+
+def q_f5_wikipedia_link(spark, sf):
+    """F5 WikipediaFeature link construction (features.py:137-141):
+    space->underscore wiki urls (part names are ASCII, so percent-
+    encoding is a no-op — the unicode path is covered by unit tests)."""
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(
+            F.lit("http://en.wikipedia.org/wiki/"),
+            F.regexp_replace("p_name", " ", "_"),
+        ).alias("wiki_url"),
+    )
+
+
 # --- rows-only entries (hash functions not portable to DuckDB) -------------
 
 
@@ -639,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "kb_altname_attach": q_kb_altname_attach,
         "s6_extents_parse": q_s6_extents_parse,
+        "c3_acronym_key": q_c3_acronym_key,
+        "chains_agg": q_chains_agg,
+        "f5_wikipedia_link": q_f5_wikipedia_link,
         # rows-only (non-portable hash primitives)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1035,6 +1086,35 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_orderpriority) AS n_prios
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
+        """,
+        "c3_acronym_key": """
+            SELECT array_to_string(
+                     list_transform(string_split(p_name, ' '),
+                                    x -> upper(x[1])), '') AS akey,
+                   count(*) AS n
+            FROM part GROUP BY 1
+        """,
+        "chains_agg": """
+            WITH best AS (
+              SELECT l_orderkey, l_partkey AS best_part,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_partkey) AS rn
+              FROM lineitem
+            ), counts AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supps,
+                     count(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT b.l_orderkey, b.best_part, c.n_supps, c.n_lines
+            FROM best b JOIN counts c USING (l_orderkey)
+            WHERE b.rn = 1
+        """,
+        "f5_wikipedia_link": """
+            SELECT p_partkey,
+                   'http://en.wikipedia.org/wiki/' || replace(p_name, ' ', '_')
+                     AS wiki_url
+            FROM part
         """,
         "s6_extents_parse": """
             WITH p AS (
