@@ -34,6 +34,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Compute connected components.
 
@@ -41,10 +42,20 @@ def connected_components(
     :param nodes: optional DataFrame with column (node: string); isolated
         nodes (no edges) appear as singleton components.
     :param max_iterations: safety bound; converges in O(log n) rounds.
+    :param checkpoint_dir: when set, per-iteration state uses RELIABLE
+        checkpoints (survives executor loss — the cluster setting);
+        default localCheckpoint is faster and fine on local[N].
     :return: DataFrame (node: string, component: string) where component is
         the min node id in the component.
     """
     spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
     # label[v] = min(v, min over neighbors) — start from the edge list as a
     # neighbor relation and iterate min-label propagation. This is the
     # "small-star only on a min-label graph" simplification: each round
@@ -65,8 +76,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    e = e.repartition("src").localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    e = _persist(e.repartition("src"))
+    labels = _persist(labels)
 
     for _ in range(max_iterations):
         # candidate labels: own label + each neighbor's label
@@ -78,8 +89,9 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            
         )
+        new_labels = _persist(new_labels)
         # pointer jumping: re-label through the label of the label
         parents = new_labels.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
@@ -93,7 +105,7 @@ def connected_components(
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
         )
-        jump = jump.localCheckpoint(eager=True)
+        jump = _persist(jump)
         changed = (
             jump.alias("n")
             .join(labels.alias("o"), "node")
