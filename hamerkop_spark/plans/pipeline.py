@@ -68,6 +68,28 @@ class StageRunner:
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def _partition_stats(self, df: DataFrame) -> dict:
+        """Per-partition lineage row (north_rule: per-partition lineage +
+        metrics): partition count and row-count distribution — min/max
+        exposes skew a stage-level total would hide."""
+        from pyspark.sql import functions as F
+
+        per = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.count("*").alias("n_partitions"),
+                F.min("count").alias("min_rows"),
+                F.max("count").alias("max_rows"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_partitions": per["n_partitions"],
+            "min_partition_rows": per["min_rows"],
+            "max_partition_rows": per["max_rows"],
+        }
+
     def run(self, stage: str, fn, partition_by: list | None = None) -> DataFrame:
         path = self._path(stage)
         marker = os.path.join(path, "_SUCCESS")
@@ -85,10 +107,10 @@ class StageRunner:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
-        self.metrics.append(
-            {"stage": stage, "resumed": False, "rows": out.count(),
-             "seconds": round(time.time() - t0, 3)}
-        )
+        entry = {"stage": stage, "resumed": False, "rows": out.count(),
+                 "seconds": round(time.time() - t0, 3)}
+        entry.update(self._partition_stats(out))
+        self.metrics.append(entry)
         return out
 
     def write_metrics(self) -> str:
