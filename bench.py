@@ -43,7 +43,7 @@ HEADLINE = [
     "events_sessionize",
 ]
 
-SCALING_VARIANTS = int(os.environ.get("SPARK_GRAFT_BENCH_VARIANTS", "600"))
+SCALING_VARIANTS = int(os.environ.get("SPARK_GRAFT_BENCH_VARIANTS", "450"))
 SCALING_KB_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_KB_MULT", "6"))
 # N -> 4N parallelism pair for the scaling-efficiency evidence. 2 -> 8 is
 # deliberately below this host's ~16 physical cores so the measurement
@@ -173,6 +173,16 @@ def main() -> None:
 
     spark = new_session(cpus)
     qs = E.queries()
+    # JIT/codegen warmup: run every headline query once at the smallest
+    # SF so the timed pass measures steady-state execution, not first-
+    # compile (cold-JVM first runs are 2-5x slower)
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        for name in HEADLINE:
+            try:
+                force(qs[name](spark, warm_sf))
+            except Exception:
+                pass
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -192,8 +202,9 @@ def main() -> None:
         for cores in (lo, hi):
             s = new_session(cores)
             scoring_workload(s, max(SCALING_VARIANTS // 6, 50))  # JIT warmup
+            # best-of-2 against host noise (±20% between identical runs)
             best_score, best_block, pairs = None, None, 0
-            for _ in range(2):  # best-of-2: the sandbox host is noisy
+            for _ in range(2):
                 p, block_dt, score_dt = scoring_workload(s, SCALING_VARIANTS)
                 pairs = p
                 best_score = score_dt if best_score is None else min(best_score, score_dt)
