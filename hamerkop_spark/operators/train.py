@@ -1,0 +1,81 @@
+"""Calibrate the logistic match decision from labeled pairs
+(north_rule: "calibrated logistic-combination match decision";
+reference analog: SvmResolver's trained model, resolver.py:325-343,
+fed by FeatureRecorder rows, resolver.py:157-189).
+
+Training data = the R8 FeatureRecorder output (features.
+record_labeled_pairs): one row per (chain, candidate) with feature
+columns and label 1 iff the candidate is a gold link. The model is a
+plain logistic regression fit driver-side with numpy gradient descent —
+labeled supervision is tiny relative to the corpus (sample if not), so
+collecting it is the right boundary; scoring stays a native column
+expression (no model object shipped to executors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_logistic(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    iterations: int = 400,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    seed: int = 7,
+) -> dict:
+    """Fit w, b on (feature_cols..., label) rows; returns
+    {"weights": {col: w}, "bias": b, "n": rows, "train_accuracy": acc}.
+
+    Deterministic: fixed init, full-batch gradient descent.
+    """
+    pdf = labeled.select(*feature_cols, "label").toPandas()
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    n, d = X.shape
+    # standardize for conditioning; fold back into raw-space weights
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    rng = np.random.RandomState(seed)
+    w = rng.normal(0, 0.01, d)
+    b = 0.0
+    for _ in range(iterations):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        w -= lr * (Xs.T @ g / n + l2 * w)
+        b -= lr * g.mean()
+    # raw-space: score = sum(w_i/sd_i * x_i) + (b - sum(w_i*mu_i/sd_i))
+    w_raw = w / sd
+    b_raw = float(b - np.sum(w * mu / sd))
+    preds = (Xs @ w + b) > 0
+    acc = float((preds == (y > 0.5)).mean())
+    return {
+        "weights": {c: float(wi) for c, wi in zip(feature_cols, w_raw)},
+        "bias": b_raw,
+        "n": int(n),
+        "train_accuracy": acc,
+    }
+
+
+def training_rows_from_gold(
+    scored_pairs: DataFrame, ground_truth: DataFrame, mentions_chained: DataFrame
+) -> DataFrame:
+    """R8 end-to-end: attach gold labels to the scored-pairs table via
+    the parsed ground truth (features.record_labeled_pairs plumbing)."""
+    from hamerkop_spark.operators.features import record_labeled_pairs
+    from hamerkop_spark.sources.output import parse_ground_truth
+
+    gt = parse_ground_truth(ground_truth)
+    chained = mentions_chained.select(
+        "doc_id", "char_start", "char_stop", "chain_id"
+    )
+    gold = gt.join(chained, ["doc_id", "char_start", "char_stop"]).select(
+        "doc_id", "chain_id", "link_type", "gold_links"
+    ).dropDuplicates(["doc_id", "chain_id"])
+    return record_labeled_pairs(scored_pairs, gold)
