@@ -161,9 +161,13 @@ def new_session(cores: int):
     return s
 
 
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
+
+
 def main() -> None:
     import __spark_entry__ as E
 
+    bench_t0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -202,13 +206,17 @@ def main() -> None:
         for cores in (lo, hi):
             s = new_session(cores)
             scoring_workload(s, max(SCALING_VARIANTS // 6, 50))  # JIT warmup
-            # best-of-2 against host noise (±20% between identical runs)
+            # best-of-2 against host noise (±20% between identical runs);
+            # drop the repeat when the soft wall-clock budget is tight
             best_score, best_block, pairs = None, None, 0
-            for _ in range(2):
+            for attempt in range(2):
                 p, block_dt, score_dt = scoring_workload(s, SCALING_VARIANTS)
                 pairs = p
                 best_score = score_dt if best_score is None else min(best_score, score_dt)
                 best_block = block_dt if best_block is None else min(best_block, block_dt)
+                remaining = BENCH_BUDGET_S - (time.time() - bench_t0)
+                if attempt == 0 and remaining < (score_dt + block_dt) * 1.3:
+                    break
             thr[cores] = pairs / best_score if best_score else 0.0
             scaling[f"local{cores}_pairs_per_sec"] = round(thr[cores], 1)
             scaling[f"local{cores}_score_seconds"] = round(best_score, 3)
