@@ -132,12 +132,17 @@ def default_coref_stages() -> list:
 
 
 def default_preprocessors() -> list:
+    from hamerkop_spark.functions.translit import romanize
+
     return [
         P.type_validator,
         P.text_normalizer,
         P.garbage_remover,
         P.too_long_mention_remover(6),
         P.twitter_hashtag_processor,
+        # T9 romanizer: native ASCII/English short-circuit keeps Latin
+        # corpora out of the pandas UDF entirely
+        P.name_projector(romanize),
     ]
 
 
@@ -215,6 +220,25 @@ def run_pipeline(
                 sets.append(
                     B.minhash_lsh_candidates(
                         chains, kb_names, limit=candidate_limit
+                    )
+                )
+            elif gen == "exact_translit":
+                # B6 TranslitIndexBasedGenerator (candidates.py:187-204):
+                # same blocking join keyed on the chain's longest
+                # transliterated string
+                sets.append(
+                    B.exact_match_candidates(
+                        chains, kb_names, name_col="translit_name",
+                        source="exact_translit",
+                    )
+                )
+            elif gen == "ngram_translit":
+                postings, _ = B.build_ngram_postings(kb_names)
+                sets.append(
+                    B.ngram_candidates(
+                        chains, postings, name_col="translit_name",
+                        limit=candidate_limit, broadcast_postings=True,
+                        source="ngram_translit",
                     )
                 )
             else:

@@ -77,7 +77,20 @@ def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
     def blank_row():
         return ["" for _ in KB_COLUMNS]
 
+    used_surfaces: set = set()
+
     def add(eid, etype, name, origin, country, links, alt_names):
+        # every surface (canonical or alt) maps to exactly ONE entity:
+        # colliding surfaces (e.g. two orgs sharing an acronym) make the
+        # gold labels ambiguous — a deterministic resolver (ours or the
+        # reference's) merges them and gets graded on a coin flip
+        used_surfaces.add(name.lower())
+        alt_names = [
+            a for a in alt_names
+            if a.lower() != name.lower() and a.lower() not in used_surfaces
+        ]
+        for a in alt_names:
+            used_surfaces.add(a.lower())
         row = blank_row()
         row[0], row[1], row[2], row[3], row[4] = origin, etype, eid, name, name
         row[12] = country
