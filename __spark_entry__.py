@@ -228,11 +228,17 @@ def q_cc_transitive(spark, sf):
             & (b.n_custkey == a.c_custkey + 1),
         )
         .select(
-            F.col("c_custkey").cast("string").alias("src"),
-            F.col("n_custkey").cast("string").alias("dst"),
+            # zero-pad so the component label (lexicographic min of string
+            # node ids) coincides with the NUMERIC min the oracle computes —
+            # otherwise min('10','9') = '10' vs 9 whenever a component spans
+            # a digit-length boundary (ADVICE r1)
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("src"),
+            F.lpad(F.col("n_custkey").cast("string"), 12, "0").alias("dst"),
         )
     )
-    nodes = cust.select(F.col("c_custkey").cast("string").alias("node"))
+    nodes = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("node")
+    )
     comps = connected_components(edges, nodes=nodes)
     return comps.select(
         F.col("node").cast("bigint").alias("c_custkey"),
@@ -751,7 +757,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
               FROM documents WHERE length(trim(text)) > 0
             )
-            SELECT lang, count(*) AS n, sum(ntok) AS total_tokens
+            SELECT lang, count(*) AS n, sum(ntok)::BIGINT AS total_tokens
             FROM t WHERE ntok < 40 GROUP BY lang
         """,
         "p6_blacklist": """
@@ -997,10 +1003,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": """
             SELECT lang,
                    sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
                      AS ws_tokens,
                    sum(len(regexp_extract_all(text,
-                     '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]'))) AS bpe_tokens,
+                     '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')))::BIGINT AS bpe_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -1077,7 +1083,7 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING) AS sess
               FROM g
             )
-            SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
         """,
         "kb_altname_attach": """

@@ -58,3 +58,20 @@ def test_cluster_mentions_helper(spark):
         for r in cluster_mentions(mentions, edges).collect()
     }
     assert out == {"m1": "m1", "m2": "m2", "m3": "m2"}
+
+
+def test_driver_query_numeric_min_across_digit_boundary(spark, tmp_path):
+    """q_cc_transitive's component label must be the NUMERIC min custkey
+    even when a component spans a digit-length boundary (9->10): string
+    min of unpadded ids would pick '10' over '9' (ADVICE r1)."""
+    import __spark_entry__ as E
+
+    rows = [(k, 7) for k in (8, 9, 10, 11)] + [(200, 3), (201, 3)]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r["c_custkey"]: r["component"]
+        for r in E.q_cc_transitive(spark, str(tmp_path)).collect()
+    }
+    assert got == {8: 8, 9: 8, 10: 8, 11: 8, 200: 200, 201: 200}
