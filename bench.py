@@ -5,23 +5,35 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>,
    "pairs_scored_per_sec": ..., "scaling": {...}}
 
-Two parts:
-1. Headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
-   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each
-   forced through the noop sink so projections can't be pruned away.
-2. The north-rule scaling evidence: the candidate-pair scoring workload
+Two parts, scaling FIRST (it is the pass/fail gate):
+
+1. North-rule scaling evidence: the candidate-pair scoring workload
    (fuzzy blocking + full pairwise feature bundle over a Spark-generated
-   probe corpus) run at local[N] and local[4N] on identical input
-   (default 2 vs 8 — see SCALING_CORES); reports pairs-scored/sec at
-   both and efficiency = (thr_4N / thr_N) / 4. (No real cluster in this
-   sandbox — two parallelism levels stand in for N vs 4N executors, per
+   probe corpus) at local[N] and local[4N] on identical input (default
+   2 vs 8 — see SCALING_CORES). Each level runs in its OWN SUBPROCESS:
+   a restarted in-process SparkContext leaves the new context's Python
+   accumulator pipe broken (every task completion then logs a
+   PythonAccumulatorV2 error and pays a reconnect), which both spams
+   stderr and systematically distorts the second level's numbers — the
+   round-1 efficiency miss. Per level: one warmup pass, candidate pairs
+   built and cached ONCE, then the scoring stage timed best-of-N within
+   the budget (single-shot runs on this noisy shared host vary ±70%).
+   Efficiency = (thr_4N / thr_N) / 4.  (No real cluster in this sandbox
+   — two parallelism levels stand in for N vs 4N executors, per
    BASELINE.md.)
+
+2. Headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each
+   forced through a hash-all-columns aggregate so projections can't be
+   pruned away; JIT-warmed at sf0.001, then best-of-2 at the target SF
+   when the budget allows.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -52,6 +64,8 @@ SCALING_KB_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_KB_MULT", "6"))
 SCALING_CORES = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
 )
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
+MAX_SCORE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCORE_RUNS", "3"))
 
 
 def force(df) -> int:
@@ -68,19 +82,21 @@ def force(df) -> int:
     return row["n"]
 
 
-def scoring_workload(spark, variants: int) -> tuple[int, float]:
-    """The north-rule throughput metric: candidate pairs scored per
-    second through fuzzy blocking (char-4-gram IDF retrieval) + the full
-    pairwise feature bundle.
+def build_scoring_inputs(spark, variants: int):
+    """Build the north-rule scoring workload input: a Spark-generated
+    probe corpus (each KB name exploded into `variants` deterministic
+    char-drop misspellings via xxhash64) pushed through fuzzy blocking
+    (char-4-gram IDF retrieval, broadcast postings) into cached candidate
+    pairs projected to exactly what the feature bundle reads.
 
-    The probe side is generated *inside Spark* (each KB name exploded
-    into `variants` deterministic char-drop misspellings via xxhash64),
-    so the workload scales without driver-side data generation and every
-    partition carries real compute. Returns (pairs_scored, seconds)."""
+    Returns (pairs_df_cached, n_pairs, blocking_seconds)."""
     from pyspark.sql import functions as F
 
     from hamerkop_spark.operators import blocking as B
-    from hamerkop_spark.operators.features import build_pairs, extract_features
+    from hamerkop_spark.operators.features import (
+        build_pairs,
+        scoring_projection,
+    )
     from hamerkop_spark.sources.kb import load_kb
     from hamerkop_spark.synth import make_corpus
 
@@ -115,7 +131,7 @@ def scoring_workload(spark, variants: int) -> tuple[int, float]:
         F.array("qname").alias("names"),
         F.array("qname").alias("all_strings"),
     ).repartition(spark.sparkContext.defaultParallelism).cache()
-    n_probes = chains.count()  # corpus prep excluded from the timed section
+    chains.count()  # corpus prep excluded from the timed section
 
     # blocking: ngram-IDF retrieval -> candidate pairs (timed separately;
     # the headline metric is pairs SCORED per second)
@@ -127,22 +143,27 @@ def scoring_workload(spark, variants: int) -> tuple[int, float]:
     # very few partitions — size-based, blind to the expensive pairwise
     # feature projection downstream. Re-spread explicitly so the scoring
     # compute uses every core; at cluster scale this is the
-    # repartition-before-UDF-stage idiom.
-    pairs = build_pairs(chains, cands, kb).repartition(
-        spark.sparkContext.defaultParallelism * 2
-    ).cache()
+    # repartition-before-UDF-stage idiom. Cache only the columns the
+    # bundle reads: the scoring stage is memory-bandwidth-bound at >=8
+    # threads, so caching the raw name arrays alongside depresses scaling.
+    pairs = scoring_projection(
+        build_pairs(chains, cands, kb),
+        keep=["doc_id", "chain_id", "entity_id"],
+    ).repartition(spark.sparkContext.defaultParallelism * 2).cache()
     n_pairs = pairs.count()
     block_dt = time.time() - t0
+    return pairs, n_pairs, block_dt
 
-    # scoring: the full pairwise feature bundle over the candidate pairs
+
+def scoring_workload(spark, variants: int) -> tuple[int, float, float]:
+    """One full blocking+scoring pass (kept for warmups and ad-hoc use).
+    Returns (pairs_scored, blocking_seconds, scoring_seconds)."""
+    from hamerkop_spark.operators.features import extract_features
+
+    pairs, n_pairs, block_dt = build_scoring_inputs(spark, variants)
     t0 = time.time()
-    scored = extract_features(pairs)
-    force(scored)
+    force(extract_features(pairs))
     score_dt = time.time() - t0
-
-    kb.unpersist()
-    kb_names.unpersist()
-    chains.unpersist()
     pairs.unpersist()
     return n_pairs, block_dt, score_dt
 
@@ -152,6 +173,9 @@ def new_session(cores: int):
 
     active = SparkSession.getActiveSession()
     if active is not None:
+        # silence the (benign) PythonAccumulatorV2 teardown stack the JVM
+        # logs when a context is stopped with a task-completion in flight
+        active.sparkContext.setLogLevel("OFF")
         active.stop()
     from hamerkop_spark.session import get_spark
 
@@ -161,7 +185,61 @@ def new_session(cores: int):
     return s
 
 
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
+def run_scaling_level(cores: int, variants: int, budget_s: float) -> dict:
+    """Subprocess entry: measure one parallelism level in a clean JVM.
+    Warmup pass, then pairs built+cached once and the scoring stage timed
+    up to MAX_SCORE_RUNS times (min reported) within the budget."""
+    from hamerkop_spark.operators.features import extract_features
+
+    t0 = time.time()
+    spark = new_session(cores)
+    # JIT/codegen warmup: a small full pass compiles every stage; size is
+    # irrelevant beyond that, so keep it cheap to leave budget for repeats
+    scoring_workload(spark, max(variants // 10, 40))
+
+    pairs, n_pairs, block_dt = build_scoring_inputs(spark, variants)
+    score_runs: list[float] = []
+    while len(score_runs) < MAX_SCORE_RUNS:
+        t1 = time.time()
+        force(extract_features(pairs))
+        score_runs.append(round(time.time() - t1, 3))
+        remaining = budget_s - (time.time() - t0)
+        if remaining < min(score_runs) * 1.3:
+            break
+    best = min(score_runs)
+    return {
+        "cores": cores,
+        "n_pairs": n_pairs,
+        "blocking_seconds": round(block_dt, 3),
+        "score_seconds": best,
+        "score_runs": score_runs,
+        "pairs_per_sec": round(n_pairs / best, 1),
+    }
+
+
+def _spawn_level(cores: int, variants: int, budget_s: float) -> dict | None:
+    """Run one scaling level in a fresh python+JVM subprocess and parse
+    the single JSON line it prints."""
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-level",
+             str(cores), "--variants", str(variants),
+             "--budget", str(budget_s)],
+            capture_output=True, text=True, env=env,
+            timeout=budget_s + 120,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
 
 
 def main() -> None:
@@ -175,6 +253,34 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # ---- part 1: scaling evidence (the gate) — one subprocess per level
+    scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        lo, hi = SCALING_CORES
+        headline_reserve = 100.0
+        avail = BENCH_BUDGET_S - (time.time() - bench_t0) - headline_reserve
+        # the low-parallelism level needs the larger slice (same work,
+        # fewer cores)
+        budgets = {lo: avail * 0.66, hi: avail * 0.34}
+        thr = {}
+        for cores in (hi, lo):
+            res = _spawn_level(cores, SCALING_VARIANTS, budgets[cores])
+            if res is None:
+                continue
+            thr[cores] = res["pairs_per_sec"]
+            scaling[f"local{cores}_pairs_per_sec"] = res["pairs_per_sec"]
+            scaling[f"local{cores}_score_seconds"] = res["score_seconds"]
+            scaling[f"local{cores}_score_runs"] = res["score_runs"]
+            scaling[f"local{cores}_blocking_seconds"] = res["blocking_seconds"]
+            scaling["n_pairs"] = res["n_pairs"]
+        if lo in thr and hi in thr and thr[lo] > 0:
+            ratio = hi / lo
+            scaling[f"efficiency_{lo}_to_{hi}"] = round(
+                thr[hi] / thr[lo] / ratio, 4
+            )
+            scaling["efficiency"] = scaling[f"efficiency_{lo}_to_{hi}"]
+
+    # ---- part 2: headline queries at the target SF
     spark = new_session(cpus)
     qs = E.queries()
     # JIT/codegen warmup: run every headline query once at the smallest
@@ -188,45 +294,17 @@ def main() -> None:
             except Exception:
                 pass
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-
-    # scaling evidence: identical workload at local[N] vs local[4N];
-    # one small warmup per fresh JVM first (JIT/codegen dominates cold
-    # runs and would corrupt the ratio)
-    scaling = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        lo, hi = SCALING_CORES
-        thr = {}
-        for cores in (lo, hi):
-            s = new_session(cores)
-            scoring_workload(s, max(SCALING_VARIANTS // 6, 50))  # JIT warmup
-            # best-of-2 against host noise (±20% between identical runs);
-            # drop the repeat when the soft wall-clock budget is tight
-            best_score, best_block, pairs = None, None, 0
-            for attempt in range(2):
-                p, block_dt, score_dt = scoring_workload(s, SCALING_VARIANTS)
-                pairs = p
-                best_score = score_dt if best_score is None else min(best_score, score_dt)
-                best_block = block_dt if best_block is None else min(best_block, block_dt)
-                remaining = BENCH_BUDGET_S - (time.time() - bench_t0)
-                if attempt == 0 and remaining < (score_dt + block_dt) * 1.3:
-                    break
-            thr[cores] = pairs / best_score if best_score else 0.0
-            scaling[f"local{cores}_pairs_per_sec"] = round(thr[cores], 1)
-            scaling[f"local{cores}_score_seconds"] = round(best_score, 3)
-            scaling[f"local{cores}_blocking_seconds"] = round(best_block, 3)
-            scaling["n_pairs"] = pairs
-        ratio = hi / lo
-        scaling[f"efficiency_{lo}_to_{hi}"] = round(
-            thr[hi] / thr[lo] / ratio, 4
-        )
-        scaling["efficiency"] = scaling[f"efficiency_{lo}_to_{hi}"]
+    for attempt in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+        # best-of-2 only when the soft budget allows the second pass
+        remaining = BENCH_BUDGET_S - (time.time() - bench_t0)
+        if attempt == 0 and remaining < sum(timings.values()) * 1.4:
+            break
+    total = sum(timings.values())
 
     out = {
         "metric": "headline query wall-clock at sf, plus candidate-pairs "
@@ -244,4 +322,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling-level" in sys.argv:
+        args = sys.argv[1:]
+        cores = int(args[args.index("--scaling-level") + 1])
+        variants = int(args[args.index("--variants") + 1])
+        budget = float(args[args.index("--budget") + 1])
+        print(json.dumps(run_scaling_level(cores, variants, budget)))
+    else:
+        main()

@@ -26,7 +26,17 @@ def build_pairs(
 ) -> DataFrame:
     """Assemble the scored-pairs input: candidates joined to chain name
     data and entity attributes. The KB side joins on entity_id (broadcast
-    when small; hash join otherwise — Catalyst decides)."""
+    when small; hash join otherwise — Catalyst decides).
+
+    Each side also precomputes its lowered / tokenized / last-token name
+    arrays BEFORE the join: string normalization then runs once per chain
+    and once per KB entity instead of once per candidate pair (a chain
+    meets ~25 candidates, an entity can meet thousands of chains), and —
+    because the derived columns sit below a join boundary — Catalyst
+    cannot re-inline the normalization expressions into the per-pair
+    nested-aggregate lambdas of the feature bundle (higher-order-function
+    lambdas re-evaluate referenced expressions per element; see
+    functions/strings.char_ngrams for the same trap)."""
     chain_side = chains.select(
         "doc_id",
         "chain_id",
@@ -34,6 +44,19 @@ def build_pairs(
         F.col("name").alias("chain_name"),
         F.col("names").alias("chain_names"),
         F.col("all_strings").alias("chain_all_strings"),
+    )
+    chain_side = chain_side.withColumns(
+        {
+            "chain_lower": _lower_arr(F.col("chain_all_strings")),
+            "chain_wiki_links": _lower_arr(
+                F.transform(F.col("chain_names"), wikipedia_link)
+            ),
+        }
+    ).withColumns(
+        {
+            "chain_toks": F.transform(F.col("chain_lower"), _token_set),
+            "chain_last": _last_tokens(F.col("chain_lower")),
+        }
     )
     entity_side = kb_entities.select(
         "entity_id",
@@ -44,6 +67,23 @@ def build_pairs(
         "per_location",
         "org_location",
     )
+    entity_side = entity_side.withColumns(
+        {
+            "entity_lower": _lower_arr(F.col("entity_names")),
+            "entity_urls_lower": _lower_arr(
+                F.coalesce(F.col("entity_urls"), F.array())
+            ),
+        }
+    ).withColumns(
+        {
+            "entity_toks": F.transform(F.col("entity_lower"), _token_set),
+            "entity_last": _last_tokens(F.col("entity_lower")),
+            "entity_n_names": F.size("entity_names"),
+            "entity_n_urls": F.when(F.col("entity_urls").isNull(), 0).otherwise(
+                F.size("entity_urls")
+            ),
+        }
+    )
     return (
         candidates.join(chain_side, ["doc_id", "chain_id"])
         .join(entity_side, "entity_id")
@@ -52,6 +92,105 @@ def build_pairs(
 
 def _lower_arr(c: Column) -> Column:
     return F.array_distinct(F.transform(c, F.lower))
+
+
+def _token_set(name: Column) -> Column:
+    return F.array_distinct(F.filter(F.split(name, r"\s+"), lambda t: t != ""))
+
+
+def _last_tokens(arr: Column) -> Column:
+    """Last token of each multi-token (space-containing) name."""
+    multi = F.filter(arr, lambda s: s.contains(" "))
+    return F.array_distinct(
+        F.transform(multi, lambda s: F.element_at(_token_set(s), -1))
+    )
+
+
+#: derived name-normalization columns the feature bundle consumes:
+#: name -> (source columns, expression). build_pairs computes them per
+#: side BEFORE the join (once per chain / per entity); ensure_derived adds
+#: any that are missing for callers passing raw pairs (fallback, per-pair).
+DERIVED_COLS = {
+    "chain_lower": (
+        ["chain_all_strings"],
+        lambda: _lower_arr(F.col("chain_all_strings")),
+    ),
+    "chain_wiki_links": (
+        ["chain_names"],
+        lambda: _lower_arr(F.transform(F.col("chain_names"), wikipedia_link)),
+    ),
+    "chain_toks": (
+        ["chain_all_strings"],
+        lambda: F.transform(_lower_arr(F.col("chain_all_strings")), _token_set),
+    ),
+    "chain_last": (
+        ["chain_all_strings"],
+        lambda: _last_tokens(_lower_arr(F.col("chain_all_strings"))),
+    ),
+    "entity_lower": (
+        ["entity_names"],
+        lambda: _lower_arr(F.col("entity_names")),
+    ),
+    "entity_urls_lower": (
+        ["entity_urls"],
+        lambda: _lower_arr(F.coalesce(F.col("entity_urls"), F.array())),
+    ),
+    "entity_toks": (
+        ["entity_names"],
+        lambda: F.transform(_lower_arr(F.col("entity_names")), _token_set),
+    ),
+    "entity_last": (
+        ["entity_names"],
+        lambda: _last_tokens(_lower_arr(F.col("entity_names"))),
+    ),
+    "entity_n_names": (
+        ["entity_names"],
+        lambda: F.size("entity_names"),
+    ),
+    "entity_n_urls": (
+        ["entity_urls"],
+        lambda: F.when(F.col("entity_urls").isNull(), 0).otherwise(
+            F.size("entity_urls")
+        ),
+    ),
+}
+
+#: the column set the STANDARD_FEATURES bundle actually reads — callers
+#: that cache or checkpoint pairs before scoring should project to ids +
+#: these first: dropping the raw name arrays roughly halves the cached
+#: bytes the scoring stage must stream (the 8+-thread scoring stage is
+#: memory-bandwidth-bound, not compute-bound).
+SCORING_INPUT_COLS = [
+    "origin",
+    "chain_lower",
+    "entity_lower",
+    "chain_toks",
+    "entity_toks",
+    "chain_last",
+    "entity_last",
+    "chain_wiki_links",
+    "entity_urls_lower",
+    "entity_n_names",
+    "entity_n_urls",
+]
+
+
+def scoring_projection(pairs: DataFrame, keep: list[str]) -> DataFrame:
+    """Project pairs down to `keep` + the bundle's input columns."""
+    cols = keep + [c for c in SCORING_INPUT_COLS if c in pairs.columns]
+    return pairs.select(*cols)
+
+
+def ensure_derived(pairs: DataFrame) -> DataFrame:
+    """Add any missing derived normalization columns whose source columns
+    are present (per-pair fallback for callers that bypass build_pairs)."""
+    missing = {
+        name: expr()
+        for name, (srcs, expr) in DERIVED_COLS.items()
+        if name not in pairs.columns
+        and all(s in pairs.columns for s in srcs)
+    }
+    return pairs.withColumns(missing) if missing else pairs
 
 
 def origin_feature() -> Column:
@@ -75,21 +214,20 @@ def in_country_feature(*cc: str) -> Column:
 
 def number_of_names_feature() -> Column:
     """F3 (features.py:110-116): 1 - 1/(1+|names|)."""
-    return F.lit(1.0) - F.lit(1.0) / (1.0 + F.size("entity_names"))
+    return F.lit(1.0) - F.lit(1.0) / (1.0 + F.col("entity_n_names"))
 
 
 def number_of_links_feature() -> Column:
     """F4 (features.py:119-125): 1 - 1/(1+|urls|)."""
-    n = F.when(F.col("entity_urls").isNull(), 0).otherwise(F.size("entity_urls"))
-    return F.lit(1.0) - F.lit(1.0) / (1.0 + n)
+    return F.lit(1.0) - F.lit(1.0) / (1.0 + F.col("entity_n_urls"))
 
 
 def wikipedia_feature() -> Column:
     """F5 WikipediaFeature (features.py:128-141): any chain name, rendered
     as an en.wikipedia.org link, CI-matches an entity url."""
-    links = _lower_arr(F.transform(F.col("chain_names"), wikipedia_link))
-    urls = _lower_arr(F.coalesce(F.col("entity_urls"), F.array()))
-    return F.arrays_overlap(links, urls).cast("double")
+    return F.arrays_overlap(
+        F.col("chain_wiki_links"), F.col("entity_urls_lower")
+    ).cast("double")
 
 
 def exact_match_feature() -> Column:
@@ -97,33 +235,28 @@ def exact_match_feature() -> Column:
     all-strings (incl. translit/translate, core.py:222-230) and entity
     names non-empty."""
     return F.arrays_overlap(
-        _lower_arr(F.col("chain_all_strings")), _lower_arr(F.col("entity_names"))
+        F.col("chain_lower"), F.col("entity_lower")
     ).cast("double")
-
-
-def _token_set(name: Column) -> Column:
-    return F.array_distinct(F.filter(F.split(name, r"\s+"), lambda t: t != ""))
 
 
 def shared_tokens_feature() -> Column:
     """F7 SharedTokensFeature (features.py:156-171): max over (chain name,
     entity name) pairs of |tokens(x) ∩ tokens(y)| / |tokens(x)|, on
-    lowercased names. Nested native aggregate, no UDF."""
-    xs = _lower_arr(F.col("chain_all_strings"))
-    ys = _lower_arr(F.col("entity_names"))
+    lowercased names. Nested native aggregate over the PRE-TOKENIZED
+    per-side arrays — tokenization must not sit inside these lambdas
+    (it would rerun per (x, y) pair)."""
     return F.aggregate(
-        xs,
+        F.col("chain_toks"),
         F.lit(0.0),
-        lambda acc, x: F.greatest(
+        lambda acc, xt: F.greatest(
             acc,
             F.aggregate(
-                ys,
+                F.col("entity_toks"),
                 F.lit(0.0),
-                lambda acc2, y: F.greatest(
+                lambda acc2, yt: F.greatest(
                     acc2,
-                    F.size(F.array_intersect(_token_set(x), _token_set(y)))
-                    .cast("double")
-                    / F.greatest(F.size(_token_set(x)), F.lit(1)).cast("double"),
+                    F.size(F.array_intersect(xt, yt)).cast("double")
+                    / F.greatest(F.size(xt), F.lit(1)).cast("double"),
                 ),
             ),
         ),
@@ -134,16 +267,8 @@ def last_name_feature() -> Column:
     """F8 LastNameFeature (features.py:174-188): chain and entity share the
     last token of some multi-token name (lowercased per
     CaseInsensitiveSet storage)."""
-
-    def last_tokens(arr: Column) -> Column:
-        multi = F.filter(arr, lambda s: s.contains(" "))
-        return F.array_distinct(
-            F.transform(multi, lambda s: F.element_at(_token_set(s), -1))
-        )
-
     return F.arrays_overlap(
-        last_tokens(_lower_arr(F.col("chain_all_strings"))),
-        last_tokens(_lower_arr(F.col("entity_names"))),
+        F.col("chain_last"), F.col("entity_last")
     ).cast("double")
 
 
@@ -151,8 +276,8 @@ def levenshtein_feature() -> Column:
     """F9 LevenshteinFeature (features.py:191-204): min over name pairs of
     editdistance/max(len), lowercased. Native F.levenshtein inside nested
     higher-order aggregate (JVM, no UDF)."""
-    xs = _lower_arr(F.col("chain_all_strings"))
-    ys = _lower_arr(F.col("entity_names"))
+    xs = F.col("chain_lower")
+    ys = F.col("entity_lower")
     inf = F.lit(float("inf"))
     return F.aggregate(
         xs,
@@ -179,7 +304,7 @@ def jaro_winkler_feature() -> Column:
     from hamerkop_spark.functions.textdist import jaro_winkler_max_udf
 
     return jaro_winkler_max_udf(
-        F.col("chain_all_strings"), F.col("entity_names")
+        F.col("chain_lower"), F.col("entity_lower")
     )
 
 
@@ -201,7 +326,7 @@ def extract_features(pairs: DataFrame, features: dict | None = None) -> DataFram
     feature plus an assembled `features` array (FeatureVector analog,
     bools already cast to double)."""
     feats = features or STANDARD_FEATURES
-    out = pairs
+    out = ensure_derived(pairs)
     for name, fn in feats.items():
         out = out.withColumn(name, fn())
     return out.withColumn("features", F.array(*[F.col(n) for n in feats]))

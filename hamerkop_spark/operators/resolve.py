@@ -77,7 +77,9 @@ def exact_name_resolver(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def wikipedia_resolver(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """R3 WikipediaResolver (resolver.py:275-303): same narrowing keyed on
     the wikipedia-url match."""
-    return _one_many_none(pairs, wikipedia_feature() > 0)
+    from hamerkop_spark.operators.features import ensure_derived
+
+    return _one_many_none(ensure_derived(pairs), wikipedia_feature() > 0)
 
 
 def edit_distance_resolver(
@@ -88,8 +90,10 @@ def edit_distance_resolver(
     (The reference's accidental cross-candidate carry-over of `distance`
     is not replicated; per-chain argmin is the documented intent —
     SURVEY.md §7(b).) Deterministic tie-break by entity_id."""
+    from hamerkop_spark.operators.features import ensure_derived
+
     d = (
-        pairs.withColumn("dist", levenshtein_feature())
+        ensure_derived(pairs).withColumn("dist", levenshtein_feature())
         if "f_levenshtein" not in pairs.columns
         else pairs.withColumn("dist", F.col("f_levenshtein"))
     )

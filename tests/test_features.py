@@ -25,7 +25,10 @@ def mk_pair(spark, chain_names, entity_names, urls=None, origin="geonames",
 
 
 def val(df, col):
-    return df.select(col.alias("v")).collect()[0]["v"]
+    # feature exprs consume the derived normalization columns that
+    # build_pairs precomputes per side; add them here like any caller
+    # bypassing build_pairs must
+    return FE.ensure_derived(df).select(col.alias("v")).collect()[0]["v"]
 
 
 def test_origin_feature(spark):

@@ -94,3 +94,36 @@ def test_phonetic_udfs(spark):
     assert rows["Smyth"]["n"] == PH.nysiis_py("Smyth")
     # metaphone groups the spelling variants
     assert rows["Smith"]["m"] == rows["Smyth"]["m"]
+
+
+def test_jaro_winkler_np_matches_scalar_exactly():
+    """The batch-vectorized JW must be bit-identical to the scalar
+    definition across random + classic + unicode cases."""
+    import random
+
+    import numpy as np
+
+    from hamerkop_spark.functions.textdist import (
+        jaro_winkler_np,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefgh "
+    cases = [
+        ("", ""), ("a", ""), ("", "a"), ("a", "a"), ("ab", "ba"),
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("абвгд", "абгвд"),
+        ("x" * 40, "x" * 39 + "y"),
+    ]
+    for _ in range(2000):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            ("".join(rng.choice(alpha) for _ in range(n1)),
+             "".join(rng.choice(alpha) for _ in range(n2)))
+        )
+    xs = np.array([c[0] for c in cases], dtype="U")
+    ys = np.array([c[1] for c in cases], dtype="U")
+    got = jaro_winkler_np(xs, ys)
+    for i, (a, b) in enumerate(cases):
+        assert abs(got[i] - jaro_winkler_py(a, b)) < 1e-12, (a, b)
