@@ -162,7 +162,14 @@ def q_b2_exact_block(spark, sf):
 
 def q_b3_ngram_idf(spark, sf):
     """B3 NgramMemoryNameIndex.find, set-oriented (kb.py:219-264): postings
-    with occurrence counts, IDF mass, threshold max/2, top-5."""
+    with occurrence counts, IDF mass, threshold max/2, top-5.
+
+    Same plan shape as the engine operator (blocking.build_ngram_postings
+    + ngram_candidates with broadcast_postings): per-ngram df via groupBy
+    (map-side partial agg) + broadcast join-back — never a window over the
+    intrinsically hot ngram key — and the probe side joins a BROADCAST
+    postings table, so no probe shuffle on the skewed key exists at any
+    scale where the postings fit (else the max_df cap + AQE path)."""
     part = _t(spark, sf, "part")
     names = part.select("p_partkey", _fmt_name(F.col("p_name")).alias("fname"),
                         F.lower("p_name").alias("lname"))
@@ -172,8 +179,8 @@ def q_b3_ngram_idf(spark, sf):
         F.explode(_char_ngrams(F.col("fname"), NGRAM_N)).alias("ng"),
     )
     per_name = grams.groupBy("ng", "p_partkey").agg(F.count("*").alias("n_cnt"))
-    wdf = Window.partitionBy("ng")
-    postings = per_name.withColumn("df_cnt", F.sum("n_cnt").over(wdf)).withColumn(
+    df_tbl = per_name.groupBy("ng").agg(F.sum("n_cnt").alias("df_cnt"))
+    postings = per_name.join(F.broadcast(df_tbl), "ng").withColumn(
         "idf", F.log1p(F.lit(float(n_unique)) / F.col("df_cnt"))
     )
     queries = (
@@ -185,7 +192,7 @@ def q_b3_ngram_idf(spark, sf):
         "qname", F.explode(_char_ngrams(F.col("qname"), NGRAM_N)).alias("ng")
     ).groupBy("qname", "ng").agg(F.count("*").alias("q_cnt"))
     mass = (
-        qgrams.join(postings, "ng")
+        qgrams.join(F.broadcast(postings), "ng")
         .groupBy("qname", "p_partkey")
         .agg(F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf")).alias("mass"))
     )
@@ -247,8 +254,12 @@ def q_cc_transitive(spark, sf):
 
 
 def q_f9_levenshtein_argmin(spark, sf):
-    """F9/R4: per-query argmin of normalized edit distance over a candidate
-    set, native F.levenshtein (features.py:191-204, resolver.py:306-322)."""
+    """F9/R4: per-query argmin of normalized edit distance over the
+    BLOCKED candidate set, native F.levenshtein (features.py:191-204,
+    resolver.py:306-322). Candidates are generated by a shared-token
+    inverted-index join — the production shape (the resolver only ever
+    scores blocked pairs); an unblocked argmin would be a cartesian
+    O(|q|*|c|), a scale-killer demonstrated nowhere in the engine."""
     part = _t(spark, sf, "part")
     q = part.where(F.col("p_partkey") % 23 == 0).select(
         F.col("p_partkey").alias("q_key"), F.lower("p_name").alias("q_name")
@@ -256,7 +267,13 @@ def q_f9_levenshtein_argmin(spark, sf):
     c = part.where(F.col("p_partkey") % 7 == 0).select(
         F.col("p_partkey").alias("c_key"), F.lower("p_name").alias("c_name")
     )
-    pairs = q.crossJoin(c).where(F.col("q_key") != F.col("c_key"))
+    qtok = q.select("q_key", F.explode(F.split("q_name", " ")).alias("tok")).distinct()
+    ctok = c.select("c_key", F.explode(F.split("c_name", " ")).alias("tok")).distinct()
+    blocked = qtok.join(ctok, "tok").select("q_key", "c_key").distinct()
+    pairs = (
+        blocked.join(q, "q_key").join(c, "c_key")
+        .where(F.col("q_key") != F.col("c_key"))
+    )
     dist = F.levenshtein("q_name", "c_name") / F.greatest(
         F.length("q_name"), F.length("c_name")
     )
@@ -404,23 +421,17 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs (operators/dedup.embedding_neardup_pairs)."""
+    """Embedding-cosine near-dup pairs via the LSH-bucketed default path
+    (operators/dedup.embedding_neardup_pairs): pairs generated only
+    within deterministic hyperplane buckets — the O(n²) crossJoin exists
+    solely behind the brute_force audit flag."""
+    from hamerkop_spark.operators.dedup import embedding_neardup_pairs
+
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 150)
-    a = emb.select(F.col("vec_id").alias("src"),
-                   F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"),
-                   F.col("embedding").cast("array<double>").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        a.crossJoin(b)
-        .where(F.col("src") < F.col("dst"))
-        .withColumn("cosine", F.round(dot / (na * nb), 4))
-        .where(F.col("cosine") >= 0.25)
-        .select("src", "dst", "cosine")
+    out = embedding_neardup_pairs(
+        emb, min_cosine=0.25, dim=EMB_DIM, num_planes=NEARDUP_PLANES
     )
+    return out.select("src", "dst", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ann_cosine_search(spark, sf):
@@ -614,48 +625,72 @@ def q_f5_wikipedia_link(spark, sf):
     )
 
 
-# --- rows-only entries (hash functions not portable to DuckDB) -------------
+# --- hash-keyed operators, md5-derived variants so DuckDB can oracle them --
+
+MINHASH_HASHES = 32
+MINHASH_BANDS = 8
+MINHASH_MAX_BUCKET = 200
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
+ANN_PLANES = 6
+NEARDUP_PLANES = 4
+EMB_DIM = 64
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash-LSH dedup pairs (xxhash64 — no DuckDB oracle)."""
+    """MinHash-LSH dedup pairs over word-3-shingles, md5-derived hashes
+    (operators/dedup.minhash_dedup_pairs hash_fn='md5' — same LSH
+    semantics as the xxhash64 engine default, DuckDB-reproducible)."""
     from hamerkop_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf, "documents").selectExpr("cast(doc_id as string) doc_id", "text")
-    return minhash_dedup_pairs(docs, num_hashes=32, num_bands=8)
+    return minhash_dedup_pairs(
+        docs, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
+        max_bucket=MINHASH_MAX_BUCKET, hash_fn="md5",
+    )
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (FNV/bit ops — no DuckDB oracle)."""
+    """SimHash near-dup pairs: native md5-derived 60-bit signature,
+    blocked on max_hamming+1 chunks (pigeonhole guarantee holds by
+    construction; the round-1 query's max_hamming=12 over 4 fixed chunks
+    violated it)."""
     from hamerkop_spark.operators.dedup import simhash_dedup_pairs
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200).selectExpr(
         "cast(doc_id as string) doc_id", "text"
     )
-    return simhash_dedup_pairs(docs, max_hamming=12)
+    return simhash_dedup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, hash_fn="md5")
 
 
 def q_b_phonetic_soundex(spark, sf):
-    """Phonetic blocking keys (F.soundex — no DuckDB equivalent)."""
-    from hamerkop_spark.functions.phonetic import soundex_key
+    """Phonetic blocking keys: portable Russell-variant soundex of the
+    first name token (functions/phonetic.soundex_portable; its SQL twin
+    is generated from the same constants)."""
+    from hamerkop_spark.functions.phonetic import soundex_portable
 
     part = _t(spark, sf, "part")
+    first = F.element_at(F.split("p_name", " "), 1)
     return (
-        part.select(soundex_key(F.col("p_name")).alias("skey"), "p_partkey")
+        part.select(soundex_portable(first).alias("skey"), "p_partkey")
         .groupBy("skey")
         .agg(F.count("*").alias("n"))
     )
 
 
 def q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN (xxhash64 hyperplanes — no DuckDB oracle)."""
-    from hamerkop_spark.operators.similarity import lsh_topk
+    """LSH-bucketed ANN top-k: literal ±1 hyperplanes (deterministic
+    md5-derived matrix shipped to both engines; out-of-bucket candidates
+    never scored)."""
+    from hamerkop_spark.operators.similarity import hyperplanes, lsh_topk
 
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, dim=64, k=5, num_planes=6)
+    return lsh_topk(
+        emb, q, dim=EMB_DIM, k=5, planes=hyperplanes(EMB_DIM, ANN_PLANES)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -704,7 +739,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _hexparse(e: str) -> str:
+    """md5-derived 60-bit hash, DuckDB side (Spark: conv(substr(md5,1,15)))."""
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB twin of q_dedup_minhash_lsh (md5-variant minhash_dedup_pairs):
+    normalize -> word-3-shingles -> 32 min-hash aggregates -> 8 md5 band
+    buckets -> bucket-size cap -> within-bucket pairs."""
+    import string as _string
+
+    punct_lit = _string.punctuation.replace("'", "''")
+    mins = ",\n         ".join(
+        "min({h}) AS mh{s}".format(h=_hexparse(f"'{s + 1}:' || e"), s=s)
+        for s in range(MINHASH_HASHES)
+    )
+    rpb = MINHASH_HASHES // MINHASH_BANDS
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({key}) AS bucket FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{b * rpb + j}::VARCHAR" for j in range(rpb)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id::VARCHAR AS id,
+                 trim(regexp_replace(translate(lower(text), '{punct_lit}', ''),
+                                     '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ), tokd AS (
+          SELECT id, list_filter(string_split(t, ' '), x -> x <> '') AS toks
+          FROM d
+        ), shingled AS (
+          SELECT id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END) AS sh
+          FROM tokd
+        ), elems AS (
+          SELECT DISTINCT id, unnest(sh) AS e FROM shingled WHERE len(sh) > 0
+        ), sigs AS (
+          SELECT id, {mins}
+          FROM elems GROUP BY id
+        ), bands AS (
+          {band_selects}
+        ), sized AS (
+          SELECT band, bucket, count(*) AS bs FROM bands GROUP BY band, bucket
+        ), bb AS (
+          SELECT b.id, b.band, b.bucket FROM bands b
+          JOIN sized USING (band, bucket) WHERE sized.bs <= {MINHASH_MAX_BUCKET}
+        )
+        SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM bb a JOIN bb b USING (band, bucket) WHERE a.id < b.id
+    """
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of q_dedup_simhash (md5-native 60-bit simhash)."""
+    from hamerkop_spark.operators.dedup import _chunk_bounds
+
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    bounds = _chunk_bounds(SIMHASH_BITS, SIMHASH_MAX_HAMMING + 1)
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT id, sig, {i} AS ci, (sig >> {start}) & {(1 << width) - 1} AS ch"
+        " FROM sigs"
+        for i, (start, width) in enumerate(bounds)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id::VARCHAR AS id, text FROM documents
+          WHERE doc_id < 200 AND text IS NOT NULL AND length(trim(text)) > 0
+        ), toks AS (
+          SELECT id, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS tok
+          FROM d
+        ), hashed AS (
+          SELECT id, {_hexparse('tok')} AS h FROM toks
+        ), votes AS (
+          SELECT id, {votes}
+          FROM hashed GROUP BY id
+        ), sigs AS (
+          SELECT id, ({sig_terms}) AS sig FROM votes
+        ), chunks AS (
+          {chunk_selects}
+        ), cand AS (
+          SELECT DISTINCT a.id AS src, b.id AS dst, a.sig AS sa, b.sig AS sb
+          FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.ch = b.ch
+          WHERE a.id < b.id
+        )
+        SELECT src, dst FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def _plane_list_sql(plane: list) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+def _bucket_sql(vec_expr: str, planes: list) -> str:
+    """Concatenated hyperplane sign bits over an inlined literal matrix —
+    identical values to similarity.lsh_bucket_lit by construction."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_list_sql(p)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"({bits})"
+
+
+def _ann_lsh_sql() -> str:
+    from hamerkop_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(EMB_DIM, ANN_PLANES)
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(qv, qv)) = 0"
+        " OR sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0"
+        " ELSE list_dot_product(qv, cv)"
+        " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+        " END"
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 {_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket
+          FROM embeddings WHERE vec_id < 8
+        ), c AS (
+          SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                 {_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket
+          FROM embeddings
+        ), scored AS (
+          SELECT query_id, neighbor_id, {cos} AS cosine
+          FROM q JOIN c USING (bucket)
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _embedding_neardup_sql() -> str:
+    from hamerkop_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(EMB_DIM, NEARDUP_PLANES)
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(va, va)) = 0"
+        " OR sqrt(list_dot_product(vb, vb)) = 0 THEN 0.0"
+        " ELSE list_dot_product(va, vb)"
+        " / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+        " END"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 {_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket
+          FROM embeddings WHERE vec_id < 150
+        ), pairs AS (
+          SELECT a.id AS src, b.id AS dst, a.v AS va, b.v AS vb
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+        ), scored AS (
+          SELECT src, dst, {cos} AS cosine FROM pairs
+        )
+        SELECT src, dst, round(round(cosine, 6), 4) AS cosine
+        FROM scored WHERE cosine >= 0.25
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from hamerkop_spark.functions.phonetic import soundex_portable_sql
+
     punct = PUNCT_CLASS.replace("'", "''")
     return {
         "flagship_pricing": """
@@ -848,11 +1067,20 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
               SELECT p_partkey AS c_key, lower(p_name) AS c_name
               FROM part WHERE p_partkey % 7 = 0
+            ), qtok AS (
+              SELECT DISTINCT q_key, unnest(string_split(q_name, ' ')) AS tok
+              FROM q
+            ), ctok AS (
+              SELECT DISTINCT c_key, unnest(string_split(c_name, ' ')) AS tok
+              FROM c
+            ), blocked AS (
+              SELECT DISTINCT q_key, c_key FROM qtok JOIN ctok USING (tok)
             ), pairs AS (
-              SELECT q_key, c_key,
+              SELECT b.q_key, b.c_key,
                      levenshtein(q_name, c_name)::DOUBLE
                        / greatest(length(q_name), length(c_name)) AS dist
-              FROM q CROSS JOIN c WHERE q_key <> c_key
+              FROM blocked b JOIN q USING (q_key) JOIN c USING (c_key)
+              WHERE b.q_key <> b.c_key
             ), ranked AS (
               SELECT q_key, c_key, dist,
                      row_number() OVER (PARTITION BY q_key
@@ -970,18 +1198,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, jaccard FROM j WHERE jaccard >= 0.05
         """,
-        "dedup_embedding_cosine": """
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE vec_id < 150
-            ), pairs AS (
-              SELECT a.vec_id AS src, b.vec_id AS dst,
-                     round(list_dot_product(a.v, b.v)
-                       / (sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-            )
-            SELECT src, dst, cosine FROM pairs WHERE cosine >= 0.25
+        "dedup_embedding_cosine": _embedding_neardup_sql(),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "b_phonetic_soundex": f"""
+            SELECT {soundex_portable_sql("string_split(p_name, ' ')[1]")} AS skey,
+                   count(*) AS n
+            FROM part GROUP BY 1
         """,
         "ann_cosine_search": """
             WITH q AS (

@@ -19,6 +19,45 @@ def soundex_key(c: Column) -> Column:
     return F.soundex(first)
 
 
+#: letter -> soundex digit map ('0' = vowel/H/W/Y separator)
+_SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def soundex_portable(c: Column) -> Column:
+    """Russell-variant Soundex built ONLY from dialect-portable string ops
+    (upper/translate/regexp_replace-without-backreferences/substr/rpad) so
+    a SQL oracle can compute the identical key: uppercase, keep A-Z, map
+    letters to digits, collapse adjacent equal digits, drop the first
+    position, remove separators, first-letter + 3 digits zero-padded.
+
+    Differs from American Soundex (F.soundex) only in the H/W rule: here
+    H/W separate equal codes like vowels do (ASHCRAFT -> A226, not A261).
+    Empty / letterless input yields ''."""
+    letters = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    mapped = F.translate(letters, _SOUNDEX_ALPHA, _SOUNDEX_CODES)
+    for d in "123456":
+        mapped = F.regexp_replace(mapped, d + "{2,}", d)
+    tail = F.substring(mapped, 2, 1 << 30)
+    digits = F.regexp_replace(tail, "0", "")
+    code = F.concat(
+        F.substring(letters, 1, 1), F.rpad(F.substring(digits, 1, 3), 3, "0")
+    )
+    return F.when(F.length(letters) == 0, F.lit("")).otherwise(code)
+
+
+def soundex_portable_sql(expr: str) -> str:
+    """The DuckDB twin of soundex_portable over SQL expression `expr` —
+    generated from the same constants so the two cannot drift."""
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    m = f"translate({s}, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_CODES}')"
+    for d in "123456":
+        m = f"regexp_replace({m}, '{d}{{2,}}', '{d}', 'g')"
+    digits = f"regexp_replace(substr({m}, 2), '0', '', 'g')"
+    code = f"substr({s}, 1, 1) || rpad(substr({digits}, 1, 3), 3, '0')"
+    return f"CASE WHEN length({s}) = 0 THEN '' ELSE {code} END"
+
+
 _VOWELS = set("AEIOU")
 
 

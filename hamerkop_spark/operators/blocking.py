@@ -137,8 +137,15 @@ def build_ngram_postings(
     per_name = grams.groupBy("type", "ngram", "entity_id", "name_idx").agg(
         F.count("*").alias("n_cnt")
     )
-    w = Window.partitionBy("type", "ngram")
-    postings = per_name.withColumn("df_cnt", F.sum("n_cnt").over(w)).withColumn(
+    # df per ngram via groupBy (map-side partial agg on the uniform
+    # composite key feeds it) + broadcast join-back: a window over
+    # (type, ngram) would colocate every posting of a hot ngram on one
+    # partition before computing the same sum. The distinct-ngram table
+    # is small by construction (bounded by the corpus character set).
+    df_tbl = per_name.groupBy("type", "ngram").agg(
+        F.sum("n_cnt").alias("df_cnt")
+    )
+    postings = per_name.join(F.broadcast(df_tbl), ["type", "ngram"]).withColumn(
         "idf", F.log1p(F.lit(float(num_unique)) / F.col("df_cnt"))
     )
     return postings, num_unique
@@ -263,23 +270,40 @@ def phonetic_candidates(
     )
 
 
+def seeded_hash64(col, seed: int, hash_fn: str = "xxhash64"):
+    """Seeded 64-bit element hash. 'xxhash64' is the fast JVM default;
+    'md5' derives 60 bits from the md5 hex digest — slower, but DuckDB
+    computes the identical value (('0x' || substr(md5(..), 1, 15))::BIGINT),
+    which makes every minhash/simhash query oracle-checkable."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signature(
     df: DataFrame,
     id_cols: Sequence[str],
     set_col: str,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, fully native and shuffle-lean: one row per set
     element (not element x hash — a k-way posexplode would multiply the
-    shuffle volume k times), `num_hashes` seeded xxhash64 values as
+    shuffle volume k times), `num_hashes` seeded hash values as
     separate `min` aggregates so map-side partial aggregation reduces
     each partition to one row per id before the shuffle.
 
     Output: (id_cols..., sig: array<bigint>) with sig[i] = min over
-    elements of xxhash64(elem, i+1)."""
+    elements of seeded_hash64(elem, i+1)."""
     elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
     mins = [
-        F.min(F.xxhash64(F.col("elem"), F.lit(s + 1))).alias(f"_mh{s}")
+        F.min(seeded_hash64(F.col("elem"), s + 1, hash_fn)).alias(f"_mh{s}")
         for s in range(num_hashes)
     ]
     agg = elems.groupBy(*id_cols).agg(*mins)
@@ -294,22 +318,22 @@ def minhash_bands(
     id_cols: Sequence[str],
     num_bands: int = 8,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: hash each band's signature slice to a bucket key.
     Narrow transform (posexplode of num_bands per row, no shuffle).
     Output: (id_cols..., band, bucket)."""
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.xxhash64(
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-                ",",
-            )
-        ),
-    )
+    def bucket_of(b):
+        joined = F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+        return F.xxhash64(joined) if hash_fn == "xxhash64" else F.md5(joined)
+
+    bands = F.array(*[bucket_of(b) for b in range(num_bands)])
     return signatures.select(
         *id_cols, F.posexplode(bands).alias("band", "bucket")
     )

@@ -66,6 +66,24 @@ def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     ).otherwise(shingles)
 
 
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key group exceeds `cap` rows WITHOUT colocating hot
+    groups first: groupBy (map-side partial aggregation — a hot key's
+    partial counts combine before the shuffle, so the reducer sees at most
+    one row per key per map partition) finds the over-cap keys, which are
+    few by definition (boilerplate bombs), then a BROADCAST anti-join
+    filters them map-side. A `count() over (partition by key)` window here
+    would shuffle every row of the hottest bucket onto one partition —
+    the exact straggler the cap exists to prevent."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_ksize"))
+        .where(F.col("_ksize") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,10 +92,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     max_bucket: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs: word-shingle -> minhash ->
     band -> bucket self-join. Buckets larger than `max_bucket` are
     dropped (boilerplate bombs) — the documented block cap.
+
+    `hash_fn='md5'` derives the hashes from md5 hex digests instead of
+    xxhash64 — DuckDB-reproducible (oracle-checkable) at ~2x the hash
+    cost; same LSH semantics.
 
     Returns (src, dst) pairs with src < dst; feed to
     connected_components for cluster-level dedup."""
@@ -95,12 +118,9 @@ def minhash_dedup_pairs(
         )
         .where(F.size("sh") > 0)
     )
-    sig = minhash_signature(shingled, ["_id"], "sh", num_hashes)
-    bands = minhash_bands(sig, ["_id"], num_bands, rows_per_band)
-    wb = Window.partitionBy("band", "bucket")
-    bounded = bands.withColumn("bsize", F.count("*").over(wb)).where(
-        F.col("bsize") <= max_bucket
-    )
+    sig = minhash_signature(shingled, ["_id"], "sh", num_hashes, hash_fn)
+    bands = minhash_bands(sig, ["_id"], num_bands, rows_per_band, hash_fn)
+    bounded = _drop_hot_keys(bands, ["band", "bucket"], max_bucket)
     a = bounded.select("band", "bucket", F.col("_id").alias("src"))
     b = bounded.select("band", "bucket", F.col("_id").alias("dst"))
     return (
@@ -172,33 +192,99 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_native(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 60,
+) -> DataFrame:
+    """Pure-Catalyst SimHash: 60-bit signature whose per-token hash is
+    md5-derived (15 hex chars -> bigint), so a SQL oracle computes the
+    identical value. Tokens are the lowercased whitespace tokens
+    (multiset — repeats vote repeatedly, like the UDF variant). Shape:
+    explode tokens -> one conditional-sum vote aggregate per bit
+    (map-side partial aggregation; one shuffled row per doc).
+
+    Output: (_id, sig)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select("_id", h.alias("h"))
+    votes = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1,
+                       1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(num_bits)
+        ]
+    )
+    sig = None
+    for b in range(num_bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("_id", sig.cast("bigint").alias("sig"))
+
+
+def _chunk_bounds(num_bits: int, num_chunks: int) -> list[tuple[int, int]]:
+    """Split [0, num_bits) into num_chunks contiguous (start, width)
+    spans, remainder spread across the leading chunks."""
+    return [
+        (i * num_bits // num_chunks,
+         (i + 1) * num_bits // num_chunks - i * num_bits // num_chunks)
+        for i in range(num_chunks)
+    ]
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, blocked on 4 x 16-bit
-    chunks (pigeonhole: any pair within hamming distance 3 shares at
-    least one exact chunk), verified by popcount on the full signature."""
+    """SimHash near-dup pairs, blocked on (max_hamming + 1) signature
+    chunks — the pigeonhole guarantee holds for ANY max_hamming by
+    construction: a pair within hamming distance h differs in at most h
+    chunks, so with h+1 chunks at least one matches exactly. Verified by
+    popcount on the full signature.
+
+    hash_fn='md5': native 60-bit signature, oracle-checkable (default).
+    hash_fn='fnv': the 64-bit FNV pandas-UDF variant (kept for parity
+    with the python reference implementation in tests)."""
     # empty/whitespace docs all hash to 0 — at web scale they would form
     # one quadratic mega-bucket, so they never enter pairing
     nonempty = docs.where(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     )
-    sigs = nonempty.select(
-        F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sig")
-    )
+    if hash_fn == "md5":
+        num_bits = 60
+        sigs = simhash_native(nonempty, id_col, text_col, num_bits)
+    elif hash_fn == "fnv":
+        num_bits = 64
+        sigs = nonempty.select(
+            F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sig")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    bounds = _chunk_bounds(num_bits, max_hamming + 1)
     chunks = sigs.select(
         "_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftrightunsigned(F.col("sig"), start).bitwiseAND(
+                        F.lit((1 << width) - 1)
                     )
-                    for i in range(4)
+                    for start, width in bounds
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -243,10 +329,7 @@ def ngram_jaccard_pairs(
         ).alias("g"),
     )
     sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
-    wdf = Window.partitionBy("g")
-    bounded = grams.withColumn("df", F.count("*").over(wdf)).where(
-        F.col("df") <= max_df
-    )
+    bounded = _drop_hot_keys(grams, ["g"], max_df)
     a = bounded.select("g", F.col("_id").alias("src"))
     b = bounded.select("g", F.col("_id").alias("dst"))
     inter = (
@@ -275,23 +358,43 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
+    dim: int | None = None,
+    num_planes: int = 8,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, for modest corpora or
-    within LSH buckets): self-join + native cosine. At 100 TB scale,
-    pre-bucket with random-hyperplane LSH (similarity.py) and run this
-    within buckets."""
-    from hamerkop_spark.functions.textdist import cosine_native
+    """Embedding-cosine near-dup pairs. DEFAULT = LSH-bucketed: both sides
+    keyed by a deterministic random-hyperplane signature
+    (similarity.hyperplanes literals), pairs generated ONLY within
+    buckets — the O(n²/2^planes) scale path; near-identical vectors land
+    in the same bucket with probability (1 - theta/pi)^planes, ~0.97 for
+    cosine 0.95 at 8 planes. `dim` (vector length) is required.
 
-    a = embeddings.select(
-        F.col(id_col).alias("src"), F.col(vec_col).alias("va")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
-    )
-    pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    `brute_force=True` is the exact all-pairs variant — O(n²), for small
+    corpora and recall audits only; never the default reachable path."""
+    from hamerkop_spark.functions.textdist import cosine_native
+    from hamerkop_spark.operators.similarity import hyperplanes, lsh_bucket_lit
+
     sim = cosine_native(
         F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
     )
+    if brute_force:
+        a = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    else:
+        if dim is None:
+            raise ValueError("dim is required for the LSH-bucketed path")
+        planes = hyperplanes(dim, num_planes)
+        keyed = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("v"),
+            lsh_bucket_lit(F.col(vec_col).cast("array<double>"), planes).alias(
+                "bucket"
+            ),
+        )
+        a = keyed.select("bucket", F.col("_id").alias("src"), F.col("v").alias("va"))
+        b = keyed.select("bucket", F.col("_id").alias("dst"), F.col("v").alias("vb"))
+        pairs = a.join(b, "bucket").where(F.col("src") < F.col("dst"))
     return (
         pairs.withColumn("cosine", sim)
         .where(F.col("cosine") >= min_cosine)

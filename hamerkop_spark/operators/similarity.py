@@ -11,10 +11,52 @@ no Python in the scoring loop.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hamerkop_spark.functions.textdist import cosine_native
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix derived from md5 of
+    (seed, plane, dim-index) — computed ONCE driver-side and shipped as
+    literals, so (a) executors evaluate no per-row hashing for the plane
+    components and (b) a SQL oracle can inline the identical matrix.
+    Resume-safe: same seed -> same planes on every run."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()[0] & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_lit(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from a literal hyperplane matrix: concatenated sign bits
+    of <vec, h_p>. All-native; the ±1 literals fold into codegen."""
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(h) for h in plane]),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        )
+        .cast("int")
+        .cast("string")
+        for plane in planes
+    ]
+    return F.concat(*bits)
 
 
 def brute_force_topk(
@@ -106,17 +148,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k: bucket both sides by hyperplane signature, brute-force
     within buckets. Recall < 1 by construction (use multiple tables /
     fewer planes to trade recall for cost); candidates outside the
-    query's bucket are never scored — that's the point at 100 TB."""
+    query's bucket are never scored — that's the point at 100 TB.
+
+    `planes`: pass a literal matrix (see `hyperplanes`) for zero per-row
+    plane hashing and SQL-oracle reproducibility; default derives plane
+    components from xxhash64 inside the expression."""
+    def bucket(col: Column) -> Column:
+        v = col.cast("array<double>")
+        if planes is not None:
+            return lsh_bucket_lit(v, planes)
+        return lsh_bucket(v, dim, num_planes)
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv").cast("array<double>"), dim, num_planes))
+    ).withColumn("bucket", bucket(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv").cast("array<double>"), dim, num_planes))
+    ).withColumn("bucket", bucket(F.col("cv")))
     scored = q.join(c, "bucket").withColumn(
         "cosine",
         cosine_native(

@@ -50,10 +50,30 @@ def test_minhash_dedup_end_to_end(spark):
     assert out["d"] != out["a"]
 
 
-def test_simhash_pairs(spark):
+def test_simhash_pairs_md5(spark):
+    # md5-native 60-bit variant (oracle-checkable): a~c differ by one
+    # substituted word (hamming 3); a~b differ by a '!'-suffixed final
+    # token (a whole-token replacement, hamming ~10); d is far from all
     pairs = {
         tuple(sorted((r["src"], r["dst"])))
         for r in D.simhash_dedup_pairs(docs(spark), max_hamming=6).collect()
+    }
+    assert ("a", "c") in pairs
+    assert not any("d" in p for p in pairs)
+    wide = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in D.simhash_dedup_pairs(docs(spark), max_hamming=12).collect()
+    }
+    assert ("a", "b") in wide
+    assert not any("d" in p for p in wide)
+
+
+def test_simhash_pairs_fnv(spark):
+    pairs = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in D.simhash_dedup_pairs(
+            docs(spark), max_hamming=6, hash_fn="fnv"
+        ).collect()
     }
     assert ("a", "b") in pairs
     assert not any("d" in p for p in pairs)
@@ -85,8 +105,18 @@ def test_embedding_neardup(spark):
         ],
         "vec_id string, embedding array<float>",
     )
+    # default LSH-bucketed path (dim required); near-parallel vectors
+    # share a bucket w.h.p., orthogonal ones don't matter (cosine filter)
     out = {
         tuple(sorted((r["src"], r["dst"])))
-        for r in D.embedding_neardup_pairs(emb, min_cosine=0.95).collect()
+        for r in D.embedding_neardup_pairs(emb, min_cosine=0.95, dim=4).collect()
     }
     assert out == {("v1", "v2")}
+    # exact brute-force audit variant agrees here
+    bf = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in D.embedding_neardup_pairs(
+            emb, min_cosine=0.95, brute_force=True
+        ).collect()
+    }
+    assert bf == {("v1", "v2")}

@@ -127,3 +127,23 @@ def test_jaro_winkler_np_matches_scalar_exactly():
     got = jaro_winkler_np(xs, ys)
     for i, (a, b) in enumerate(cases):
         assert abs(got[i] - jaro_winkler_py(a, b)) < 1e-12, (a, b)
+
+
+def test_soundex_portable_vectors(spark):
+    """Russell-variant soundex (no H/W collapse rule) against classic
+    vectors; the H/W case documents the deliberate divergence from
+    American Soundex."""
+    from pyspark.sql import functions as F
+
+    from hamerkop_spark.functions.phonetic import soundex_portable
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Tymczak": "T522",
+        "Pfister": "P236", "Jackson": "J250", "Honeyman": "H555",
+        "AB": "A100", "a": "A000", "": "", "123": "",
+        "Ashcraft": "A226",  # American soundex says A261 (H/W rule)
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "name string")
+    got = {r["name"]: r["sx"] for r in
+           df.select("name", soundex_portable(F.col("name")).alias("sx")).collect()}
+    assert got == cases
