@@ -227,12 +227,30 @@ def chains_table(mentions_with_chains: DataFrame) -> DataFrame:
     first_struct = F.struct(
         F.col("char_start"), F.col("mention_id"), F.col("type")
     )
+    # max_by keys are (length, value) structs: among equal-length distinct
+    # strings a bare length key would tie-break nondeterministically across
+    # partitionings, and the chain name feeds blocking probe keys, NIL edge
+    # keys, and checkpointed tables (byte-stable determinism convention)
     return m.groupBy("doc_id", "chain_id").agg(
-        F.max_by("string", F.length("string")).alias("name"),
+        F.max_by("string", F.struct(F.length("string"), F.col("string"))).alias(
+            "name"
+        ),
         F.collect_set("string").alias("names"),
         F.min_by("type", F.struct(F.col("char_start"), F.col("mention_id"))).alias("type"),
-        F.max_by("translit_string", F.when(F.col("translit_string").isNotNull(), F.length("translit_string"))).alias("translit_name"),
-        F.max_by("translate_string", F.when(F.col("translate_string").isNotNull(), F.length("translate_string"))).alias("translate_name"),
+        F.max_by(
+            "translit_string",
+            F.when(
+                F.col("translit_string").isNotNull(),
+                F.struct(F.length("translit_string"), F.col("translit_string")),
+            ),
+        ).alias("translit_name"),
+        F.max_by(
+            "translate_string",
+            F.when(
+                F.col("translate_string").isNotNull(),
+                F.struct(F.length("translate_string"), F.col("translate_string")),
+            ),
+        ).alias("translate_name"),
         F.array_distinct(
             F.flatten(
                 F.collect_list(

@@ -28,20 +28,36 @@ def pairwise_f1(
     b = assignments.select(
         F.col(id_col).alias("key_b"), F.col("cluster").alias("cluster_b")
     )
-    joined = labeled_pairs.join(a, "key_a").join(b, "key_b")
+    # LEFT joins from the labeled side: a labeled pair whose mention was
+    # dropped upstream (type validator, garbage/too-long removers) must
+    # count as pred=0 — label=1 pairs become FALSE NEGATIVES instead of
+    # silently leaving the metric and inflating F1
+    joined = labeled_pairs.join(a, "key_a", "left").join(b, "key_b", "left")
     scored = joined.withColumn(
-        "pred", (F.col("cluster_a") == F.col("cluster_b")).cast("int")
+        "pred",
+        (
+            F.col("cluster_a").isNotNull()
+            & F.col("cluster_b").isNotNull()
+            & (F.col("cluster_a") == F.col("cluster_b"))
+        ).cast("int"),
+    ).withColumn(
+        "dropped",
+        (F.col("cluster_a").isNull() | F.col("cluster_b").isNull()).cast("int"),
     )
     agg = scored.agg(
         F.sum(F.col("pred") * F.col("label")).alias("tp"),
         F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
         F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+        F.sum("dropped").alias("dropped_pairs"),
     ).collect()[0]
     tp, fp, fn = (agg["tp"] or 0), (agg["fp"] or 0), (agg["fn"] or 0)
     p = tp / (tp + fp) if tp + fp else 0.0
     r = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
-    return Row(precision=p, recall=r, f1=f1, tp=tp, fp=fp, fn=fn)
+    return Row(
+        precision=p, recall=r, f1=f1, tp=tp, fp=fp, fn=fn,
+        dropped_pairs=(agg["dropped_pairs"] or 0),
+    )
 
 
 def muc(pred: DataFrame, gold: DataFrame, key: str = "mention_key") -> Row:

@@ -56,17 +56,42 @@ DEFAULT_THRESHOLD = 0.25
 
 
 class StageRunner:
-    """Checkpoint/resume + lineage metrics for pipeline stages."""
+    """Checkpoint/resume + lineage metrics for pipeline stages.
+
+    Each stage carries a FINGERPRINT chained through its dependencies:
+    md5(stage name, the stage's own parameters, the fingerprints of its
+    upstream stages). It is written to a `_hk_fingerprint` sidecar at
+    write time and checked on resume — rerunning against the same workdir
+    with changed weights/threshold/generators invalidates exactly the
+    stages downstream of the change instead of silently serving stale
+    checkpoints. (Code changes inside a stage body are not captured —
+    only parameters and lineage; wipe the workdir after editing stage
+    logic.)"""
 
     def __init__(self, spark: SparkSession, workdir: str, resume: bool = True):
         self.spark = spark
         self.workdir = workdir
         self.resume = resume
         self.metrics: list[dict] = []
+        self.fingerprints: dict[str, str] = {}
         os.makedirs(workdir, exist_ok=True)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
+
+    def _fingerprint(self, stage: str, params: dict | None, deps: tuple) -> str:
+        import hashlib
+
+        payload = json.dumps(
+            {
+                "stage": stage,
+                "params": params or {},
+                "deps": {d: self.fingerprints.get(d, "?") for d in deps},
+            },
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.md5(payload.encode()).hexdigest()
 
     def _partition_stats(self, df: DataFrame) -> dict:
         """Per-partition lineage row (north_rule: per-partition lineage +
@@ -90,25 +115,44 @@ class StageRunner:
             "max_partition_rows": per["max_rows"],
         }
 
-    def run(self, stage: str, fn, partition_by: list | None = None) -> DataFrame:
+    def run(
+        self,
+        stage: str,
+        fn,
+        partition_by: list | None = None,
+        params: dict | None = None,
+        deps: tuple = (),
+    ) -> DataFrame:
         path = self._path(stage)
         marker = os.path.join(path, "_SUCCESS")
+        sidecar = os.path.join(self.workdir, f"{stage}._hk_fingerprint")
+        fp = self._fingerprint(stage, params, deps)
+        self.fingerprints[stage] = fp
         t0 = time.time()
         if self.resume and os.path.exists(marker):
-            df = self.spark.read.parquet(path)
-            self.metrics.append(
-                {"stage": stage, "resumed": True, "rows": df.count(),
-                 "seconds": round(time.time() - t0, 3)}
-            )
-            return df
+            stored = None
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    stored = fh.read().strip()
+            if stored == fp:
+                df = self.spark.read.parquet(path)
+                self.metrics.append(
+                    {"stage": stage, "resumed": True, "rows": df.count(),
+                     "seconds": round(time.time() - t0, 3), "fingerprint": fp}
+                )
+                return df
+            # config/lineage changed (or pre-fingerprint checkpoint):
+            # recompute instead of serving a stale table
         df = fn()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        with open(sidecar, "w") as fh:
+            fh.write(fp)
         out = self.spark.read.parquet(path)
         entry = {"stage": stage, "resumed": False, "rows": out.count(),
-                 "seconds": round(time.time() - t0, 3)}
+                 "seconds": round(time.time() - t0, 3), "fingerprint": fp}
         entry.update(self._partition_stats(out))
         self.metrics.append(entry)
         return out
@@ -179,21 +223,22 @@ def run_pipeline(
             m = op(m)
         return m
 
-    mentions = runner.run("mentions", mk_mentions)
+    mentions = runner.run("mentions", mk_mentions, deps=("documents",))
 
     # 3. KB
     kb_entities = runner.run(
         "kb_entities",
         lambda: KBL.load_kb(tables["kb_entities_raw"], tables["kb_alt_names"]),
     )
-    kb_names = runner.run("kb_names", lambda: B.build_kb_names(kb_entities))
+    kb_names = runner.run("kb_names", lambda: B.build_kb_names(kb_entities), deps=("kb_entities",))
 
     # 4. coref sieve -> chains
     chained = runner.run(
         "mentions_chained",
         lambda: C.cascade_coref(mentions, default_coref_stages()),
+        deps=("mentions",),
     )
-    chains = runner.run("chains", lambda: C.chains_table(chained))
+    chains = runner.run("chains", lambda: C.chains_table(chained), deps=("mentions_chained",))
 
     # 5. blocking cascade (B8): precise key families first, fuzzy ones
     #    fill remaining candidate slots
@@ -245,12 +290,18 @@ def run_pipeline(
                 raise ValueError(f"unknown generator: {gen}")
         return B.cascade_candidates(sets, num_candidates=candidate_limit)
 
-    candidates = runner.run("candidates", mk_candidates)
+    candidates = runner.run(
+        "candidates",
+        mk_candidates,
+        params={"generators": list(generators), "limit": candidate_limit},
+        deps=("chains", "kb_names"),
+    )
 
     # 6. pairs + features
     scored = runner.run(
         "scored_pairs",
         lambda: extract_features(build_pairs(chains, candidates, kb_entities)),
+        deps=("chains", "candidates", "kb_entities"),
     )
 
     # 7. resolver cascade
@@ -265,7 +316,13 @@ def run_pipeline(
             ],
         )
 
-    decisions = runner.run("decisions", mk_decisions)
+    decisions = runner.run(
+        "decisions",
+        mk_decisions,
+        params={"weights": weights or DEFAULT_WEIGHTS, "bias": bias,
+                "threshold": threshold},
+        deps=("scored_pairs",),
+    )
 
     # 8. corpus-level transitive clustering (north_rule §2.7): edges =
     #    in-doc chain membership + shared decided entity + shared NIL
@@ -299,7 +356,7 @@ def run_pipeline(
             F.col("node").alias("mention_id"), F.col("component").alias("cluster")
         )
 
-    clusters = runner.run("clusters", mk_clusters)
+    clusters = runner.run("clusters", mk_clusters, deps=("mentions_chained", "chains", "decisions"))
 
     runner.write_metrics()
     return {

@@ -102,3 +102,18 @@ def test_corpus_determinism(spark):
     t1 = sorted(r["text"] for r in c1["pages"].collect())
     t2 = sorted(r["text"] for r in c2["pages"].collect())
     assert t1 == t2
+
+
+def test_resume_invalidates_on_config_change(spark, corpus, tmp_path_factory):
+    """Stage fingerprints chain config + lineage: rerunning with a changed
+    decision threshold against the same workdir must RECOMPUTE decisions
+    and clusters (not serve stale checkpoints) while upstream stages
+    still resume."""
+    work = str(tmp_path_factory.mktemp("fp") / "wk")
+    run_pipeline(spark, corpus, work, resume=False)
+    res2 = run_pipeline(spark, corpus, work, resume=True, threshold=0.9)
+    by_stage = {m["stage"]: m for m in res2["metrics"]}
+    assert by_stage["documents"]["resumed"] is True
+    assert by_stage["scored_pairs"]["resumed"] is True
+    assert by_stage["decisions"]["resumed"] is False
+    assert by_stage["clusters"]["resumed"] is False

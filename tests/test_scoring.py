@@ -90,3 +90,18 @@ def test_kb_loading_recall(spark):
     r = SC.kb_loading_recall(kb, gold)
     assert r.recall == pytest.approx(0.5)
     assert r.missed == 1
+
+
+def test_pairwise_f1_dropped_mention_counts_as_fn(spark):
+    """A labeled pair whose mention was dropped upstream (absent from the
+    assignments) must score pred=0: label=1 pairs become FALSE NEGATIVES
+    instead of silently leaving the metric (ADVICE r1)."""
+    a = assign(spark, [("m1", "c1"), ("m2", "c1")])
+    lp = spark.createDataFrame(
+        [("m1", "m2", "k", 1), ("m1", "mGONE", "k", 1), ("m2", "mGONE", "k", 0)],
+        "key_a string, key_b string, block_key string, label int",
+    )
+    r = SC.pairwise_f1(a, lp)
+    assert (r.tp, r.fp, r.fn) == (1, 0, 1)
+    assert r.dropped_pairs == 2
+    assert r.recall == 0.5
