@@ -625,6 +625,283 @@ def q_f5_wikipedia_link(spark, sf):
     )
 
 
+# --- preprocessors / coref / candidate-combination / resolver cascade ------
+
+ACRONYM_MAP = {
+    "customer#000000001": "First Customer",
+    "customer#000000010": "Tenth Customer",
+}
+STEM_MAP = {"lemon": "citrus", "navy": "blue", "metallic": "metal"}
+USERNAME_MAP = {"user1": "Alice Example", "user3": "Bob Sample"}
+
+
+def q_p7_acronym_replace(spark, sf):
+    """P7 AcronymReplacer (preprocessor.py:257-275): CI broadcast-join
+    replacement of full mention strings."""
+    from hamerkop_spark.operators.preprocess import acronym_replacer
+
+    cust = _t(spark, sf, "customer")
+    m = cust.select("c_custkey", F.col("c_name").alias("string"))
+    out = acronym_replacer(ACRONYM_MAP, ci=True)(m)
+    return out.select("c_custkey", F.col("string").alias("resolved"))
+
+
+def q_p9_name_stemmer(spark, sf):
+    """P9 NameStemmer / T10 DictStemmer (preprocessor.py:302-318): per-token
+    CI stem lookup, identity otherwise."""
+    from hamerkop_spark.operators.preprocess import name_stemmer
+
+    part = _t(spark, sf, "part")
+    m = part.select("p_partkey", F.lower("p_name").alias("string"))
+    out = name_stemmer(STEM_MAP)(m)
+    return out.select("p_partkey", F.col("string").alias("stemmed"))
+
+
+def q_p10_twitter_username(spark, sf):
+    """P10 TwitterUsernameReplacer (preprocessor.py:321-345): twitter docs
+    only, strip '@', chop one trailing non-word char, map to screen name."""
+    from hamerkop_spark.operators.preprocess import twitter_username_replacer
+
+    docs = _t(spark, sf, "documents")
+    m = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("@user"), (F.col("doc_id") % 7).cast("string"), F.lit(".")
+        ).alias("string"),
+        F.when(F.col("doc_id") % 2 == 0, "twitter")
+        .otherwise("newswire")
+        .alias("doc_type"),
+    )
+    out = twitter_username_replacer(USERNAME_MAP)(m)
+    return out.select("doc_id", F.col("string").alias("resolved"))
+
+
+def q_p11_hashtag_split(spark, sf):
+    """P11 TwitterHashtagProcessor (preprocessor.py:348-368): '#CamelCase'
+    -> 'Camel Case' via the reference's [A-Z]*[a-z]* findall."""
+    from hamerkop_spark.operators.preprocess import twitter_hashtag_processor
+
+    part = _t(spark, sf, "part")
+    camel = F.array_join(
+        F.transform(
+            F.split("p_name", " "),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1 << 30)),
+        ),
+        "",
+    )
+    m = part.select(
+        "p_partkey", F.concat(F.lit("#"), camel).alias("string")
+    )
+    out = twitter_hashtag_processor(m)
+    return out.select("p_partkey", F.col("string").alias("split_name"))
+
+
+def q_c4_single_token_merge(spark, sf):
+    """C4 SingleTokenMatchStage (coref.py:338-382): single-token chains
+    merge with chains whose multi-token name ends with that token, CI,
+    same doc + type. Chains here: parts within a brand."""
+    from hamerkop_spark.operators.coref import single_token_match_stage
+
+    part = _t(spark, sf, "part")
+    m = part.select(
+        F.col("p_brand").alias("doc_id"),
+        F.col("p_partkey").cast("string").alias("chain_id"),
+        F.lit("PER").alias("type"),
+        F.when(
+            F.col("p_partkey") % 13 == 0,
+            F.element_at(F.split("p_name", " "), -1),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("string"),
+        F.lit(0).alias("char_start"),
+        F.col("p_partkey").cast("string").alias("mention_id"),
+    )
+    return single_token_match_stage(-1)(m)
+
+
+def _demo_candidate_sets(spark, sf):
+    """Two blocking generators over part (exact lowered-name key, then the
+    portable-soundex first-token key) — the inputs for B7/B8."""
+    from hamerkop_spark.functions.phonetic import soundex_portable
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+
+    part = _t(spark, sf, "part")
+    chains = part.where(F.col("p_partkey") % 17 == 0).select(
+        F.lit("d").alias("doc_id"),
+        F.col("p_partkey").cast("string").alias("chain_id"),
+        F.lit("T").alias("type"),
+        F.col("p_name").alias("name"),
+    )
+    kb_names = part.select(
+        F.col("p_partkey").cast("string").alias("entity_id"),
+        F.lit("T").alias("type"),
+        F.col("p_name").alias("name"),
+        F.lit(0).alias("name_idx"),
+        F.lower("p_name").alias("exact_key"),
+    )
+    set1 = exact_match_candidates(chains, kb_names)
+    probe = chains.withColumn(
+        "pkey", soundex_portable(F.element_at(F.split("name", " "), 1))
+    )
+    build = kb_names.select(
+        "type",
+        soundex_portable(F.element_at(F.split("name", " "), 1)).alias("pkey"),
+        "entity_id",
+    ).distinct()
+    hits = probe.join(build, ["type", "pkey"]).select(
+        "doc_id", "chain_id", "entity_id"
+    ).distinct()
+    w = Window.partitionBy("doc_id", "chain_id").orderBy("entity_id")
+    set2 = (
+        hits.withColumn("retrieval_rank", F.row_number().over(w))
+        .where(F.col("retrieval_rank") <= 25)
+        .withColumn("source", F.lit("phonetic"))
+    )
+    return set1, set2
+
+
+def q_b7_combine_candidates(spark, sf):
+    """B7 CombiningGenerator (candidates.py:102-118): union generator
+    outputs, dedupe per (chain, entity) keeping the earliest
+    (source order, rank)."""
+    from hamerkop_spark.operators.blocking import combine_candidates
+
+    set1, set2 = _demo_candidate_sets(spark, sf)
+    return combine_candidates(set1, set2)
+
+
+def q_b8_cascade_candidates(spark, sf):
+    """B8 CascadeGenerator (candidates.py:121-141): a chain stops accepting
+    later generators once earlier ones supplied num_candidates."""
+    from hamerkop_spark.operators.blocking import cascade_candidates
+
+    set1, set2 = _demo_candidate_sets(spark, sf)
+    return cascade_candidates([set1, set2], num_candidates=3)
+
+
+def q_r3_wikipedia_resolver(spark, sf):
+    """R3 WikipediaResolver (resolver.py:275-303): one/many/none narrowing
+    keyed on the wikipedia-link match, over brand-blocked part pairs."""
+    from hamerkop_spark.operators.resolve import wikipedia_resolver
+
+    part = _t(spark, sf, "part")
+    chains = part.where(F.col("p_partkey") % 17 == 0).select(
+        F.lit("d").alias("doc_id"),
+        F.col("p_partkey").cast("string").alias("chain_id"),
+        F.array("p_name").alias("chain_names"),
+        F.col("p_brand").alias("brand"),
+    )
+    cands = part.select(
+        F.col("p_partkey").cast("string").alias("entity_id"),
+        F.col("p_brand").alias("brand"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.array(
+                F.concat(
+                    F.lit("http://en.wikipedia.org/wiki/"),
+                    F.regexp_replace("p_name", " ", "_"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("entity_urls"),
+    )
+    pairs = chains.join(cands, "brand").drop("brand")
+    decisions, _rem = wikipedia_resolver(pairs)
+    return decisions.select("chain_id", F.col("entity_id").alias("decided"))
+
+
+def q_r6_cascade_resolver(spark, sf):
+    """R6 CascadeResolver (resolver.py:192-213): exact-name one/many/none
+    first, then a thresholded linear argmax over the narrowed residue —
+    resolved chains leave the pool between stages."""
+    from hamerkop_spark.operators.resolve import (
+        cascade_resolver,
+        exact_name_resolver,
+        linear_resolver,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    pairs = li.select(
+        F.lit("d").alias("doc_id"),
+        F.col("l_orderkey").cast("string").alias("chain_id"),
+        F.concat_ws(
+            "#",
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("entity_id"),
+        F.array((F.col("l_orderkey") % 50).cast("string")).alias("chain_names"),
+        F.array((F.col("l_partkey") % 50).cast("string")).alias("entity_names"),
+        F.col("l_quantity").cast("double").alias("f_q"),
+    )
+    decisions = cascade_resolver(
+        pairs,
+        [exact_name_resolver, linear_resolver({"f_q": 1.0}, 0.0, 30.0)],
+    )
+    return decisions.select("chain_id", F.col("entity_id").alias("decided"))
+
+
+def q_t14_doc_type(spark, sf):
+    """T14 DocType.detect by doc-id substring (core.py:50-70)."""
+    from hamerkop_spark.functions.strings import doc_type_from_id
+
+    docs = _t(spark, sf, "documents")
+    tag = (
+        F.when(F.col("doc_id") % 5 == 0, "_SN_")
+        .when(F.col("doc_id") % 5 == 1, "_WL_")
+        .when(F.col("doc_id") % 5 == 2, "_RF_")
+        .when(F.col("doc_id") % 5 == 3, "_DF_")
+        .otherwise("_XX_")
+    )
+    ids = F.concat(F.lit("doc"), tag, F.col("doc_id").cast("string"))
+    return (
+        docs.select(doc_type_from_id(ids).alias("doc_type"))
+        .groupBy("doc_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_t15_entity_origin(spark, sf):
+    """T15 EntityOrigin.create normalization (core.py:27-47)."""
+    from hamerkop_spark.functions.strings import entity_origin
+
+    cust = _t(spark, sf, "customer")
+    code = (
+        F.when(F.col("c_custkey") % 6 == 0, "GEO")
+        .when(F.col("c_custkey") % 6 == 1, "WLL")
+        .when(F.col("c_custkey") % 6 == 2, "APB")
+        .when(F.col("c_custkey") % 6 == 3, "AUG-geo")
+        .when(F.col("c_custkey") % 6 == 4, "geonames")
+        .otherwise("junk")
+    )
+    return (
+        cust.select(entity_origin(code).alias("origin"))
+        .groupBy("origin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_t5_remove_double_letter(spark, sf):
+    """T5 remove_double_letter (string.py:66-69): ([a-zA-Z])\\1+ -> \\1."""
+    from hamerkop_spark.functions.strings import remove_double_letter
+
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey", remove_double_letter(F.col("p_name")).alias("dedoubled")
+    )
+
+
+def q_t2_unicode_punct(spark, sf):
+    """T2 remove_unicode_punct (string.py:46-49): category-P strip."""
+    from hamerkop_spark.functions.strings import remove_unicode_punct
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.length(remove_unicode_punct(F.col("text"))).alias("clean_len")
+    )
+
+
 # --- hash-keyed operators, md5-derived variants so DuckDB can oracle them --
 
 MINHASH_HASHES = 32
@@ -731,7 +1008,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_acronym_key": q_c3_acronym_key,
         "chains_agg": q_chains_agg,
         "f5_wikipedia_link": q_f5_wikipedia_link,
-        # rows-only (non-portable hash primitives)
+        "p7_acronym_replace": q_p7_acronym_replace,
+        "p9_name_stemmer": q_p9_name_stemmer,
+        "p10_twitter_username": q_p10_twitter_username,
+        "p11_hashtag_split": q_p11_hashtag_split,
+        "c4_single_token_merge": q_c4_single_token_merge,
+        "b7_combine_candidates": q_b7_combine_candidates,
+        "b8_cascade_candidates": q_b8_cascade_candidates,
+        "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
+        "r6_cascade_resolver": q_r6_cascade_resolver,
+        "t14_doc_type": q_t14_doc_type,
+        "t15_entity_origin": q_t15_entity_origin,
+        "t5_remove_double_letter": q_t5_remove_double_letter,
+        "t2_unicode_punct": q_t2_unicode_punct,
+        # md5-derived variants (oracle-expressible hash primitives)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "b_phonetic_soundex": q_b_phonetic_soundex,
@@ -918,6 +1208,57 @@ def _embedding_neardup_sql() -> str:
         )
         SELECT src, dst, round(round(cosine, 6), 4) AS cosine
         FROM scored WHERE cosine >= 0.25
+    """
+
+
+def _case_arms(mapping: dict[str, str]) -> str:
+    """CASE WHEN arms generated from the same dict the Spark query uses,
+    so the oracle cannot drift from the query's replacement map."""
+    return "\n                     ".join(
+        "WHEN '{k}' THEN '{v}'".format(k=k.replace("'", "''"), v=v.replace("'", "''"))
+        for k, v in mapping.items()
+    )
+
+
+def _candidate_sets_sql() -> str:
+    """Shared CTE prefix for the B7/B8 oracles: the same two candidate
+    generators q_b7/q_b8 build Spark-side (exact lowered-name key, then
+    the portable-soundex first-token key over part)."""
+    from hamerkop_spark.functions.phonetic import soundex_portable_sql
+
+    sx = soundex_portable_sql("string_split(name, ' ')[1]")
+    return f"""
+            WITH chains AS (
+              SELECT 'd' AS doc_id, p_partkey::VARCHAR AS chain_id,
+                     p_name AS name
+              FROM part WHERE p_partkey % 17 = 0
+            ), kb AS (
+              SELECT p_partkey::VARCHAR AS entity_id,
+                     lower(p_name) AS exact_key, p_name AS name
+              FROM part
+            ), set1 AS (
+              SELECT doc_id, chain_id, entity_id, 'exact' AS source,
+                     0 AS source_rank,
+                     row_number() OVER (PARTITION BY doc_id, chain_id
+                       ORDER BY entity_id) AS retrieval_rank
+              FROM (SELECT DISTINCT c.doc_id, c.chain_id, k.entity_id
+                    FROM chains c JOIN kb k ON lower(c.name) = k.exact_key)
+            ), pr AS (
+              SELECT doc_id, chain_id, {sx} AS pkey FROM chains
+            ), bd AS (
+              SELECT DISTINCT {sx} AS pkey, entity_id FROM kb
+            ), set2 AS (
+              SELECT doc_id, chain_id, entity_id, 'phonetic' AS source,
+                     1 AS source_rank, rr AS retrieval_rank
+              FROM (SELECT doc_id, chain_id, entity_id,
+                           row_number() OVER (PARTITION BY doc_id, chain_id
+                             ORDER BY entity_id) AS rr
+                    FROM (SELECT DISTINCT p.doc_id, p.chain_id, b.entity_id
+                          FROM pr p JOIN bd b ON p.pkey = b.pkey))
+              WHERE rr <= 25
+            ), u AS (
+              SELECT * FROM set1 UNION ALL SELECT * FROM set2
+            )
     """
 
 
@@ -1357,5 +1698,175 @@ def oracle_sql() -> dict[str, str]:
                    string_split(string_split(extents, ':')[2], '-')[2]::BIGINT
                      AS ref_len
             FROM p
+        """,
+        "p7_acronym_replace": f"""
+            SELECT c_custkey,
+                   CASE lower(c_name)
+                     {_case_arms(ACRONYM_MAP)}
+                     ELSE c_name END AS resolved
+            FROM customer
+        """,
+        "p9_name_stemmer": f"""
+            SELECT p_partkey,
+                   array_to_string(list_transform(
+                     string_split(lower(p_name), ' '),
+                     t -> CASE t {_case_arms(STEM_MAP)} ELSE t END), ' ')
+                     AS stemmed
+            FROM part
+        """,
+        "p10_twitter_username": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     CASE 'user' || (doc_id % 7)::VARCHAR
+                       {_case_arms(USERNAME_MAP)}
+                       ELSE '@user' || (doc_id % 7)::VARCHAR || '.' END
+                   ELSE '@user' || (doc_id % 7)::VARCHAR || '.' END AS resolved
+            FROM documents
+        """,
+        "p11_hashtag_split": """
+            SELECT p_partkey,
+                   array_to_string(list_transform(string_split(p_name, ' '),
+                     w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ')
+                     AS split_name
+            FROM part
+        """,
+        "c4_single_token_merge": """
+            WITH m AS (
+              SELECT p_brand AS doc_id, p_partkey::VARCHAR AS chain_id,
+                     CASE WHEN p_partkey % 13 = 0
+                          THEN (string_split(p_name, ' '))[-1]
+                          ELSE p_name END AS s
+              FROM part
+            ), singles AS (
+              SELECT DISTINCT doc_id, chain_id AS single_chain, lower(s) AS tok
+              FROM m WHERE NOT contains(s, ' ')
+            ), multis AS (
+              SELECT DISTINCT doc_id, chain_id AS multi_chain,
+                     lower((string_split(s, ' '))[-1]) AS tok
+              FROM m WHERE contains(s, ' ')
+            )
+            SELECT DISTINCT si.single_chain AS src, mu.multi_chain AS dst
+            FROM singles si
+            JOIN multis mu ON si.doc_id = mu.doc_id AND si.tok = mu.tok
+            WHERE si.single_chain <> mu.multi_chain
+        """,
+        "b7_combine_candidates": _candidate_sets_sql() + """
+            SELECT doc_id, chain_id, entity_id, source, source_rank,
+                   retrieval_rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, chain_id, entity_id
+                    ORDER BY source_rank, retrieval_rank, source) AS rn
+                  FROM u)
+            WHERE rn = 1
+        """,
+        "b8_cascade_candidates": _candidate_sets_sql() + """
+            , flat AS (
+              SELECT doc_id, chain_id, entity_id, source_rank,
+                     retrieval_rank, source
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, chain_id, entity_id
+                      ORDER BY source_rank, retrieval_rank, source) AS rn
+                    FROM u)
+              WHERE rn = 1
+            ), counts AS (
+              SELECT doc_id, chain_id, source_rank, count(*) AS cnt
+              FROM flat GROUP BY 1, 2, 3
+            ), cum AS (
+              SELECT doc_id, chain_id, source_rank,
+                     coalesce(sum(cnt) OVER (PARTITION BY doc_id, chain_id
+                       ORDER BY source_rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prior
+              FROM counts
+            )
+            SELECT f.doc_id, f.chain_id, f.entity_id, f.source_rank,
+                   f.retrieval_rank, f.source
+            FROM flat f
+            JOIN cum c ON f.doc_id = c.doc_id AND f.chain_id = c.chain_id
+              AND f.source_rank = c.source_rank
+            WHERE c.prior < 3
+        """,
+        "r3_wikipedia_resolver": """
+            WITH chains AS (
+              SELECT p_partkey::VARCHAR AS chain_id, p_name, p_brand
+              FROM part WHERE p_partkey % 17 = 0
+            ), cands AS (
+              SELECT p_partkey::VARCHAR AS entity_id, p_brand,
+                     p_name AS ename, (p_partkey % 2 = 0) AS has_url
+              FROM part
+            ), pairs AS (
+              SELECT c.chain_id, e.entity_id,
+                     CASE WHEN e.has_url AND lower(e.ename) = lower(c.p_name)
+                          THEN 1 ELSE 0 END AS m
+              FROM chains c JOIN cands e ON c.p_brand = e.p_brand
+            ), s AS (
+              SELECT chain_id, entity_id, m,
+                     sum(m) OVER (PARTITION BY chain_id) AS n_match
+              FROM pairs
+            )
+            SELECT chain_id, entity_id AS decided
+            FROM s WHERE n_match = 1 AND m = 1
+        """,
+        "r6_cascade_resolver": """
+            WITH pairs AS (
+              SELECT l_orderkey::VARCHAR AS chain_id,
+                     l_partkey::VARCHAR || '#' || l_suppkey::VARCHAR || '#'
+                       || l_linenumber::VARCHAR AS entity_id,
+                     CASE WHEN (l_orderkey % 50) = (l_partkey % 50)
+                          THEN 1 ELSE 0 END AS m,
+                     l_quantity::DOUBLE AS f_q
+              FROM lineitem
+            ), s1 AS (
+              SELECT *, sum(m) OVER (PARTITION BY chain_id) AS n_match
+              FROM pairs
+            ), d1 AS (
+              SELECT chain_id, entity_id FROM s1 WHERE n_match = 1 AND m = 1
+            ), rem AS (
+              SELECT chain_id, entity_id, f_q
+              FROM s1 WHERE n_match <> 1 AND (n_match = 0 OR m = 1)
+            ), r2 AS (
+              SELECT chain_id, entity_id, f_q,
+                     row_number() OVER (PARTITION BY chain_id
+                       ORDER BY f_q DESC, entity_id) AS rn
+              FROM rem
+            ), d2 AS (
+              SELECT chain_id, entity_id FROM r2 WHERE rn = 1 AND f_q >= 30.0
+            )
+            SELECT chain_id, entity_id AS decided FROM d1
+            UNION ALL
+            SELECT chain_id, entity_id FROM d2
+        """,
+        "t14_doc_type": """
+            SELECT CASE doc_id % 5
+                     WHEN 0 THEN 'twitter' WHEN 1 THEN 'blog'
+                     WHEN 2 THEN 'reference' WHEN 3 THEN 'discussion forum'
+                   END AS doc_type,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "t15_entity_origin": """
+            SELECT CASE c_custkey % 6
+                     WHEN 0 THEN 'geonames' WHEN 1 THEN 'cia world leaders'
+                     WHEN 2 THEN 'cia world orgs' WHEN 3 THEN 'augmentation'
+                     WHEN 4 THEN 'geonames'
+                   END AS origin,
+                   count(*) AS n
+            FROM customer GROUP BY 1
+        """,
+        "t5_remove_double_letter": """
+            WITH c AS (
+              SELECT p_partkey, string_split(p_name, '') AS chars FROM part
+            )
+            SELECT p_partkey,
+                   array_to_string(list_filter(chars,
+                     (ch, i) -> i = 1 OR ch <> chars[i-1]
+                       OR NOT (ch BETWEEN 'a' AND 'z'
+                               OR ch BETWEEN 'A' AND 'Z')), '') AS dedoubled
+            FROM c
+        """,
+        "t2_unicode_punct": r"""
+            SELECT doc_id,
+                   length(regexp_replace(text, '\p{P}', '', 'g')) AS clean_len
+            FROM documents
         """,
     }

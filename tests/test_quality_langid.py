@@ -55,6 +55,38 @@ def test_quality_score_ordering(spark):
     ("مرحبا بالعالم هذا اختبار", "ara"),
     ("你好世界这是一个测试", "cmn"),
     ("ሰላም ለዓለም ይህ ሙከራ ነው", "amh"),
+    # T17 widened coverage: scripts
+    ("これはテストですこんにちは", "jpn"),
+    ("東京タワーへようこそです", "jpn"),  # kanji + kana -> jpn, not cmn
+    ("안녕하세요 세계 이것은 테스트입니다", "kor"),
+    ("Γειά σου κόσμε αυτό είναι δοκιμή", "ell"),
+    ("שלום עולם זה מבחן", "heb"),
+    ("नमस्ते दुनिया यह एक परीक्षण है", "hin"),
+    ("হ্যালো বিশ্ব এটি একটি পরীক্ষা", "ben"),
+    ("வணக்கம் உலகம் இது ஒரு சோதனை", "tam"),
+    ("హలో ప్రపంచం ఇది ఒక పరీక్ష", "tel"),
+    ("สวัสดีชาวโลกนี่คือการทดสอบ", "tha"),
+    ("გამარჯობა მსოფლიო ეს ტესტია", "kat"),
+    ("Բարեւ աշխարհ սա փորձարկում է", "hye"),
+    # script refinements
+    ("Привіт світ це тест українською мовою і їжак", "ukr"),
+    ("سلام دنیا این یک آزمایش است و گچ پژ", "fas"),
+    ("یہ ایک ٹیسٹ ہے اور ڈاک ہے", "urd"),
+    # T17 widened coverage: Latin stopword languages
+    ("o gato não é uma casa e os cães do mar", "por"),
+    ("il gatto che corre è di casa e che bello", "ita"),
+    ("het huis is een kat van de man en niet groot", "nld"),
+    ("to się nie uda bo jest w domu się", "pol"),
+    ("bu bir test ve bu ev için bir şey", "tur"),
+    ("đây là của tôi và nó là không tốt", "vie"),
+    ("ini yang terbaik dan ada di sini yang lain", "ind"),
+    ("hii ni nzuri ya watu na kwa sababu ya hayo", "swa"),
+    ("to je test a že se to na stole se povedlo", "ces"),
+    ("aceasta este și un test să fie în regulă este", "ron"),
+    ("ez és egy teszt nem az ami és egy ház", "hun"),
+    ("det är ett test och att det är bra och fint", "swe"),
+    ("det er en test og det er godt og fint til os", "dan"),
+    ("tämä on testi ja se on hyvä ei että niin ja", "fin"),
 ])
 def test_detect_lang(spark, text, expected):
     assert one(spark, L.detect_lang, text) == expected
@@ -62,6 +94,21 @@ def test_detect_lang(spark, text, expected):
 
 def test_normalize_lang_code(spark):
     assert one(spark, L.normalize_lang_code, "en") == "eng"
-    assert one(spark, L.normalize_lang_code, "zh-CN") == "cmn"
+    assert one(spark, L.normalize_lang_code, "zh-CN") == "zho"
     assert one(spark, L.normalize_lang_code, "eng") == "eng"
     assert one(spark, L.normalize_lang_code, "xx") == "xx"
+
+
+def test_iso_map_matches_reference():
+    """T16 differential: the full ISO 639-1 -> 639-3 table equals the
+    reference's standard table (lang.py:10-195) on every entry, plus the
+    zh-cn/zh-tw fold (lang.py:435-436)."""
+    import re
+
+    src = open("/root/reference/hamerkop/lang.py").read()
+    m = re.search(r"ISO_MAPPING = \{(.*?)\}", src, re.S)
+    ref = dict(re.findall(r"'([a-z-]+)':\s*'([a-z]+)'", m.group(1)))
+    ours = dict(L.ISO1_TO_ISO3)
+    assert ours.pop("zh-cn") == ref["zh"]
+    assert ours.pop("zh-tw") == ref["zh"]
+    assert ours == ref
