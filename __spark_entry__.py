@@ -915,15 +915,17 @@ EMB_DIM = 64
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash-LSH dedup pairs over word-3-shingles, md5-derived hashes
-    (operators/dedup.minhash_dedup_pairs hash_fn='md5' — same LSH
-    semantics as the xxhash64 engine default, DuckDB-reproducible)."""
+    """MinHash-LSH dedup pairs over word-3-shingles, md5perm hashes
+    (operators/dedup.minhash_dedup_pairs hash_fn='md5perm': ONE md5 per
+    shingle + universal-hash permutations — same LSH semantics as the
+    xxhash64 engine default, DuckDB-reproducible at ~1/32 the digest
+    cost of the old per-seed md5 variant)."""
     from hamerkop_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf, "documents").selectExpr("cast(doc_id as string) doc_id", "text")
     return minhash_dedup_pairs(
         docs, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
-        max_bucket=MINHASH_MAX_BUCKET, hash_fn="md5",
+        max_bucket=MINHASH_MAX_BUCKET, hash_fn="md5perm",
     )
 
 
@@ -1035,14 +1037,19 @@ def _hexparse(e: str) -> str:
 
 
 def _minhash_lsh_sql() -> str:
-    """DuckDB twin of q_dedup_minhash_lsh (md5-variant minhash_dedup_pairs):
-    normalize -> word-3-shingles -> 32 min-hash aggregates -> 8 md5 band
-    buckets -> bucket-size cap -> within-bucket pairs."""
+    """DuckDB twin of q_dedup_minhash_lsh (md5perm minhash_dedup_pairs):
+    normalize -> word-3-shingles -> one 32-bit md5 base hash -> 32
+    universal-hash min aggregates (same perm_coeffs constants as the
+    Spark side) -> 8 md5 band buckets -> bucket cap -> pairs."""
     import string as _string
+
+    from hamerkop_spark.operators.blocking import PERM_MOD, perm_coeffs
 
     punct_lit = _string.punctuation.replace("'", "''")
     mins = ",\n         ".join(
-        "min({h}) AS mh{s}".format(h=_hexparse(f"'{s + 1}:' || e"), s=s)
+        "min(({a} * h0 + {b}) % {p}) AS mh{s}".format(
+            a=perm_coeffs(s)[0], b=perm_coeffs(s)[1], p=PERM_MOD, s=s
+        )
         for s in range(MINHASH_HASHES)
     )
     rpb = MINHASH_HASHES // MINHASH_BANDS
@@ -1073,9 +1080,11 @@ def _minhash_lsh_sql() -> str:
           FROM tokd
         ), elems AS (
           SELECT DISTINCT id, unnest(sh) AS e FROM shingled WHERE len(sh) > 0
+        ), hashed AS (
+          SELECT id, ('0x' || substr(md5(e), 1, 8))::BIGINT AS h0 FROM elems
         ), sigs AS (
           SELECT id, {mins}
-          FROM elems GROUP BY id
+          FROM hashed GROUP BY id
         ), bands AS (
           {band_selects}
         ), sized AS (

@@ -238,23 +238,35 @@ def phonetic_candidates(
     limit: int = 25,
     source: str | None = None,
 ) -> DataFrame:
-    """Phonetic blocking (north_rule): equi-join on Soundex (native) or
-    metaphone (Arrow UDF) of the name, within type. Deterministic top-k
-    per chain by entity_id."""
+    """Phonetic blocking (north_rule): equi-join on Soundex (native),
+    metaphone (Arrow UDF), or double_metaphone (Arrow UDF; both readings
+    exploded, so a probe links through EITHER the anglicized or the
+    continental key) of the name, within type. Deterministic top-k per
+    chain by entity_id."""
     if key == "soundex":
-        keyfn = lambda c: soundex_key(c)  # noqa: E731
+        keyfn = lambda c: F.array(soundex_key(c))  # noqa: E731
     elif key == "metaphone":
-        keyfn = lambda c: metaphone_udf(c)  # noqa: E731
+        keyfn = lambda c: F.array(metaphone_udf(c))  # noqa: E731
+    elif key == "double_metaphone":
+        from hamerkop_spark.functions.phonetic import double_metaphone_udf
+
+        keyfn = double_metaphone_udf
     else:
         raise ValueError(f"unknown phonetic key: {key}")
     probe = (
         chains.select("doc_id", "chain_id", "type", F.col(name_col).alias("qname"))
         .where(F.col(name_col).isNotNull())
-        .withColumn("pkey", keyfn(F.col("qname")))
+        .select(
+            "doc_id", "chain_id", "type", "qname",
+            F.explode(keyfn(F.col("qname"))).alias("pkey"),
+        )
         .where(F.col("pkey").isNotNull() & (F.col("pkey") != ""))
     )
     build = (
-        kb_names.withColumn("pkey", keyfn(F.col("name")))
+        kb_names.select(
+            "type", "entity_id",
+            F.explode(keyfn(F.col("name"))).alias("pkey"),
+        )
         .where(F.col("pkey").isNotNull() & (F.col("pkey") != ""))
         .select("type", "pkey", "entity_id")
         .distinct()
@@ -268,6 +280,30 @@ def phonetic_candidates(
         .where(F.col("retrieval_rank") <= limit)
         .withColumn("source", F.lit(source or f"phonetic_{key}"))
     )
+
+
+PERM_MOD = 1 << 32
+
+
+def perm_coeffs(s: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for permutation `s`.
+    Shared by the Spark operators and the generated DuckDB oracle SQL so
+    the two cannot drift. The multiplier is ODD, so x -> (a*x + b) mod
+    2^32 is a bijection of the 32-bit base-hash domain that wraps ~2^30
+    times — proper mixing. (A modulus much larger than a*max(h0), e.g.
+    2^61-1, would wrap only a handful of times, leaving the 'permutation'
+    piecewise-monotone in h0 and the minima of all num_hashes functions
+    correlated — inflating LSH false-positive bands.) 31-bit a times a
+    32-bit h0 stays under 2^63: no BIGINT overflow in either engine."""
+    a = ((0x9E3779B1 * (s + 1)) & 0x7FFFFFFF) | 1
+    b = (0x85EBCA77 * (s + 1)) & 0x7FFFFFFF
+    return a, b
+
+
+def md5_base32(col) -> Column:
+    """32-bit base hash from the md5 hex digest — one digest per element,
+    identical in DuckDB as ('0x' || substr(md5(e), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 def seeded_hash64(col, seed: int, hash_fn: str = "xxhash64"):
@@ -300,12 +336,29 @@ def minhash_signature(
     each partition to one row per id before the shuffle.
 
     Output: (id_cols..., sig: array<bigint>) with sig[i] = min over
-    elements of seeded_hash64(elem, i+1)."""
+    elements of seeded_hash64(elem, i+1).
+
+    hash_fn='md5perm' hashes each element ONCE (md5 -> 32-bit base) and
+    derives the num_hashes values as universal-hash permutations
+    (a_s * h0 + b_s) mod (2^61 - 1) — native integer arithmetic, so the
+    oracle-checkable variant costs one digest per element instead of
+    num_hashes digests."""
     elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
-    mins = [
-        F.min(seeded_hash64(F.col("elem"), s + 1, hash_fn)).alias(f"_mh{s}")
-        for s in range(num_hashes)
-    ]
+    if hash_fn == "md5perm":
+        elems = elems.withColumn("_h0", md5_base32(F.col("elem")))
+        mins = []
+        for s in range(num_hashes):
+            a, b = perm_coeffs(s)
+            mins.append(
+                F.min(
+                    (F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(PERM_MOD)
+                ).alias(f"_mh{s}")
+            )
+    else:
+        mins = [
+            F.min(seeded_hash64(F.col("elem"), s + 1, hash_fn)).alias(f"_mh{s}")
+            for s in range(num_hashes)
+        ]
     agg = elems.groupBy(*id_cols).agg(*mins)
     return agg.select(
         *id_cols,
@@ -331,7 +384,9 @@ def minhash_bands(
             ),
             ",",
         )
-        return F.xxhash64(joined) if hash_fn == "xxhash64" else F.md5(joined)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(joined)
+        return F.md5(joined)  # md5 and md5perm band identically
 
     bands = F.array(*[bucket_of(b) for b in range(num_bands)])
     return signatures.select(

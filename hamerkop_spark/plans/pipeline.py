@@ -261,6 +261,13 @@ def run_pipeline(
                         chains, kb_names, key="soundex", limit=candidate_limit
                     )
                 )
+            elif gen == "double_metaphone":
+                sets.append(
+                    B.phonetic_candidates(
+                        chains, kb_names, key="double_metaphone",
+                        limit=candidate_limit,
+                    )
+                )
             elif gen == "minhash":
                 sets.append(
                     B.minhash_lsh_candidates(

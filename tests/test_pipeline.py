@@ -70,7 +70,8 @@ def test_noisy_corpus_fuzzy_path(spark, tmp_path):
     noisy = make_corpus(spark, n_docs=40, seed=7, misspell_prob=0.3)
     res = run_pipeline(
         spark, noisy, str(tmp_path / "noisy"), resume=False,
-        generators=("exact", "ngram", "phonetic", "minhash"),
+        generators=("exact", "ngram", "phonetic", "double_metaphone",
+                    "minhash"),
     )
     ev = evaluate_pipeline(res, noisy["labeled_pairs"])
     assert ev.tp + ev.fn > 0

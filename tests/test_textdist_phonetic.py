@@ -147,3 +147,101 @@ def test_soundex_portable_vectors(spark):
     got = {r["name"]: r["sx"] for r in
            df.select("name", soundex_portable(F.col("name")).alias("sx")).collect()}
     assert got == cases
+
+
+def test_double_metaphone_published_vectors():
+    """Double Metaphone (Philips, C/C++ Users Journal 2000) against the
+    widely-published vector set, incl. the ambiguous-reading pairs
+    (anglicized vs continental) and the slavo-germanic branch."""
+    from hamerkop_spark.functions.phonetic import double_metaphone_py as dm
+
+    assert dm("Smith") == ("SM0", "XMT")
+    assert dm("Schmidt") == ("XMT", "SMT")
+    assert dm("Johnson") == ("JNSN", "ANSN")
+    assert dm("Williams") == ("ALMS", "FLMS")
+    assert dm("Jones") == ("JNS", "ANS")
+    assert dm("Jackson") == ("JKSN", "AKSN")
+    assert dm("Wilson") == ("ALSN", "FLSN")
+    assert dm("White") == ("AT", "AT")
+    assert dm("Garcia") == ("KRS", "KRX")
+    assert dm("Wright") == ("RT", "RT")
+    assert dm("Knight") == ("NT", "NT")
+    assert dm("Philip") == ("FLP", "FLP")
+    assert dm("Katherine") == ("K0RN", "KTRN")
+    assert dm("Michael") == ("MKL", "MXL")
+    assert dm("Jose") == ("HS", "HS")
+    assert dm("San Jose") == ("SNHS", "SNHS")
+    assert dm("Xavier") == ("SF", "SFR")
+    assert dm("Young") == ("ANK", "ANK")
+    assert dm("Mitchell") == ("MXL", "MXL")
+    assert dm("Thomas") == ("TMS", "TMS")
+    assert dm("Wasserman") == ("ASRMN", "FSRMN")
+    assert dm("Vasserman") == ("FSRMN", "FSRMN")
+    assert dm("Arnow") == ("ARN", "ARNF")
+    assert dm("Arnoff") == ("ARNF", "ARNF")
+    assert dm("filipowicz") == ("FLPTS", "FLPFX")
+    assert dm("") == ("", "")
+    assert dm("123") == ("", "")
+
+
+def test_double_metaphone_groups_misspellings():
+    """The blocking property: common misspellings / hearings of PER
+    names share at least one DM key (primary OR secondary)."""
+    from hamerkop_spark.functions.phonetic import double_metaphone_py as dm
+
+    pairs = [
+        ("Smith", "Smyth"), ("Catherine", "Katherine"),
+        ("Jonson", "Johnson"), ("Phillip", "Filip"),
+        ("Stephen", "Steven"), ("Meyer", "Maier"),
+        ("Schwartz", "Shwartz"), ("Peterson", "Petersen"),
+    ]
+    for a, b in pairs:
+        ka, kb = set(dm(a)), set(dm(b))
+        assert ka & kb, (a, b, ka, kb)
+
+
+def test_double_metaphone_blocking(spark):
+    """double_metaphone key family in phonetic_candidates: misspelled
+    probes retrieve their entity; recall on the misspelled PER set is
+    >= the char-ngram path's on the same names."""
+    from pyspark.sql import functions as F
+
+    from hamerkop_spark.operators.blocking import (
+        build_ngram_postings,
+        ngram_candidates,
+        phonetic_candidates,
+    )
+
+    gold = [
+        ("E0", "Smith"), ("E1", "Johnson"), ("E2", "Katherine"),
+        ("E3", "Steven"), ("E4", "Schwartz"), ("E5", "Peterson"),
+        ("E6", "Meyer"), ("E7", "Phillip"),
+    ]
+    probes = [
+        ("c0", "Smyth", "E0"), ("c1", "Jonson", "E1"),
+        ("c2", "Catherine", "E2"), ("c3", "Stephen", "E3"),
+        ("c4", "Shwartz", "E4"), ("c5", "Petersen", "E5"),
+        ("c6", "Maier", "E6"), ("c7", "Filip", "E7"),
+    ]
+    kb_names = spark.createDataFrame(
+        [(e, "PER", nm, 0, nm.lower()) for e, nm in gold],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    chains = spark.createDataFrame(
+        [("d", c, "PER", nm) for c, nm, _ in probes],
+        "doc_id string, chain_id string, type string, name string",
+    )
+    want = {(c, e) for c, _, e in probes}
+
+    dm_hits = phonetic_candidates(chains, kb_names, key="double_metaphone")
+    dm_got = {(r["chain_id"], r["entity_id"]) for r in dm_hits.collect()}
+    dm_recall = len(dm_got & want) / len(want)
+
+    postings, _ = build_ngram_postings(kb_names)
+    ng_hits = ngram_candidates(chains, postings, limit=25)
+    ng_got = {(r["chain_id"], r["entity_id"]) for r in ng_hits.collect()}
+    ng_recall = len(ng_got & want) / len(want)
+
+    assert dm_recall >= ng_recall
+    assert dm_recall >= 0.75

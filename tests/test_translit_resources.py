@@ -14,6 +14,57 @@ def test_romanize_py():
     assert romanize_py("ascii") == "ascii"
 
 
+def test_romanize_py_lorehlt_scripts():
+    """T9 script coverage for the LoReHLT corpora the reference's uroman
+    handles (string.py:135-155): Arabic (incl. Persian/Urdu letters),
+    Ge'ez, Sinhala, Odia — the scripts ScriptBasedNameFilter targets
+    (io.py:604-637)."""
+    # Arabic script
+    assert romanize_py("محمد") == "mhmd"
+    assert romanize_py("بغداد") == "bghdad"
+    assert romanize_py("القاهرة") == "alqahrh"
+    assert romanize_py("تهران") == "thran"  # Persian
+    assert romanize_py("کراچی") == "krachy"  # Urdu
+    # Ge'ez (Ethiopic syllabary)
+    assert romanize_py("ሰላም") == "selam"
+    assert romanize_py("አዲስ አበባ") == "adis abeba"
+    assert romanize_py("ኢትዮጵያ") == "ityopya"
+    # Sinhala (abugida: inherent vowel, virama, two-part signs, ZWJ)
+    assert romanize_py("කොළඹ") == "kolamba"
+    assert romanize_py("ශ්‍රී ලංකා") == "shri lanka"
+    assert romanize_py("සිංහල") == "sinhala"
+    # Odia (abugida with nukta between consonant and sign)
+    assert romanize_py("ଭୁବନେଶ୍ୱର") == "bhubaneshwara"
+    assert romanize_py("ଓଡ଼ିଶା") == "odisha"
+
+
+def test_translit_blocking_arabic_e2e(spark):
+    """B6 drive on an Arabic-script corpus: every Arabic mention links to
+    its KB entity through the exact_translit generator (the KB carries
+    the romanized surface as an alt-name, as the reference's translit
+    index does)."""
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+
+    surfaces = ["محمد", "بغداد", "القاهرة", "تهران", "دمشق", "الرباط"]
+    chains = spark.createDataFrame(
+        [("d", f"c{i}", "GPE", s, romanize_py(s))
+         for i, s in enumerate(surfaces)],
+        "doc_id string, chain_id string, type string, name string, "
+        "translit_name string",
+    )
+    kb_names = spark.createDataFrame(
+        [(f"E{i}", "GPE", romanize_py(s), 0, romanize_py(s).lower())
+         for i, s in enumerate(surfaces)],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    hits = exact_match_candidates(
+        chains, kb_names, name_col="translit_name", source="exact_translit"
+    ).collect()
+    linked = {(r["chain_id"], r["entity_id"]) for r in hits}
+    assert linked == {(f"c{i}", f"E{i}") for i in range(len(surfaces))}
+
+
 def test_romanize_column_contract(spark):
     df = spark.createDataFrame(
         [("Москва", "rus"), ("plain ascii", "rus"), ("Москва", "eng")],
