@@ -224,6 +224,38 @@ def load_kb(
     )
 
 
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: Sequence[str] = ("type", "exact_key"),
+    buckets: int = 64,
+    path: str | None = None,
+    sort: bool = True,
+):
+    """Persist a DataFrame bucketed (and sorted) by `bucket_cols` as a
+    parquet data-source table — no Hive metastore needed.
+
+    The cluster payoff: a KB names table is built once and probed by
+    every linking run. Bucketing by the blocking keys makes the scan
+    come out hash-partitioned on them, so an equi-join on exactly those
+    keys against another table bucketed to the SAME bucket count plans
+    with NO shuffle Exchange on either side (verified in
+    tests/test_kb.py). Spark requires ALL join keys covered by the
+    bucket spec (`spark.sql.requireAllClusterKeysForCoPartition`), so
+    bucket on the full blocking key — (type, exact_key) for the exact
+    index. The reference's in-memory `ExactMatchMemoryNameIndex`
+    (kb.py:158) rebuilds its dict per process — this is the persisted,
+    cluster-wide equivalent of that one-time index cost."""
+    cols = list(bucket_cols)
+    writer = df.write.mode("overwrite").bucketBy(buckets, *cols)
+    if sort:
+        writer = writer.sortBy(*cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
 __all__ = [
     "KB_COLUMNS",
     "origin_filter",
@@ -234,4 +266,5 @@ __all__ = [
     "language_name_filter",
     "read_kb_entities_raw",
     "load_kb",
+    "write_bucketed",
 ]

@@ -93,3 +93,44 @@ def test_language_name_filter(spark):
     )
     kept = flt(names, "alt")
     assert sorted(r["alt"] for r in kept.collect()) == ["Paris", "Unknown"]
+
+
+def test_write_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing the KB names table (and the probe) on the full blocking
+    key (type, exact_key) removes every shuffle Exchange from the
+    blocking join — the persisted index that amortizes repeated linking
+    runs. Unbucketed, the same sort-merge join needs two exchanges."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kb = spark.range(500).select(
+            F.concat(F.lit("E"), F.col("id")).alias("entity_id"),
+            F.lit("GPE").alias("type"),
+            F.concat(F.lit("name"), (F.col("id") % 97)).alias("name"),
+        ).withColumn("exact_key", F.lower("name"))
+        probe = spark.range(200).select(
+            F.concat(F.lit("c"), F.col("id")).alias("chain_id"),
+            F.lit("GPE").alias("type"),
+            F.lower(F.concat(F.lit("name"), (F.col("id") % 97))).alias(
+                "exact_key"
+            ),
+        )
+        plain = probe.join(kb, ["type", "exact_key"])
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        assert plan_plain.count("Exchange hashpartitioning") == 2
+
+        bk = KBL.write_bucketed(
+            kb, "kb_bucketed_t", buckets=8, path=str(tmp_path / "kb")
+        )
+        bp = KBL.write_bucketed(
+            probe, "probe_bucketed_t", buckets=8, path=str(tmp_path / "probe")
+        )
+        j = bp.join(bk, ["type", "exact_key"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS kb_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS probe_bucketed_t")
