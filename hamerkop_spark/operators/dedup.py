@@ -84,6 +84,36 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     return df.join(F.broadcast(hot), keys, "left_anti")
 
 
+def minhash_doc_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, band, bucket) LSH band rows for a document table — the
+    shared front half of batch minhash dedup and the incremental
+    streaming store (streaming/incremental.foreach_batch_dedup)."""
+    from hamerkop_spark.operators.blocking import minhash_bands, minhash_signature
+
+    rows_per_band = num_hashes // num_bands
+    shingled = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _word_tokens(text_col).alias("toks"),
+        )
+        .select(
+            "_id",
+            F.array_distinct(_shingles_of(F.col("toks"), shingle_k)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+    sig = minhash_signature(shingled, ["_id"], "sh", num_hashes, hash_fn)
+    return minhash_bands(sig, ["_id"], num_bands, rows_per_band, hash_fn)
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -104,22 +134,9 @@ def minhash_dedup_pairs(
 
     Returns (src, dst) pairs with src < dst; feed to
     connected_components for cluster-level dedup."""
-    from hamerkop_spark.operators.blocking import minhash_bands, minhash_signature
-
-    rows_per_band = num_hashes // num_bands
-    shingled = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            _word_tokens(text_col).alias("toks"),
-        )
-        .select(
-            "_id",
-            F.array_distinct(_shingles_of(F.col("toks"), shingle_k)).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
+    bands = minhash_doc_bands(
+        docs, id_col, text_col, shingle_k, num_hashes, num_bands, hash_fn
     )
-    sig = minhash_signature(shingled, ["_id"], "sh", num_hashes, hash_fn)
-    bands = minhash_bands(sig, ["_id"], num_bands, rows_per_band, hash_fn)
     bounded = _drop_hot_keys(bands, ["band", "bucket"], max_bucket)
     a = bounded.select("band", "bucket", F.col("_id").alias("src"))
     b = bounded.select("band", "bucket", F.col("_id").alias("dst"))

@@ -178,3 +178,83 @@ def foreach_batch_linker(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_dedup(
+    documents_stream: DataFrame,
+    state_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket: int = 200,
+):
+    """Incremental MinHash-LSH dedup over a document stream.
+
+    Each micro-batch is shingled/banded once (`dedup.minhash_doc_bands`)
+    and joined against the ACCUMULATED (id, band, bucket) store of every
+    prior batch: new-vs-new pairs via a bounded self-join, new-vs-old via
+    a bucket equi-join against the store — never new-vs-corpus-text.
+    Per-batch work is O(|batch bands| x bounded bucket width): the store
+    grows with the corpus, but the equi-join on (band, bucket) prunes it
+    to colliding buckets, and `max_bucket` caps boilerplate bombs on the
+    batch side exactly like the batch operator. Pairs append to
+    `sink_dir`, the batch's bands append to the parquet store, and
+    exactly-once delivery comes from the streaming checkpoint (a replayed
+    batch rewrites the same pairs; consumers dedupe on (src, dst) as with
+    the batch operator's output).
+
+    The batch twin is `operators/dedup.minhash_dedup_pairs`; this is the
+    continuous-ingest path a 100 TB training-data pipeline needs — dedup
+    keeps up with arrival instead of recomputing over the corpus."""
+    from hamerkop_spark.operators.dedup import minhash_doc_bands
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = minhash_doc_bands(
+            batch_df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, num_bands=num_bands,
+        )
+        counts = bands.groupBy("band", "bucket").count()
+        bands = (
+            bands.join(
+                counts.where(F.col("count") <= max_bucket)
+                .select("band", "bucket"),
+                ["band", "bucket"],
+            )
+        ).cache()
+        try:
+            store = spark.read.parquet(state_dir)
+        except Exception:  # first batch: no store yet
+            store = None
+        a = bands.select("band", "bucket", F.col("_id").alias("src"))
+        b = bands.select("band", "bucket", F.col("_id").alias("dst"))
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        if store is not None:
+            old = store.select("band", "bucket", F.col("_id").alias("dst"))
+            cross = (
+                a.join(old, ["band", "bucket"])
+                .where(F.col("src") != F.col("dst"))
+                .select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+        bands.write.mode("append").parquet(state_dir)
+        bands.unpersist()
+
+    return (
+        documents_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -113,3 +113,53 @@ def test_foreach_batch_linker(spark, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 1
+
+
+def test_foreach_batch_dedup_incremental(spark, tmp_path):
+    """Incremental MinHash dedup: batch 2 documents pair with near-dups
+    from batch 1 through the accumulated band store — without re-reading
+    batch 1's text."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight")
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i, text):
+        return (
+            f"http://x/{i}", ts, bytearray(wrap_text_as_html(text, f"http://x/{i}")),
+            text, "eng",
+        )
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    state = str(tmp_path / "state")
+    sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = S.stream_documents(spark, d)
+        q = S.foreach_batch_dedup(
+            stream, state, sink, ckpt, max_bucket=50
+        ).start()
+        q.awaitTermination(120)
+
+    # batch 1: two near-dups + one unrelated
+    spark.createDataFrame(
+        [page(0, base), page(1, base + " extra"), page(2, "completely different text " * 6)],
+        PAGES,
+    ).write.mode("append").parquet(d)
+    run_once()
+    got1 = {tuple(sorted((r["src"], r["dst"])))
+            for r in spark.read.parquet(sink).collect()}
+    assert ("http://x/0", "http://x/1") in got1
+    assert not any("http://x/2" in p for pair in got1 for p in pair)
+
+    # batch 2: a near-dup of batch 1's docs arrives later
+    spark.createDataFrame([page(3, base + " again")], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    got2 = {tuple(sorted((r["src"], r["dst"])))
+            for r in spark.read.parquet(sink).collect()}
+    assert ("http://x/0", "http://x/3") in got2 or (
+        "http://x/1", "http://x/3"
+    ) in got2
