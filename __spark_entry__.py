@@ -972,6 +972,26 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+IVF_CLUSTERS = 16
+IVF_PROBE = 4
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN top-k: deterministic hash-sampled coarse centroids,
+    corpus assigned to inverted lists, queries probe the 4 nearest of 16
+    lists — vectors outside probed lists are never scored
+    (operators/similarity.ivf_topk)."""
+    from hamerkop_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, q, k=10, k_clusters=IVF_CLUSTERS, n_probe=IVF_PROBE
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -1028,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "b_phonetic_soundex": q_b_phonetic_soundex,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1877,5 +1898,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_replace(text, '\p{P}', '', 'g')) AS clean_len
             FROM documents
+        """,
+        "ann_ivf_topk": f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS centroid_id, v AS centroid
+              FROM c ORDER BY md5(vec_id::VARCHAR), vec_id
+              LIMIT {IVF_CLUSTERS}
+            ), ca AS (
+              SELECT neighbor_id, v, centroid_id FROM (
+                SELECT cc.vec_id AS neighbor_id, cc.v, ct.centroid_id,
+                       row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+                         list_dot_product(cc.v, ct.centroid)
+                           / (sqrt(list_dot_product(cc.v, cc.v))
+                              * sqrt(list_dot_product(ct.centroid,
+                                                      ct.centroid))) DESC,
+                         ct.centroid_id) AS rn
+                FROM c cc CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ), qa AS (
+              SELECT query_id, qv, centroid_id FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, ct.centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_dot_product(q.v, ct.centroid)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(ct.centroid,
+                                                      ct.centroid))) DESC,
+                         ct.centroid_id) AS rn
+                FROM (SELECT * FROM c WHERE vec_id < 5) q
+                CROSS JOIN cents ct
+              ) WHERE rn <= {IVF_PROBE}
+            ), scored AS (
+              SELECT qa.query_id, ca.neighbor_id,
+                     round(list_dot_product(qa.qv, ca.v)
+                       / (sqrt(list_dot_product(qa.qv, qa.qv))
+                          * sqrt(list_dot_product(ca.v, ca.v))), 4) AS cosine
+              FROM qa JOIN ca USING (centroid_id)
+              WHERE qa.query_id <> ca.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
     }

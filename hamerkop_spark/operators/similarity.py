@@ -186,3 +186,89 @@ def lsh_topk(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    k_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF-flat coarse centroids: the k corpus vectors
+    whose md5(id) digests sort first. A hash-ordered draw is an unbiased
+    sample of the corpus distribution, replaces a trained quantizer with
+    zero iterations, is resume-safe (same ids -> same centroids), and a
+    SQL oracle derives the identical set. k is small (<= ~2^12), so the
+    orderBy+limit is a cheap TakeOrdered."""
+    return (
+        corpus.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k_clusters)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every corpus vector to its nearest
+    coarse centroid (inverted lists), route each query to its `n_probe`
+    nearest centroids, brute-force cosine only within the probed lists.
+
+    Scale shape: the centroid table is broadcast (k_clusters rows), so
+    both assignment fan-outs are bounded broadcast crossJoins x
+    k_clusters — NOT an unbounded cartesian — and the candidate join is
+    an equi-join on centroid_id. Work per query is
+    n_probe/k_clusters of the corpus on average; vectors outside probed
+    lists are never scored. Recall < 1 by construction; raise n_probe
+    to trade cost for recall (n_probe = k_clusters degrades to exact
+    brute force)."""
+    cents = ivf_centroids(corpus, k_clusters, id_col, vec_col)
+
+    def assign(df: DataFrame, side_id: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim", cosine_native(F.col("_v"), F.col("centroid"))
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.desc("_sim"), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .drop("_sim", "_rn", "centroid")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    lists = assign(c, "neighbor_id", 1)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    probes = assign(q, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+    cands = probes.join(
+        lists.withColumnRenamed("_v", "_cv"), "centroid_id"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_native(F.col("_qv"), F.col("_cv")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -70,3 +70,46 @@ def test_lsh_bucket_deterministic(spark):
         SIM.lsh_bucket(F.col("embedding").cast("array<double>"), 8, 6).alias("b")
     ).collect()
     assert b1 == b2
+
+
+def _bf_neighbors(bf_rows, k):
+    """Brute-force neighbor lists with self excluded, truncated to k."""
+    import collections
+
+    per_q = collections.defaultdict(list)
+    for r in sorted(bf_rows, key=lambda r: (r["query_id"], r["rank"])):
+        if r["query_id"] != r["neighbor_id"]:
+            per_q[r["query_id"]].append(r["neighbor_id"])
+    return {(q, n) for q, ns in per_q.items() for n in ns[:k]}
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe == k_clusters probes every inverted list, so IVF must
+    return exactly the brute-force neighbor set (self excluded)."""
+    df, _ = mk_vectors(spark)
+    queries = df.limit(4).selectExpr("vec_id as query_id", "embedding")
+    ivf = SIM.ivf_topk(df, queries, k=5, k_clusters=8, n_probe=8)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = _bf_neighbors(
+        SIM.brute_force_topk(df, queries, k=6).collect(), 5
+    )
+    assert got == want
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark):
+    """n_probe < k_clusters: useful recall vs brute force, and the same
+    call returns the same set (deterministic centroids/assignment)."""
+    df, _ = mk_vectors(spark, n=60)
+    queries = df.limit(5).selectExpr("vec_id as query_id", "embedding")
+    ivf = SIM.ivf_topk(df, queries, k=10, k_clusters=8, n_probe=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = _bf_neighbors(
+        SIM.brute_force_topk(df, queries, k=11).collect(), 10
+    )
+    recall = len(got & want) / len(want)
+    assert recall >= 0.4, recall
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(df, queries, k=10, k_clusters=8, n_probe=3).collect()
+    }
+    assert again == got
