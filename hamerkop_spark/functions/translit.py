@@ -3,12 +3,15 @@
 The reference shells out to the uroman Perl script per string
 (hamerkop/string.py:135-155), skipping English and pure-ASCII inputs.
 This engine ships a deterministic pure-python romanizer with the same
-contract (None for English/ASCII, else best-effort Latin): NFKD
-diacritic folding plus explicit Cyrillic/Greek tables; characters
-without a mapping pass through. Executed as an Arrow-batched pandas UDF
-with the ASCII short-circuit applied BEFORE the UDF (a `when` guard
-keeps ASCII rows out of Python entirely — SURVEY.md §4 'ASCII
-short-circuit').
+contract (None for English/ASCII, else best-effort Latin): diacritic
+folding plus per-script tables — Cyrillic, Greek, Arabic (incl.
+Persian/Urdu letters), Ge'ez (generated syllabary), the Brahmic
+abugidas Sinhala/Odia/Devanagari/Bengali (inherent vowel + virama +
+dependent signs), kana (digraphs/sokuon/chouon), and arithmetic Hangul
+decomposition; characters without a mapping pass through. Executed as
+an Arrow-batched pandas UDF with the ASCII short-circuit applied BEFORE
+the UDF (a `when` guard keeps ASCII rows out of Python entirely —
+SURVEY.md §4 'ASCII short-circuit').
 """
 
 from __future__ import annotations
@@ -110,7 +113,27 @@ ORIYA_CONS = {
     "ଯ": "j", "ୟ": "y", "ର": "r", "ଲ": "l", "ଳ": "l",
     "ଵ": "v", "ୱ": "w", "ଶ": "sh", "ଷ": "sh", "ସ": "s", "ହ": "h",
 }
-_ABUGIDA_CONS = {**SINHALA_CONS, **ORIYA_CONS}
+DEVANAGARI_CONS = {
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "ng",
+    "च": "ch", "छ": "chh", "ज": "j", "झ": "jh", "ञ": "ny",
+    "ट": "t", "ठ": "th", "ड": "d", "ढ": "dh", "ण": "n",
+    "त": "t", "थ": "th", "द": "d", "ध": "dh", "न": "n",
+    "प": "p", "फ": "ph", "ब": "b", "भ": "bh", "म": "m",
+    "य": "y", "र": "r", "ल": "l", "व": "v", "श": "sh",
+    "ष": "sh", "स": "s", "ह": "h", "ळ": "l",
+}
+BENGALI_CONS = {
+    "ক": "k", "খ": "kh", "গ": "g", "ঘ": "gh", "ঙ": "ng",
+    "চ": "ch", "ছ": "chh", "জ": "j", "ঝ": "jh", "ঞ": "ny",
+    "ট": "t", "ঠ": "th", "ড": "d", "ঢ": "dh", "ণ": "n",
+    "ত": "t", "থ": "th", "দ": "d", "ধ": "dh", "ন": "n",
+    "প": "p", "ফ": "ph", "ব": "b", "ভ": "bh", "ম": "m",
+    "য": "j", "র": "r", "ল": "l", "শ": "sh", "ষ": "sh",
+    "স": "s", "হ": "h", "ৰ": "r", "ৱ": "w", "য়": "y",
+}
+_ABUGIDA_CONS = {
+    **SINHALA_CONS, **ORIYA_CONS, **DEVANAGARI_CONS, **BENGALI_CONS,
+}
 # Dependent vowel signs: only these may replace a consonant's inherent
 # 'a'. Independent vowels open their own syllable and live in
 # STANDALONE, which also carries anusvara/visarga.
@@ -122,6 +145,12 @@ DEP_SIGNS = {
     # Odia
     "ା": "a", "ି": "i", "ୀ": "i", "ୁ": "u", "ୂ": "u", "ୃ": "ru",
     "େ": "e", "ୈ": "ai", "ୋ": "o", "ୌ": "au",
+    # Devanagari
+    "ा": "a", "ि": "i", "ी": "i", "ु": "u", "ू": "u", "ृ": "ri",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au",
+    # Bengali
+    "া": "a", "ি": "i", "ী": "i", "ু": "u", "ূ": "u", "ৃ": "ri",
+    "ে": "e", "ৈ": "ai", "ো": "o", "ৌ": "au",
 }
 STANDALONE = {
     # Sinhala independent vowels
@@ -131,22 +160,88 @@ STANDALONE = {
     # Odia independent vowels
     "ଅ": "a", "ଆ": "a", "ଇ": "i", "ଈ": "i", "ଉ": "u", "ଊ": "u",
     "ଋ": "ru", "ଏ": "e", "ଐ": "ai", "ଓ": "o", "ଔ": "au",
-    # anusvara / visarga / candrabindu
-    "ං": "n", "ඃ": "h", "ଂ": "n", "ଃ": "h", "ଁ": "n",
+    # Devanagari independent vowels
+    "अ": "a", "आ": "a", "इ": "i", "ई": "i", "उ": "u", "ऊ": "u",
+    "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
+    # Bengali independent vowels
+    "অ": "a", "আ": "a", "ই": "i", "ঈ": "i", "উ": "u", "ঊ": "u",
+    "ঋ": "ri", "এ": "e", "ঐ": "ai", "ও": "o", "ঔ": "au",
 }
-VIRAMA = {"්", "୍"}
+# anusvara / visarga / candrabindu by EXPLICIT codepoint: the glyphs are
+# cross-script lookalikes (Sinhala U+0D82 renders like Bengali U+0982),
+# so literal characters here invite silent wrong-script entries
+for _cp, _v in [
+    (0x0D82, "n"), (0x0D83, "h"),  # Sinhala
+    (0x0B01, "n"), (0x0B02, "n"), (0x0B03, "h"),  # Odia
+    (0x0901, "n"), (0x0902, "n"), (0x0903, "h"),  # Devanagari
+    (0x0981, "n"), (0x0982, "n"), (0x0983, "h"),  # Bengali
+]:
+    STANDALONE[chr(_cp)] = _v
+VIRAMA = {"්", "୍", "्", "্"}
+
+# --- Kana (hiragana table; katakana folds onto it by the 0x60 offset).
+# Hepburn-ish: digraphs (きゃ -> kya, しゃ -> sha), sokuon gemination
+# (っ doubles the next consonant), chouon (ー repeats the last vowel).
+_KANA = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "を": "wo", "ん": "n", "ゔ": "vu",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+}
+_KANA_SMALL_Y = {"ゃ": "a", "ゅ": "u", "ょ": "o"}
+
+
+def _fold_katakana(ch: str) -> str:
+    return chr(ord(ch) - 0x60) if "ァ" <= ch <= "ヶ" else ch
+
+
+# --- Hangul syllables decompose arithmetically (Revised-Romanization
+# style jamo values; contested finals use their common RR forms).
+_HANGUL_LEADS = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s",
+                 "ss", "", "j", "jj", "ch", "k", "t", "p", "h"]
+_HANGUL_VOWELS = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o",
+                  "wa", "wae", "oe", "yo", "u", "wo", "we", "wi", "yu",
+                  "eu", "ui", "i"]
+_HANGUL_TAILS = ["", "k", "kk", "ks", "n", "nj", "nh", "t", "l", "lk",
+                 "lm", "lp", "ls", "lt", "lp", "lh", "m", "p", "ps",
+                 "t", "ss", "ng", "t", "ch", "k", "t", "p", "h"]
+
+
+def _hangul_syllable(ch: str) -> str | None:
+    cp = ord(ch)
+    if not 0xAC00 <= cp <= 0xD7A3:
+        return None
+    off = cp - 0xAC00
+    lead, rem = divmod(off, 21 * 28)
+    vowel, tail = divmod(rem, 28)
+    return _HANGUL_LEADS[lead] + _HANGUL_VOWELS[vowel] + _HANGUL_TAILS[tail]
 
 
 def romanize_py(s: str) -> str:
     """Best-effort deterministic romanization of one string.
 
-    NFC keeps two-part Indic vowel signs composed (ො must not split
-    into e + aa); table misses fall back to per-char NFKD so accented
-    Latin/Greek/Cyrillic still fold (é -> e, ή -> η -> i). Abugida
-    consonants (Sinhala/Odia) look ahead past nuktas: virama suppresses
-    the inherent 'a', a dependent vowel sign replaces it. ZWJ/ZWNJ
-    (ligature controls) are dropped."""
-    chars = unicodedata.normalize("NFC", s).replace("‌", "").replace(
+    NFKC folds compatibility forms into their mapped equivalents BEFORE
+    the table walk (halfwidth katakana -> kana, circled/ligature forms
+    -> base letters — idempotence demands first-pass mapping) while its
+    canonical composition keeps two-part Indic vowel signs composed
+    (ො must not split into e + aa); remaining table misses fall back to
+    per-char NFKD so accented Latin/Greek/Cyrillic still fold (é -> e,
+    ή -> η -> i). Abugida consonants look ahead past nuktas: virama
+    suppresses the inherent 'a', a dependent vowel sign replaces it.
+    ZWJ/ZWNJ (ligature controls) are dropped."""
+    chars = unicodedata.normalize("NFKC", s).replace("‌", "").replace(
         "‍", ""
     )
     out = []
@@ -175,6 +270,37 @@ def romanize_py(s: str) -> str:
             out.append(base + "a")
             i = j
             continue
+        kh = _fold_katakana(ch)
+        if kh in _KANA:
+            base = _KANA[kh]
+            nxt = _fold_katakana(chars[i + 1]) if i + 1 < n else ""
+            if nxt in _KANA_SMALL_Y and base.endswith("i"):
+                stem = base[:-1]
+                y = _KANA_SMALL_Y[nxt]
+                out.append(
+                    stem + y if stem in ("sh", "ch", "j") else stem + "y" + y
+                )
+                i += 2
+                continue
+            out.append(base)
+            i += 1
+            continue
+        if kh == "っ":  # sokuon: geminate the next syllable's consonant
+            nxt = _fold_katakana(chars[i + 1]) if i + 1 < n else ""
+            if nxt in _KANA and _KANA[nxt][0] not in "aiueon":
+                out.append(_KANA[nxt][0])
+            i += 1
+            continue
+        if ch == "ー":  # chouon: repeat the previous vowel
+            if out and out[-1] and out[-1][-1] in "aiueo":
+                out.append(out[-1][-1])
+            i += 1
+            continue
+        hangul = _hangul_syllable(ch)
+        if hangul is not None:
+            out.append(hangul)
+            i += 1
+            continue
         if ch in STANDALONE:
             out.append(STANDALONE[ch])
             i += 1
@@ -194,9 +320,19 @@ def romanize_py(s: str) -> str:
             rep = _TABLE[low]
             out.append(rep.capitalize() if ch.isupper() and rep else rep)
         else:
-            # per-char NFKD: fold diacritics, then retry the table once
+            # per-char NFKD: fold diacritics, then retry every table —
+            # decomposition can surface kana (ヷ -> ワ + dakuten) or
+            # letters just as the main loop would have seen them
             for sub in unicodedata.normalize("NFKD", ch):
                 if unicodedata.combining(sub):
+                    continue
+                subk = _fold_katakana(sub)
+                if subk in _KANA:
+                    out.append(_KANA[subk])
+                    continue
+                sub_hangul = _hangul_syllable(sub)
+                if sub_hangul is not None:
+                    out.append(sub_hangul)
                     continue
                 sl = sub.lower()
                 if sl in _TABLE:

@@ -38,6 +38,32 @@ def test_romanize_py_lorehlt_scripts():
     assert romanize_py("ଓଡ଼ିଶା") == "odisha"
 
 
+def test_romanize_py_cjk_indic_scripts():
+    """T9 extension: Devanagari/Bengali abugidas, kana (digraphs,
+    sokuon gemination, chouon long vowels, katakana fold), and
+    arithmetic Hangul syllable decomposition."""
+    # Devanagari
+    assert romanize_py("नमस्ते") == "namaste"
+    assert romanize_py("दिल्ली") == "dilli"
+    assert romanize_py("मुंबई") == "munbai"
+    # Bengali
+    assert romanize_py("ঢাকা") == "dhaka"
+    assert romanize_py("কলকাতা") == "kalakata"
+    assert romanize_py("বাংলা") == "banla"
+    # Kana
+    assert romanize_py("さくら") == "sakura"
+    assert romanize_py("とうきょう") == "toukyou"
+    assert romanize_py("カタカナ") == "katakana"
+    assert romanize_py("しゃしん") == "shashin"
+    assert romanize_py("にっぽん") == "nippon"
+    assert romanize_py("ラーメン") == "raamen"
+    # Hangul
+    assert romanize_py("서울") == "seoul"
+    assert romanize_py("부산") == "busan"
+    assert romanize_py("한국") == "hanguk"
+    assert romanize_py("평양") == "pyeongyang"
+
+
 def test_translit_blocking_arabic_e2e(spark):
     """B6 drive on an Arabic-script corpus: every Arabic mention links to
     its KB entity through the exact_translit generator (the KB carries
