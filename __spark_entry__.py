@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hamerkop_spark.functions.num import det_round, det_round_sql
+
 # ASCII punct as an explicit class so Spark (Java regex) and DuckDB (RE2)
 # agree by construction.
 PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
@@ -71,8 +73,8 @@ def q_flagship_pricing(spark, sf):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            det_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            det_round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -181,7 +183,15 @@ def q_b3_ngram_idf(spark, sf):
     per_name = grams.groupBy("ng", "p_partkey").agg(F.count("*").alias("n_cnt"))
     df_tbl = per_name.groupBy("ng").agg(F.sum("n_cnt").alias("df_cnt"))
     postings = per_name.join(F.broadcast(df_tbl), "ng").withColumn(
-        "idf", F.log1p(F.lit(float(n_unique)) / F.col("df_cnt"))
+        # fixed-point idf (floor(idf * 1e6) as BIGINT): float SUMs are
+        # order-sensitive (Spark's partial aggregation vs DuckDB's scan
+        # order differ in the last ulp), which flips near-tied top-5
+        # ranks at larger SFs; integer mass sums are order-independent,
+        # so threshold and rank are cross-engine exact
+        "idf_fp",
+        F.floor(
+            F.log1p(F.lit(float(n_unique)) / F.col("df_cnt")) * F.lit(1e6)
+        ).cast("bigint"),
     )
     queries = (
         part.where(F.col("p_partkey") % 17 == 0)
@@ -194,17 +204,22 @@ def q_b3_ngram_idf(spark, sf):
     mass = (
         qgrams.join(F.broadcast(postings), "ng")
         .groupBy("qname", "p_partkey")
-        .agg(F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf")).alias("mass"))
+        .agg(
+            F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf_fp")).alias(
+                "mass_fp"
+            )
+        )
     )
     wq = Window.partitionBy("qname")
-    wrank = wq.orderBy(F.desc("mass"), "p_partkey")
+    wrank = wq.orderBy(F.desc("mass_fp"), "p_partkey")
     return (
-        mass.withColumn("mx", F.max("mass").over(wq))
-        .where(F.col("mass") > F.col("mx") / 2)
+        mass.withColumn("mx", F.max("mass_fp").over(wq))
+        .where(F.col("mass_fp") * 2 > F.col("mx"))  # mass > mx/2, integral
         .withColumn("rk", F.row_number().over(wrank))
         .where(F.col("rk") <= 5)
         .select("qname", F.col("p_partkey").alias("match_key"),
-                F.round("mass", 4).alias("mass"), "rk")
+                det_round(F.col("mass_fp") / F.lit(1e6), 4).alias("mass"),
+                "rk")
     )
 
 
@@ -283,7 +298,7 @@ def q_f9_levenshtein_argmin(spark, sf):
         .withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("dist") < 0.5))
         .select("q_key", F.col("c_key").alias("best_key"),
-                F.round("dist", 4).alias("dist"))
+                det_round(F.col("dist"), 4).alias("dist"))
     )
 
 
@@ -303,7 +318,7 @@ def q_f7_shared_tokens(spark, sf):
     return (
         q.crossJoin(c)
         .groupBy("q_key")
-        .agg(F.round(F.max(ratio), 4).alias("best_overlap"))
+        .agg(det_round(F.max(ratio), 4).alias("best_overlap"))
     )
 
 
@@ -323,7 +338,7 @@ def q_f_token_jaccard(spark, sf):
     j = F.when(union == 0, 0.0).otherwise(inter / union)
     return (
         q.crossJoin(c)
-        .withColumn("jaccard", F.round(j, 4))
+        .withColumn("jaccard", det_round(j, 4))
         .where(F.col("jaccard") >= 0.3)
         .select("q_key", "c_key", "jaccard")
     )
@@ -365,7 +380,7 @@ def q_r5_linear_argmax(spark, sf):
         .withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("score") >= 30.0))
         .select("l_orderkey", F.col("l_linenumber").alias("best_line"),
-                F.round("score", 4).alias("score"))
+                det_round(F.col("score"), 4).alias("score"))
     )
 
 
@@ -410,7 +425,7 @@ def q_dedup_ngram_jaccard(spark, sf):
         inter.join(sa, "src").join(sb, "dst")
         .withColumn(
             "jaccard",
-            F.round(
+            det_round(
                 F.col("inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
             ),
@@ -431,7 +446,7 @@ def q_dedup_embedding_cosine(spark, sf):
     out = embedding_neardup_pairs(
         emb, min_cosine=0.25, dim=EMB_DIM, num_planes=NEARDUP_PLANES
     )
-    return out.select("src", "dst", F.round("cosine", 4).alias("cosine"))
+    return out.select("src", "dst", det_round(F.col("cosine"), 4).alias("cosine"))
 
 
 def q_ann_cosine_search(spark, sf):
@@ -452,7 +467,7 @@ def q_ann_cosine_search(spark, sf):
     return (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(dot / (nq * nc), 4))
+        .withColumn("cosine", det_round(dot / (nq * nc), 4))
         .where(F.col("cosine") >= 0.2)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -490,7 +505,7 @@ def q_text_quality(spark, sf):
         0.35 * len_score + 0.35 * stop_score
         + 0.15 * (1.0 - punct_pen) + 0.15 * (1.0 - digit_pen)
     )
-    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+    return docs.select("doc_id", det_round(score, 6).alias("quality"))
 
 
 def q_text_langid(spark, sf):
@@ -528,7 +543,7 @@ def q_events_windowed(spark, sf):
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), "event_type"
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), det_round(F.sum("value"), 2).alias("total"))
     )
 
 
@@ -1209,7 +1224,7 @@ def _ann_lsh_sql() -> str:
                                     ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored
         )
-        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        SELECT query_id, neighbor_id, floor((cosine) * 1000000.0 + 0.5) / 1000000.0 AS cosine, rank
         FROM ranked WHERE rank <= 5
     """
 
@@ -1236,7 +1251,7 @@ def _embedding_neardup_sql() -> str:
         ), scored AS (
           SELECT src, dst, {cos} AS cosine FROM pairs
         )
-        SELECT src, dst, round(round(cosine, 6), 4) AS cosine
+        SELECT src, dst, floor((floor((cosine) * 1000000.0 + 0.5) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS cosine
         FROM scored WHERE cosine >= 0.25
     """
 
@@ -1300,8 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "flagship_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
+                   floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1391,21 +1406,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY qname, substr(qname, i, 4)
             ), mass AS (
               SELECT q.qname, p.p_partkey,
-                     sum(q.q_cnt * p.n_cnt * ln(1 + (SELECT n FROM uniq)::DOUBLE / p.df_cnt)) AS mass
+                     sum(q.q_cnt * p.n_cnt
+                         * floor(ln(1 + (SELECT n FROM uniq)::DOUBLE
+                                    / p.df_cnt) * 1000000.0)::BIGINT)
+                       AS mass_fp
               FROM qgrams q JOIN postings p USING (ng)
               GROUP BY q.qname, p.p_partkey
             ), thresh AS (
-              SELECT qname, p_partkey, mass,
-                     max(mass) OVER (PARTITION BY qname) AS mx
+              SELECT qname, p_partkey, mass_fp,
+                     max(mass_fp) OVER (PARTITION BY qname) AS mx
               FROM mass
             ), ranked AS (
-              SELECT qname, p_partkey, mass,
+              SELECT qname, p_partkey, mass_fp,
                      row_number() OVER (PARTITION BY qname
-                                        ORDER BY mass DESC, p_partkey) AS rk
-              FROM thresh WHERE mass > mx / 2
+                                        ORDER BY mass_fp DESC, p_partkey) AS rk
+              FROM thresh WHERE mass_fp * 2 > mx
             )
             SELECT qname, p_partkey AS match_key,
-                   round(mass, 4) AS mass, rk
+                   floor((mass_fp::DOUBLE / 1000000.0) * 10000.0 + 0.5)
+                     / 10000.0 AS mass,
+                   rk
             FROM ranked WHERE rk <= 5
         """,
         "c2_exact_cluster": """
@@ -1458,7 +1478,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY dist, c_key) AS rn
               FROM pairs
             )
-            SELECT q_key, c_key AS best_key, round(dist, 4) AS dist
+            SELECT q_key, c_key AS best_key, floor((dist) * 10000.0 + 0.5) / 10000.0 AS dist
             FROM ranked WHERE rn = 1 AND dist < 0.5
         """,
         "f7_shared_tokens": """
@@ -1472,8 +1492,8 @@ def oracle_sql() -> dict[str, str]:
               FROM part WHERE p_partkey % 13 = 0
             )
             SELECT q_key,
-                   round(max(len(list_intersect(q_toks, c_toks))::DOUBLE
-                             / len(q_toks)), 4) AS best_overlap
+                   floor((max(len(list_intersect(q_toks, c_toks))::DOUBLE
+                             / len(q_toks))) * 10000.0 + 0.5) / 10000.0 AS best_overlap
             FROM q CROSS JOIN c GROUP BY q_key
         """,
         "f_token_jaccard": """
@@ -1487,8 +1507,8 @@ def oracle_sql() -> dict[str, str]:
               FROM part WHERE p_partkey % 11 = 0
             ), j AS (
               SELECT q_key, c_key,
-                     round(len(list_intersect(q_toks, c_toks))::DOUBLE
-                       / len(list_distinct(list_concat(q_toks, c_toks))), 4)
+                     floor((len(list_intersect(q_toks, c_toks))::DOUBLE
+                       / len(list_distinct(list_concat(q_toks, c_toks)))) * 10000.0 + 0.5) / 10000.0
                        AS jaccard
               FROM q CROSS JOIN c
             )
@@ -1527,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT l_orderkey, l_linenumber AS best_line,
-                   round(score, 4) AS score
+                   floor((score) * 10000.0 + 0.5) / 10000.0 AS score
             FROM ranked WHERE rn = 1 AND score >= 30.0
         """,
         "dedup_exact": f"""
@@ -1562,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc_id, b.doc_id
             ), j AS (
               SELECT src, dst,
-                     round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+                     floor((inter::DOUBLE / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
               FROM inter
               JOIN sizes sa ON sa.doc_id = src
               JOIN sizes sb ON sb.doc_id = dst
@@ -1587,9 +1607,9 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ), scored AS (
               SELECT query_id, neighbor_id,
-                     round(list_dot_product(qv, cv)
+                     floor((list_dot_product(qv, cv)
                        / (sqrt(list_dot_product(qv, qv))
-                          * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+                          * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS cosine
               FROM q CROSS JOIN c WHERE query_id <> neighbor_id
             )
             SELECT query_id, neighbor_id, cosine
@@ -1622,10 +1642,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   round(0.35 * least(n_tok / 100.0, 1.0)
+                   floor((0.35 * least(n_tok / 100.0, 1.0)
                        + 0.35 * least(stops / greatest(n_tok, 1.0) * 4.0, 1.0)
                        + 0.15 * (1.0 - least(punct / total * 4.0, 1.0))
-                       + 0.15 * (1.0 - least(digits / total * 5.0, 1.0)), 6)
+                       + 0.15 * (1.0 - least(digits / total * 5.0, 1.0))) * 1000000.0 + 0.5) / 1000000.0
                      AS quality
             FROM t
         """,
@@ -1661,7 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(sum(value), 2) AS total
+                   count(*) AS n, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "events_sessionize": """
@@ -1931,9 +1951,9 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rn <= {IVF_PROBE}
             ), scored AS (
               SELECT qa.query_id, ca.neighbor_id,
-                     round(list_dot_product(qa.qv, ca.v)
+                     floor((list_dot_product(qa.qv, ca.v)
                        / (sqrt(list_dot_product(qa.qv, qa.qv))
-                          * sqrt(list_dot_product(ca.v, ca.v))), 4) AS cosine
+                          * sqrt(list_dot_product(ca.v, ca.v)))) * 10000.0 + 0.5) / 10000.0 AS cosine
               FROM qa JOIN ca USING (centroid_id)
               WHERE qa.query_id <> ca.neighbor_id
             )

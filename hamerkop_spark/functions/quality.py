@@ -14,6 +14,8 @@ import string as _string
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from hamerkop_spark.functions.num import det_round
+
 from hamerkop_spark.functions.strings import token_count  # noqa: F401
 
 ENGLISH_STOPWORDS = [
@@ -95,7 +97,7 @@ def quality_score(c: Column) -> Column:
         + F.lit(0.15) * (F.lit(1.0) - punct_pen)
         + F.lit(0.15) * (F.lit(1.0) - digit_pen)
     )
-    return F.round(score, 6)
+    return det_round(score, 6)
 
 
 def normalize_for_fingerprint(c: Column) -> Column:

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from hamerkop_spark.functions.num import det_round
+
 from hamerkop_spark.functions.quality import fingerprint, normalize_for_fingerprint
 from hamerkop_spark.functions.strings import char_ngrams
 from hamerkop_spark.operators.cc import connected_components
@@ -366,7 +368,7 @@ def ngram_jaccard_pairs(
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= min_jaccard)
-        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+        .select("src", "dst", det_round(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -415,5 +417,5 @@ def embedding_neardup_pairs(
     return (
         pairs.withColumn("cosine", sim)
         .where(F.col("cosine") >= min_cosine)
-        .select("src", "dst", F.round("cosine", 6).alias("cosine"))
+        .select("src", "dst", det_round(F.col("cosine"), 6).alias("cosine"))
     )

@@ -16,6 +16,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hamerkop_spark.functions.num import det_round
+
 from hamerkop_spark.functions.textdist import cosine_native
 
 
@@ -90,7 +92,7 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+            "query_id", "neighbor_id", det_round(F.col("cosine"), 6).alias("cosine"), "rank"
         )
     )
 
@@ -183,7 +185,7 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+            "query_id", "neighbor_id", det_round(F.col("cosine"), 6).alias("cosine"), "rank"
         )
     )
 
@@ -262,7 +264,7 @@ def ivf_topk(
         lists.withColumnRenamed("_v", "_cv"), "centroid_id"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
-        "cosine", F.round(cosine_native(F.col("_qv"), F.col("_cv")), 4)
+        "cosine", det_round(cosine_native(F.col("_qv"), F.col("_cv")), 4)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
