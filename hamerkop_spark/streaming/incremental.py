@@ -258,3 +258,31 @@ def foreach_batch_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def compact_band_store(
+    spark: SparkSession, state_dir: str, files_per_partition: int = 8
+):
+    """Compact the accumulated LSH band store: foreach_batch_dedup
+    appends one parquet file-set per micro-batch, so a long-running
+    stream degrades the new-vs-old equi-join into a many-small-files
+    scan. Rewrite the store hash-distributed on (band, bucket) — the
+    join key — into a bounded file count, atomically (write aside, then
+    swap; local-fs rename here, same pattern as an HDFS/S3A commit).
+    Run it between triggers (the store is only read/written inside
+    foreachBatch, so between batches nothing holds it open)."""
+    import shutil
+
+    store = spark.read.parquet(state_dir)
+    n_files = max(1, store.rdd.getNumPartitions() // files_per_partition)
+    tmp = state_dir.rstrip("/") + ".compact"
+    (
+        store.repartition(n_files, F.col("band"), F.col("bucket"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = state_dir.rstrip("/") + ".old"
+    shutil.move(state_dir, old)
+    shutil.move(tmp, state_dir)
+    shutil.rmtree(old)
+    return spark.read.parquet(state_dir)

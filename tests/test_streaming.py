@@ -163,3 +163,44 @@ def test_foreach_batch_dedup_incremental(spark, tmp_path):
     assert ("http://x/0", "http://x/3") in got2 or (
         "http://x/1", "http://x/3"
     ) in got2
+
+
+def test_compact_band_store_preserves_dedup(spark, tmp_path):
+    """Compaction rewrites the band store into fewer files without
+    changing its content: a post-compaction batch still pairs with
+    pre-compaction documents."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight")
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i, text):
+        return (
+            f"http://y/{i}", ts, bytearray(wrap_text_as_html(text, f"http://y/{i}")),
+            text, "eng",
+        )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    state = str(tmp_path / "state")
+    sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = S.foreach_batch_dedup(
+            S.stream_documents(spark, d), state, sink, ckpt, max_bucket=50
+        ).start()
+        q.awaitTermination(120)
+
+    spark.createDataFrame([page(0, base)], PAGES).write.mode("append").parquet(d)
+    run_once()
+    before = spark.read.parquet(state).count()
+    S.compact_band_store(spark, state, files_per_partition=64)
+    assert spark.read.parquet(state).count() == before
+
+    spark.createDataFrame([page(1, base + " tail")], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    got = {tuple(sorted((r["src"], r["dst"])))
+           for r in spark.read.parquet(sink).collect()}
+    assert ("http://y/0", "http://y/1") in got
