@@ -1955,7 +1955,6 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(qa.qv, qa.qv))
                           * sqrt(list_dot_product(ca.v, ca.v)))) * 10000.0 + 0.5) / 10000.0 AS cosine
               FROM qa JOIN ca USING (centroid_id)
-              WHERE qa.query_id <> ca.neighbor_id
             )
             SELECT query_id, neighbor_id, cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

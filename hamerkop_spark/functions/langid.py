@@ -26,7 +26,10 @@ SCRIPT_CLASSES = [
     ("hangul", "[가-힣ᄀ-ᇿ]", "kor", 3),
     ("cyrillic", "[Ѐ-ӿ]", "rus", 3),
     ("arabic", "[؀-ۿ]", "ara", 3),
-    ("cjk", "[一-鿿]", "cmn", 3),
+    # zho (not cmn): normalize_lang_code folds zh -> zho per the
+    # reference's table, and the detector must agree with normalized
+    # metadata codes for Chinese
+    ("cjk", "[一-鿿]", "zho", 3),
     ("ethiopic", "[ሀ-፿]", "amh", 3),
     ("sinhala", "[඀-෿]", "sin", 3),
     ("oriya", "[଀-୿]", "ori", 3),
@@ -133,11 +136,14 @@ def detect_lang(c: Column) -> Column:
         best_latin = F.when(votes[lang] == mx, F.lit(lang)).otherwise(best_latin)
 
     expr = best_latin
+    lowered = F.lower(c)  # marker classes are lowercase letters; the
+    # script-share classes span both cases, but refinements must see
+    # ALL-CAPS Ukrainian/Urdu text too
     for name, cls, iso, tenths in reversed(SCRIPT_CLASSES):
         verdict = F.lit(iso)
         for marker_cls, refined in reversed(SCRIPT_REFINEMENTS.get(name, [])):
             verdict = F.when(
-                script_char_count(c, marker_cls) > 0, F.lit(refined)
+                script_char_count(lowered, marker_cls) > 0, F.lit(refined)
             ).otherwise(verdict)
         expr = F.when(
             script_char_count(c, cls) * 10 > total * tenths, verdict

@@ -21,6 +21,7 @@ def soundex_key(c: Column) -> Column:
 
 #: letter -> soundex digit map ('0' = vowel/H/W/Y separator)
 _SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 _SOUNDEX_CODES = "01230120022455012623010202"
 
 
@@ -33,8 +34,15 @@ def soundex_portable(c: Column) -> Column:
 
     Differs from American Soundex (F.soundex) only in the H/W rule: here
     H/W separate equal codes like vowels do (ASHCRAFT -> A226, not A261).
-    Empty / letterless input yields ''."""
-    letters = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    Empty / letterless input yields ''.
+
+    Case folding is ASCII-only (translate a-z -> A-Z), NOT upper():
+    Java's upper('ß') expands to 'SS' while DuckDB's yields 'ẞ'
+    (stripped), so a upper()-based twin diverges on any name carrying
+    ß — the one locale-sensitive crack in an otherwise portable op."""
+    letters = F.regexp_replace(
+        F.translate(c, _ASCII_LOWER, _SOUNDEX_ALPHA), "[^A-Z]", ""
+    )
     mapped = F.translate(letters, _SOUNDEX_ALPHA, _SOUNDEX_CODES)
     for d in "123456":
         mapped = F.regexp_replace(mapped, d + "{2,}", d)
@@ -48,8 +56,12 @@ def soundex_portable(c: Column) -> Column:
 
 def soundex_portable_sql(expr: str) -> str:
     """The DuckDB twin of soundex_portable over SQL expression `expr` —
-    generated from the same constants so the two cannot drift."""
-    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    generated from the same constants so the two cannot drift. ASCII
+    translate-based case fold, NOT upper() (see soundex_portable)."""
+    s = (
+        f"regexp_replace(translate({expr}, '{_ASCII_LOWER}', "
+        f"'{_SOUNDEX_ALPHA}'), '[^A-Z]', '', 'g')"
+    )
     m = f"translate({s}, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_CODES}')"
     for d in "123456":
         m = f"regexp_replace({m}, '{d}{{2,}}', '{d}', 'g')"

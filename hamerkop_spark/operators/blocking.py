@@ -340,8 +340,9 @@ def minhash_signature(
 
     hash_fn='md5perm' hashes each element ONCE (md5 -> 32-bit base) and
     derives the num_hashes values as universal-hash permutations
-    (a_s * h0 + b_s) mod (2^61 - 1) — native integer arithmetic, so the
-    oracle-checkable variant costs one digest per element instead of
+    (a_s * h0 + b_s) mod 2^32 with odd a_s (see perm_coeffs for why the
+    modulus must NOT exceed a*max(h0)) — native integer arithmetic, so
+    the oracle-checkable variant costs one digest per element instead of
     num_hashes digests."""
     elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
     if hash_fn == "md5perm":

@@ -72,18 +72,24 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop rows whose key group exceeds `cap` rows WITHOUT colocating hot
     groups first: groupBy (map-side partial aggregation — a hot key's
     partial counts combine before the shuffle, so the reducer sees at most
-    one row per key per map partition) finds the over-cap keys, which are
-    few by definition (boilerplate bombs), then a BROADCAST anti-join
-    filters them map-side. A `count() over (partition by key)` window here
-    would shuffle every row of the hottest bucket onto one partition —
-    the exact straggler the cap exists to prevent."""
+    one row per key per map partition) finds the over-cap keys, then an
+    anti-join filters them. A `count() over (partition by key)` window
+    here would shuffle every row of the hottest bucket onto one
+    partition — the exact straggler the cap exists to prevent.
+
+    No broadcast HINT on the hot side: for minhash bands the over-cap
+    set is genuinely tiny (boilerplate bombs) and AQE broadcasts it
+    anyway, but for char-ngram df caps over web text the over-cap set is
+    EVERY common n-gram — millions of keys — and a forced broadcast
+    would blow the driver/broadcast limit where a shuffled anti-join
+    degrades gracefully. AQE picks per-run based on the measured size."""
     hot = (
         df.groupBy(*keys)
         .agg(F.count("*").alias("_ksize"))
         .where(F.col("_ksize") > cap)
         .select(*keys)
     )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+    return df.join(hot, keys, "left_anti")
 
 
 def minhash_doc_bands(

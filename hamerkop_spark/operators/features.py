@@ -45,19 +45,7 @@ def build_pairs(
         F.col("names").alias("chain_names"),
         F.col("all_strings").alias("chain_all_strings"),
     )
-    chain_side = chain_side.withColumns(
-        {
-            "chain_lower": _lower_arr(F.col("chain_all_strings")),
-            "chain_wiki_links": _lower_arr(
-                F.transform(F.col("chain_names"), wikipedia_link)
-            ),
-        }
-    ).withColumns(
-        {
-            "chain_toks": F.transform(F.col("chain_lower"), _token_set),
-            "chain_last": _last_tokens(F.col("chain_lower")),
-        }
-    )
+    chain_side = ensure_derived(chain_side)
     entity_side = kb_entities.select(
         "entity_id",
         F.col("names").alias("entity_names"),
@@ -67,23 +55,7 @@ def build_pairs(
         "per_location",
         "org_location",
     )
-    entity_side = entity_side.withColumns(
-        {
-            "entity_lower": _lower_arr(F.col("entity_names")),
-            "entity_urls_lower": _lower_arr(
-                F.coalesce(F.col("entity_urls"), F.array())
-            ),
-        }
-    ).withColumns(
-        {
-            "entity_toks": F.transform(F.col("entity_lower"), _token_set),
-            "entity_last": _last_tokens(F.col("entity_lower")),
-            "entity_n_names": F.size("entity_names"),
-            "entity_n_urls": F.when(F.col("entity_urls").isNull(), 0).otherwise(
-                F.size("entity_urls")
-            ),
-        }
-    )
+    entity_side = ensure_derived(entity_side)
     return (
         candidates.join(chain_side, ["doc_id", "chain_id"])
         .join(entity_side, "entity_id")
@@ -119,13 +91,17 @@ DERIVED_COLS = {
         ["chain_names"],
         lambda: _lower_arr(F.transform(F.col("chain_names"), wikipedia_link)),
     ),
+    # expressed over the chain_lower/entity_lower INTERMEDIATES (their
+    # true dependency) — ensure_derived resolves transitively, and
+    # build_pairs applies the exact same definitions, so there is one
+    # source of truth for every normalization
     "chain_toks": (
-        ["chain_all_strings"],
-        lambda: F.transform(_lower_arr(F.col("chain_all_strings")), _token_set),
+        ["chain_lower"],
+        lambda: F.transform(F.col("chain_lower"), _token_set),
     ),
     "chain_last": (
-        ["chain_all_strings"],
-        lambda: _last_tokens(_lower_arr(F.col("chain_all_strings"))),
+        ["chain_lower"],
+        lambda: _last_tokens(F.col("chain_lower")),
     ),
     "entity_lower": (
         ["entity_names"],
@@ -136,12 +112,12 @@ DERIVED_COLS = {
         lambda: _lower_arr(F.coalesce(F.col("entity_urls"), F.array())),
     ),
     "entity_toks": (
-        ["entity_names"],
-        lambda: F.transform(_lower_arr(F.col("entity_names")), _token_set),
+        ["entity_lower"],
+        lambda: F.transform(F.col("entity_lower"), _token_set),
     ),
     "entity_last": (
-        ["entity_names"],
-        lambda: _last_tokens(_lower_arr(F.col("entity_names"))),
+        ["entity_lower"],
+        lambda: _last_tokens(F.col("entity_lower")),
     ),
     "entity_n_names": (
         ["entity_names"],
@@ -183,14 +159,20 @@ def scoring_projection(pairs: DataFrame, keep: list[str]) -> DataFrame:
 
 def ensure_derived(pairs: DataFrame) -> DataFrame:
     """Add any missing derived normalization columns whose source columns
-    are present (per-pair fallback for callers that bypass build_pairs)."""
-    missing = {
-        name: expr()
-        for name, (srcs, expr) in DERIVED_COLS.items()
-        if name not in pairs.columns
-        and all(s in pairs.columns for s in srcs)
-    }
-    return pairs.withColumns(missing) if missing else pairs
+    are present, resolving transitively (chain_toks needs chain_lower,
+    which may itself need deriving) — the per-pair fallback for callers
+    that bypass build_pairs, and the single derivation path build_pairs
+    itself uses per side."""
+    while True:
+        missing = {
+            name: expr()
+            for name, (srcs, expr) in DERIVED_COLS.items()
+            if name not in pairs.columns
+            and all(s in pairs.columns for s in srcs)
+        }
+        if not missing:
+            return pairs
+        pairs = pairs.withColumns(missing)
 
 
 def origin_feature() -> Column:

@@ -260,9 +260,11 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     probes = assign(q, "query_id", n_probe).withColumnRenamed("_v", "_qv")
-    cands = probes.join(
-        lists.withColumnRenamed("_v", "_cv"), "centroid_id"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    # self-pairs are KEPT, matching brute_force_topk/lsh_topk: when the
+    # query table is drawn from the corpus, the identical vector ranks
+    # first on every path, so recall comparisons across the three
+    # variants stay like-for-like; callers exclude self if unwanted
+    cands = probes.join(lists.withColumnRenamed("_v", "_cv"), "centroid_id")
     scored = cands.withColumn(
         "cosine", det_round(cosine_native(F.col("_qv"), F.col("_cv")), 4)
     )

@@ -197,14 +197,21 @@ def foreach_batch_dedup(
     and joined against the ACCUMULATED (id, band, bucket) store of every
     prior batch: new-vs-new pairs via a bounded self-join, new-vs-old via
     a bucket equi-join against the store — never new-vs-corpus-text.
-    Per-batch work is O(|batch bands| x bounded bucket width): the store
-    grows with the corpus, but the equi-join on (band, bucket) prunes it
-    to colliding buckets, and `max_bucket` caps boilerplate bombs on the
-    batch side exactly like the batch operator. Pairs append to
-    `sink_dir`, the batch's bands append to the parquet store, and
-    exactly-once delivery comes from the streaming checkpoint (a replayed
-    batch rewrites the same pairs; consumers dedupe on (src, dst) as with
-    the batch operator's output).
+
+    The `max_bucket` cap is enforced on the TOTAL bucket size (store +
+    batch), matching the batch twin's global-drop semantics: a
+    boilerplate bucket that accumulates past the cap over many batches
+    stops producing pairs from then on (pairs it emitted while still
+    under the cap stand — the incremental reading of the same rule), so
+    per-batch join cost stays O(|batch bands| x max_bucket), not
+    O(corpus hot-bucket size).
+
+    Replay safety: both the pairs sink and the band store are written
+    with dynamic partition overwrite on batch_id — a foreachBatch replay
+    after a crash REWRITES its own partition instead of appending a
+    duplicate, and the store read excludes rows with batch_id >= the
+    current batch (a partial write from the crashed attempt). Writes are
+    idempotent per batch; no consumer-side dedup needed.
 
     The batch twin is `operators/dedup.minhash_dedup_pairs`; this is the
     continuous-ingest path a 100 TB training-data pipeline needs — dedup
@@ -213,31 +220,50 @@ def foreach_batch_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bands = minhash_doc_bands(
-            batch_df, id_col=id_col, text_col=text_col,
-            num_hashes=num_hashes, num_bands=num_bands,
-        )
-        counts = bands.groupBy("band", "bucket").count()
         bands = (
-            bands.join(
-                counts.where(F.col("count") <= max_bucket)
-                .select("band", "bucket"),
-                ["band", "bucket"],
+            minhash_doc_bands(
+                batch_df, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, num_bands=num_bands,
             )
-        ).cache()
+            .withColumn("batch_id", F.lit(batch_id))
+            .cache()
+        )
         try:
-            store = spark.read.parquet(state_dir)
+            store = spark.read.parquet(state_dir).where(
+                F.col("batch_id") < batch_id
+            )
         except Exception:  # first batch: no store yet
             store = None
-        a = bands.select("band", "bucket", F.col("_id").alias("src"))
-        b = bands.select("band", "bucket", F.col("_id").alias("dst"))
+        batch_counts = bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("bc")
+        )
+        if store is not None:
+            store_counts = store.groupBy("band", "bucket").agg(
+                F.count("*").alias("sc")
+            )
+            totals = batch_counts.join(
+                store_counts, ["band", "bucket"], "left"
+            ).select(
+                "band", "bucket",
+                (F.col("bc") + F.coalesce("sc", F.lit(0))).alias("tot"),
+            )
+        else:
+            totals = batch_counts.select(
+                "band", "bucket", F.col("bc").alias("tot")
+            )
+        ok = totals.where(F.col("tot") <= max_bucket).select("band", "bucket")
+        nb = bands.join(ok, ["band", "bucket"])
+        a = nb.select("band", "bucket", F.col("_id").alias("src"))
+        b = nb.select("band", "bucket", F.col("_id").alias("dst"))
         pairs = (
             a.join(b, ["band", "bucket"])
             .where(F.col("src") < F.col("dst"))
             .select("src", "dst")
         )
         if store is not None:
-            old = store.select("band", "bucket", F.col("_id").alias("dst"))
+            old = store.join(ok, ["band", "bucket"]).select(
+                "band", "bucket", F.col("_id").alias("dst")
+            )
             cross = (
                 a.join(old, ["band", "bucket"])
                 .where(F.col("src") != F.col("dst"))
@@ -247,10 +273,20 @@ def foreach_batch_dedup(
                 )
             )
             pairs = pairs.unionByName(cross)
-        pairs.distinct().withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-        bands.write.mode("append").parquet(state_dir)
+        (
+            pairs.distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+        (
+            bands.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
         bands.unpersist()
 
     return (
@@ -263,24 +299,28 @@ def foreach_batch_dedup(
 def compact_band_store(
     spark: SparkSession, state_dir: str, files_per_partition: int = 8
 ):
-    """Compact the accumulated LSH band store: foreach_batch_dedup
-    appends one parquet file-set per micro-batch, so a long-running
-    stream degrades the new-vs-old equi-join into a many-small-files
-    scan. Rewrite the store hash-distributed on (band, bucket) — the
-    join key — into a bounded file count, atomically (write aside, then
-    swap; local-fs rename here, same pattern as an HDFS/S3A commit).
-    Run it between triggers (the store is only read/written inside
-    foreachBatch, so between batches nothing holds it open)."""
+    """Compact the accumulated LSH band store: foreach_batch_dedup writes
+    one batch_id partition per micro-batch, so a long-running stream
+    degrades the new-vs-old equi-join into a many-small-files scan.
+    Fold every COMMITTED batch (batch_id < latest) into a single merged
+    partition (batch_id = -1), hash-distributed on the (band, bucket)
+    join key, atomically (write aside, then swap). The LATEST partition
+    is kept as-is: it is the only batch foreachBatch can replay, and a
+    replay must still overwrite exactly its own partition."""
     import shutil
 
     store = spark.read.parquet(state_dir)
-    n_files = max(1, store.rdd.getNumPartitions() // files_per_partition)
-    tmp = state_dir.rstrip("/") + ".compact"
-    (
-        store.repartition(n_files, F.col("band"), F.col("bucket"))
-        .write.mode("overwrite")
-        .parquet(tmp)
+    latest = store.agg(F.max("batch_id")).first()[0]
+    folded = store.where(F.col("batch_id") < latest).withColumn(
+        "batch_id", F.lit(-1)
     )
+    keep = store.where(F.col("batch_id") == latest)
+    n_files = max(1, folded.rdd.getNumPartitions() // files_per_partition)
+    merged = folded.repartition(
+        n_files, F.col("band"), F.col("bucket")
+    ).unionByName(keep)
+    tmp = state_dir.rstrip("/") + ".compact"
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     old = state_dir.rstrip("/") + ".old"
     shutil.move(state_dir, old)
     shutil.move(tmp, state_dir)

@@ -53,7 +53,7 @@ def test_quality_score_ordering(spark):
     ("der Hund und die Katze ist hier und der Mann", "deu"),
     ("Привет мир это тест на русском языке", "rus"),
     ("مرحبا بالعالم هذا اختبار", "ara"),
-    ("你好世界这是一个测试", "cmn"),
+    ("你好世界这是一个测试", "zho"),
     ("ሰላም ለዓለም ይህ ሙከራ ነው", "amh"),
     # T17 widened coverage: scripts
     ("これはテストですこんにちは", "jpn"),
@@ -68,8 +68,10 @@ def test_quality_score_ordering(spark):
     ("สวัสดีชาวโลกนี่คือการทดสอบ", "tha"),
     ("გამარჯობა მსოფლიო ეს ტესტია", "kat"),
     ("Բարեւ աշխարհ սա փորձարկում է", "hye"),
-    # script refinements
+    # script refinements (incl. ALL-CAPS: marker match must be
+    # case-insensitive)
     ("Привіт світ це тест українською мовою і їжак", "ukr"),
+    ("ВІТАЄМО У КИЄВІ ЇЖАК", "ukr"),
     ("سلام دنیا این یک آزمایش است و گچ پژ", "fas"),
     ("یہ ایک ٹیسٹ ہے اور ڈاک ہے", "urd"),
     # T17 widened coverage: Latin stopword languages

@@ -72,28 +72,28 @@ def test_lsh_bucket_deterministic(spark):
     assert b1 == b2
 
 
-def _bf_neighbors(bf_rows, k):
-    """Brute-force neighbor lists with self excluded, truncated to k."""
-    import collections
-
-    per_q = collections.defaultdict(list)
-    for r in sorted(bf_rows, key=lambda r: (r["query_id"], r["rank"])):
-        if r["query_id"] != r["neighbor_id"]:
-            per_q[r["query_id"]].append(r["neighbor_id"])
-    return {(q, n) for q, ns in per_q.items() for n in ns[:k]}
-
-
 def test_ivf_full_probe_equals_brute_force(spark):
     """n_probe == k_clusters probes every inverted list, so IVF must
-    return exactly the brute-force neighbor set (self excluded)."""
+    return exactly the brute-force result set (self-pairs kept on both
+    paths — the variants are like-for-like comparable)."""
     df, _ = mk_vectors(spark)
     queries = df.limit(4).selectExpr("vec_id as query_id", "embedding")
     ivf = SIM.ivf_topk(df, queries, k=5, k_clusters=8, n_probe=8)
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
-    want = _bf_neighbors(
-        SIM.brute_force_topk(df, queries, k=6).collect(), 5
-    )
+    want = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(df, queries, k=5).collect()}
     assert got == want
+
+
+def test_ivf_self_is_top1(spark):
+    """Queries drawn from the corpus rank themselves first (cosine 1.0),
+    exactly like brute_force_topk — no silent self-exclusion."""
+    df, _ = mk_vectors(spark)
+    queries = df.limit(3).selectExpr("vec_id as query_id", "embedding")
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in SIM.ivf_topk(df, queries, k=3, k_clusters=8,
+                                  n_probe=2).collect() if r["rank"] == 1}
+    assert all(q == n for q, n in top1.items())
 
 
 def test_ivf_partial_probe_recall_and_determinism(spark):
@@ -103,9 +103,8 @@ def test_ivf_partial_probe_recall_and_determinism(spark):
     queries = df.limit(5).selectExpr("vec_id as query_id", "embedding")
     ivf = SIM.ivf_topk(df, queries, k=10, k_clusters=8, n_probe=3)
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
-    want = _bf_neighbors(
-        SIM.brute_force_topk(df, queries, k=11).collect(), 10
-    )
+    want = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(df, queries, k=10).collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.4, recall
     again = {

@@ -204,3 +204,43 @@ def test_compact_band_store_preserves_dedup(spark, tmp_path):
     got = {tuple(sorted((r["src"], r["dst"])))
            for r in spark.read.parquet(sink).collect()}
     assert ("http://y/0", "http://y/1") in got
+
+
+def test_foreach_batch_dedup_global_bucket_cap(spark, tmp_path):
+    """The max_bucket cap counts store + batch: a boilerplate bucket that
+    crosses the cap across batches stops producing pairs (the batch
+    twin's global-drop rule, read incrementally)."""
+    boiler = "exact same boilerplate text repeated for every page " * 3
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i):
+        return (
+            f"http://z/{i}", ts, bytearray(wrap_text_as_html(boiler, f"http://z/{i}")),
+            boiler, "eng",
+        )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    state, sink, ckpt = (str(tmp_path / x) for x in ("state", "pairs", "ckpt"))
+
+    def run_once():
+        q = S.foreach_batch_dedup(
+            S.stream_documents(spark, d), state, sink, ckpt, max_bucket=3
+        ).start()
+        q.awaitTermination(120)
+
+    # batch 1: 3 identical docs -> bucket size 3 <= cap -> 3 pairs
+    spark.createDataFrame([page(i) for i in range(3)], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 3
+
+    # batch 2: 2 more of the same template -> total 5 > cap -> bucket
+    # dropped, NO new pairs (neither new-new nor new-old)
+    spark.createDataFrame([page(i) for i in (3, 4)], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    assert spark.read.parquet(sink).count() == n1

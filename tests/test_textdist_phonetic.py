@@ -142,6 +142,9 @@ def test_soundex_portable_vectors(spark):
         "Pfister": "P236", "Jackson": "J250", "Honeyman": "H555",
         "AB": "A100", "a": "A000", "": "", "123": "",
         "Ashcraft": "A226",  # American soundex says A261 (H/W rule)
+        # ASCII-only case fold: Java upper('ß')='SS' vs DuckDB 'ẞ' would
+        # diverge; both sides now strip it
+        "straße": "S360", "Müller": "M460",
     }
     df = spark.createDataFrame([(k,) for k in cases], "name string")
     got = {r["name"]: r["sx"] for r in
