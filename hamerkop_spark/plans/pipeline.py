@@ -66,12 +66,25 @@ class StageRunner:
     stages downstream of the change instead of silently serving stale
     checkpoints. (Code changes inside a stage body are not captured —
     only parameters and lineage; wipe the workdir after editing stage
-    logic.)"""
+    logic.)
 
-    def __init__(self, spark: SparkSession, workdir: str, resume: bool = True):
+    Backends: plain parquet dirs + `_SUCCESS` + fingerprint sidecars by
+    default, or pass `catalog=IcebergishCatalog(...)` to checkpoint each
+    stage as a snapshot-versioned table (atomic visibility, time travel,
+    fingerprint stored in snapshot properties) — the north_rule's
+    "checkpoints each stage to Iceberg" shape."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        resume: bool = True,
+        catalog=None,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.resume = resume
+        self.catalog = catalog
         self.metrics: list[dict] = []
         self.fingerprints: dict[str, str] = {}
         os.makedirs(workdir, exist_ok=True)
@@ -123,12 +136,14 @@ class StageRunner:
         params: dict | None = None,
         deps: tuple = (),
     ) -> DataFrame:
-        path = self._path(stage)
-        marker = os.path.join(path, "_SUCCESS")
-        sidecar = os.path.join(self.workdir, f"{stage}._hk_fingerprint")
         fp = self._fingerprint(stage, params, deps)
         self.fingerprints[stage] = fp
         t0 = time.time()
+        if self.catalog is not None:
+            return self._run_catalog(stage, fn, partition_by, fp, t0)
+        path = self._path(stage)
+        marker = os.path.join(path, "_SUCCESS")
+        sidecar = os.path.join(self.workdir, f"{stage}._hk_fingerprint")
         if self.resume and os.path.exists(marker):
             stored = None
             if os.path.exists(sidecar):
@@ -153,6 +168,37 @@ class StageRunner:
         out = self.spark.read.parquet(path)
         entry = {"stage": stage, "resumed": False, "rows": out.count(),
                  "seconds": round(time.time() - t0, 3), "fingerprint": fp}
+        entry.update(self._partition_stats(out))
+        self.metrics.append(entry)
+        return out
+
+    def _run_catalog(self, stage, fn, partition_by, fp, t0) -> DataFrame:
+        """Catalog backend: the fingerprint lives in the current
+        snapshot's properties; a mismatch commits a fresh snapshot (the
+        stale one stays time-travelable instead of being overwritten)."""
+        if self.resume and self.catalog.exists(stage):
+            snap = self.catalog.current_snapshot(stage)
+            if snap["properties"].get("fingerprint") == fp:
+                df = self.catalog.read(stage)
+                self.metrics.append(
+                    {"stage": stage, "resumed": True,
+                     "rows": snap["summary"]["rows"],
+                     "seconds": round(time.time() - t0, 3),
+                     "fingerprint": fp,
+                     "snapshot_id": snap["snapshot_id"]}
+                )
+                return df
+        df = fn()
+        sid = self.catalog.commit(
+            stage, df, mode="overwrite", partition_by=partition_by,
+            properties={"fingerprint": fp},
+        )
+        out = self.catalog.read(stage)
+        snap = self.catalog.current_snapshot(stage)
+        entry = {"stage": stage, "resumed": False,
+                 "rows": snap["summary"]["rows"],
+                 "seconds": round(time.time() - t0, 3),
+                 "fingerprint": fp, "snapshot_id": sid}
         entry.update(self._partition_stats(out))
         self.metrics.append(entry)
         return out
@@ -200,11 +246,14 @@ def run_pipeline(
     threshold: float = DEFAULT_THRESHOLD,
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
+    catalog=None,
 ) -> dict:
     """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
     kb_alt_names (DataFrames). Returns dict with every stage DataFrame
-    plus the metrics list."""
-    runner = StageRunner(spark, workdir, resume=resume)
+    plus the metrics list. Pass `catalog=IcebergishCatalog(...)` to
+    checkpoint stages as snapshot-versioned tables instead of plain
+    parquet dirs."""
+    runner = StageRunner(spark, workdir, resume=resume, catalog=catalog)
 
     # 1. ingest + extraction invariant
     documents = runner.run("documents", lambda: ingest_pages(tables["pages"]))

@@ -1,0 +1,268 @@
+"""Iceberg-style table catalog over parquet (north_rule: "checkpoints
+each stage ... to Iceberg").
+
+No Iceberg jars ship in this sandbox, so this is a from-scratch
+implementation of the *format's load-bearing ideas* at directory
+granularity, not a binding to the Iceberg library:
+
+- **Snapshot isolation / atomic visibility.** Every commit writes its
+  data files to a fresh ``data/snap-NNNNNN/`` directory, then writes a
+  new ``metadata/vN.metadata.json`` describing the full snapshot list,
+  and finally flips ``metadata/version-hint.text`` with an atomic
+  ``os.replace``. Readers resolve hint -> metadata -> data dirs, so a
+  crashed or concurrent writer is never partially visible (the classic
+  parquet-directory failure mode that ``_SUCCESS`` markers only
+  approximate).
+- **Append as metadata.** ``mode="append"`` reuses every prior data
+  dir by reference — no rewrite of existing data, exactly Iceberg's
+  manifest-reuse behavior.
+- **Time travel + rollback.** Every snapshot stays addressable
+  (``read(table, snapshot_id=...)``); ``rollback`` is a pure metadata
+  commit pointing ``current_snapshot_id`` at an older snapshot.
+- **Stats in metadata.** Per-snapshot row/file/byte counts let
+  planners (and the StageRunner's lineage rows) answer "how big" without
+  touching data files.
+- **Schema tracking.** The table schema is recorded at create time and
+  appends are checked against it (names + types; nullability may widen).
+
+The reference has no table format at all — it re-reads its TSV/JSON
+inputs every run (``/root/reference/hamerkop/io.py``); this catalog is
+the scale-path replacement for that, and the optional backend for
+``plans.pipeline.StageRunner`` checkpoints.
+
+Scale notes: metadata is O(snapshots x dirs), kilobytes — never
+row-proportional. Reads are plain parquet directory scans, so partition
+pruning and predicate pushdown behave exactly as a direct
+``spark.read.parquet`` would (asserted in tests/test_catalog.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 1
+
+
+class SnapshotNotFound(KeyError):
+    pass
+
+
+class SchemaMismatch(ValueError):
+    pass
+
+
+def _types_of(schema_json: dict) -> list[tuple[str, object]]:
+    return [(f["name"], f["type"]) for f in schema_json["fields"]]
+
+
+class IcebergishCatalog:
+    """A warehouse of snapshot-versioned parquet tables."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _table_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def _meta_dir(self, table: str) -> str:
+        return os.path.join(self._table_path(table), "metadata")
+
+    def _hint_path(self, table: str) -> str:
+        return os.path.join(self._meta_dir(table), "version-hint.text")
+
+    # -- metadata --------------------------------------------------------
+    def _current_version(self, table: str) -> int | None:
+        hint = self._hint_path(table)
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as fh:
+            return int(fh.read().strip())
+
+    def _load_metadata(self, table: str, version: int | None = None) -> dict:
+        version = version if version is not None else self._current_version(table)
+        if version is None:
+            raise SnapshotNotFound(f"table {table!r} does not exist")
+        path = os.path.join(self._meta_dir(table), f"v{version}.metadata.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _write_metadata(self, table: str, meta: dict) -> int:
+        """Write vN+1.metadata.json then atomically flip the hint.
+
+        The data files and the metadata json are invisible until the
+        ``os.replace`` — a writer that dies before it leaves only
+        unreferenced garbage, never a half-committed table.
+        """
+        meta_dir = self._meta_dir(table)
+        os.makedirs(meta_dir, exist_ok=True)
+        version = (self._current_version(table) or 0) + 1
+        meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        tmp = self._hint_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._hint_path(table))
+        return version
+
+    def _snapshot(self, meta: dict, snapshot_id: int | None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        for snap in meta["snapshots"]:
+            if snap["snapshot_id"] == sid:
+                return snap
+        raise SnapshotNotFound(f"snapshot {sid} not in table {meta['table']!r}")
+
+    # -- public API ------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self._current_version(table) is not None
+
+    def tables(self) -> list[str]:
+        return sorted(
+            t
+            for t in os.listdir(self.warehouse)
+            if os.path.exists(self._hint_path(t))
+        )
+
+    def commit(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Write `df` as a new snapshot; returns the snapshot id."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        prior = self._load_metadata(table) if self.exists(table) else None
+        schema_json = df.schema.jsonValue()
+        if prior is not None:
+            if mode == "append" and _types_of(prior["schema"]) != _types_of(schema_json):
+                raise SchemaMismatch(
+                    f"append to {table!r}: schema {_types_of(schema_json)} != "
+                    f"table schema {_types_of(prior['schema'])}"
+                )
+            if partition_by is None:
+                partition_by = prior.get("partition_spec") or None
+
+        snapshot_id = (
+            max((s["snapshot_id"] for s in prior["snapshots"]), default=0) + 1
+            if prior
+            else 1
+        )
+        rel_dir = os.path.join("data", f"snap-{snapshot_id:06d}")
+        abs_dir = os.path.join(self._table_path(table), rel_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(abs_dir)
+
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(abs_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        summary = {
+            "rows": self.spark.read.parquet(abs_dir).count(),
+            "files": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+        }
+        inherited = (
+            self._snapshot(prior, None)["data_dirs"]
+            if (prior and mode == "append")
+            else []
+        )
+        snap = {
+            "snapshot_id": snapshot_id,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": mode,
+            "data_dirs": inherited + [rel_dir],
+            "summary": summary,
+            "properties": properties or {},
+        }
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "table": table,
+            "schema": schema_json if mode == "overwrite" or prior is None
+            else prior["schema"],
+            "partition_spec": list(partition_by or []),
+            "current_snapshot_id": snapshot_id,
+            "snapshots": (prior["snapshots"] if prior else []) + [snap],
+        }
+        self._write_metadata(table, meta)
+        return snapshot_id
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to `snapshot_id`."""
+        meta = self._load_metadata(table)
+        snap = self._snapshot(meta, snapshot_id)
+        dirs = [
+            os.path.join(self._table_path(table), d) for d in snap["data_dirs"]
+        ]
+        # One read per commit dir (each is its own partition-discovery
+        # root), unioned by name: partition pruning/pushdown still reach
+        # every underlying scan, and mixed snap-* path components never
+        # confuse Spark's partition inference.
+        out = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(self.spark.read.parquet(d))
+        return out
+
+    def history(self, table: str) -> list[dict]:
+        meta = self._load_metadata(table)
+        return [
+            {k: s[k] for k in ("snapshot_id", "timestamp_ms", "operation", "summary")}
+            for s in meta["snapshots"]
+        ]
+
+    def current_snapshot(self, table: str) -> dict:
+        meta = self._load_metadata(table)
+        return self._snapshot(meta, None)
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Point the table back at an older snapshot (pure metadata)."""
+        meta = self._load_metadata(table)
+        self._snapshot(meta, snapshot_id)  # validate it exists
+        meta["current_snapshot_id"] = snapshot_id
+        self._write_metadata(table, meta)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots (the current one
+        is always kept) and delete data dirs no retained snapshot
+        references. Returns the expired snapshot ids."""
+        import shutil
+
+        meta = self._load_metadata(table)
+        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+        keep = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        keep.add(meta["current_snapshot_id"])
+        kept = [s for s in snaps if s["snapshot_id"] in keep]
+        expired = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in keep]
+        if not expired:
+            return []
+        live_dirs = {d for s in kept for d in s["data_dirs"]}
+        dead_dirs = {
+            d for s in snaps if s["snapshot_id"] not in keep for d in s["data_dirs"]
+        } - live_dirs
+        meta["snapshots"] = kept
+        self._write_metadata(table, meta)
+        # Data deletion happens only after the new metadata is visible,
+        # so a reader holding the old hint can at worst see a
+        # SnapshotNotFound, never a half-deleted directory it was told
+        # still exists.
+        for d in dead_dirs:
+            shutil.rmtree(os.path.join(self._table_path(table), d), ignore_errors=True)
+        return expired
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._table_path(table), ignore_errors=True)

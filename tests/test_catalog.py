@@ -1,0 +1,172 @@
+"""IcebergishCatalog: snapshot commits, atomic visibility, time travel,
+rollback, expiry, schema checks, partition pruning, and the StageRunner
+catalog backend (resume + fingerprint invalidation through snapshots)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.sources.catalog import (
+    IcebergishCatalog,
+    SchemaMismatch,
+    SnapshotNotFound,
+)
+
+
+def rows(df, *cols):
+    if cols:
+        df = df.select(*cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return IcebergishCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string")
+
+
+def test_commit_read_roundtrip(spark, cat):
+    cat.commit("t", _df(spark, [(1, "a"), (2, "b")]))
+    assert rows(cat.read("t")) == [(1, "a"), (2, "b")]
+    assert cat.tables() == ["t"]
+    assert cat.exists("t") and not cat.exists("nope")
+
+
+def test_append_is_metadata_only_and_overwrite_replaces(spark, cat):
+    s1 = cat.commit("t", _df(spark, [(1, "a")]))
+    s2 = cat.commit("t", _df(spark, [(2, "b")]), mode="append")
+    assert rows(cat.read("t")) == [(1, "a"), (2, "b")]
+    # append reuses snapshot 1's data dir by reference
+    snap = cat.current_snapshot("t")
+    assert len(snap["data_dirs"]) == 2
+    assert f"snap-{s1:06d}" in snap["data_dirs"][0]
+    s3 = cat.commit("t", _df(spark, [(9, "z")]))
+    assert rows(cat.read("t")) == [(9, "z")]
+    assert [h["snapshot_id"] for h in cat.history("t")] == [s1, s2, s3]
+
+
+def test_time_travel_and_rollback(spark, cat):
+    s1 = cat.commit("t", _df(spark, [(1, "a")]))
+    s2 = cat.commit("t", _df(spark, [(2, "b")]), mode="append")
+    assert rows(cat.read("t", snapshot_id=s1)) == [(1, "a")]
+    assert rows(cat.read("t", snapshot_id=s2)) == [(1, "a"), (2, "b")]
+    cat.rollback("t", s1)
+    assert rows(cat.read("t")) == [(1, "a")]
+    # rollback is pure metadata: s2 still time-travelable
+    assert rows(cat.read("t", snapshot_id=s2)) == [(1, "a"), (2, "b")]
+    with pytest.raises(SnapshotNotFound):
+        cat.rollback("t", 99)
+
+
+def test_atomic_visibility_crash_before_hint_flip(spark, cat):
+    """A writer that dies after writing data+metadata but before the
+    hint flip leaves the old snapshot fully intact and visible."""
+    cat.commit("t", _df(spark, [(1, "a")]))
+    # simulate the crash: write orphan data dir + orphan metadata json,
+    # but never touch version-hint.text
+    tpath = os.path.join(cat.warehouse, "t")
+    _df(spark, [(666, "evil")]).write.parquet(
+        os.path.join(tpath, "data", "snap-000666")
+    )
+    with open(os.path.join(tpath, "metadata", "v99.metadata.json"), "w") as fh:
+        json.dump({"garbage": True}, fh)
+    assert rows(cat.read("t")) == [(1, "a")]
+    # and the next real commit still works
+    cat.commit("t", _df(spark, [(2, "b")]), mode="append")
+    assert rows(cat.read("t")) == [(1, "a"), (2, "b")]
+
+
+def test_append_schema_mismatch_raises(spark, cat):
+    cat.commit("t", _df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(1.5, "a")], "k double, v string")
+    with pytest.raises(SchemaMismatch):
+        cat.commit("t", bad, mode="append")
+    # overwrite may change the schema
+    cat.commit("t", bad)
+    assert cat._load_metadata("t")["schema"]["fields"][0]["type"] == "double"
+
+
+def test_expire_snapshots_keeps_current_and_deletes_orphans(spark, cat):
+    s1 = cat.commit("t", _df(spark, [(1, "a")]))
+    s2 = cat.commit("t", _df(spark, [(2, "b")]))  # overwrite: s1 dir now orphanable
+    s3 = cat.commit("t", _df(spark, [(3, "c")]), mode="append")
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == [s1]
+    assert [h["snapshot_id"] for h in cat.history("t")] == [s2, s3]
+    # s1's data dir is gone, s2's survives (referenced by s3 via append)
+    tpath = os.path.join(cat.warehouse, "t", "data")
+    assert not os.path.exists(os.path.join(tpath, f"snap-{s1:06d}"))
+    assert os.path.exists(os.path.join(tpath, f"snap-{s2:06d}"))
+    assert rows(cat.read("t")) == [(2, "b"), (3, "c")]
+    with pytest.raises(SnapshotNotFound):
+        cat.read("t", snapshot_id=s1)
+
+
+def test_partitioned_table_prunes(spark, cat):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "ru") for i in range(10)], "k int, lang string"
+    )
+    cat.commit("t", df, partition_by=["lang"])
+    # append inherits the partition spec without restating it
+    cat.commit(
+        "t", spark.createDataFrame([(100, "en")], "k int, lang string"),
+        mode="append",
+    )
+    got = cat.read("t").where(F.col("lang") == "en")
+    assert got.count() == 6
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition column reached the scan as a partition filter, not a
+    # post-scan Filter over data rows
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_stage_runner_catalog_backend(spark, tmp_path):
+    from hamerkop_spark.plans.pipeline import StageRunner
+
+    cat = IcebergishCatalog(spark, str(tmp_path / "wh"))
+    calls = {"n": 0}
+
+    def stage():
+        calls["n"] += 1
+        return _df(spark, [(1, "a")])
+
+    r1 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
+    out = r1.run("s", stage, params={"p": 1})
+    assert rows(out) == [(1, "a")] and calls["n"] == 1
+    assert cat.current_snapshot("s")["properties"]["fingerprint"]
+
+    # same params -> resume from snapshot, fn not called
+    r2 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
+    out = r2.run("s", stage, params={"p": 1})
+    assert rows(out) == [(1, "a")] and calls["n"] == 1
+    assert r2.metrics[0]["resumed"] is True
+
+    # changed params -> fingerprint mismatch -> recompute as NEW snapshot,
+    # the stale checkpoint stays time-travelable
+    r3 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
+    r3.run("s", stage, params={"p": 2})
+    assert calls["n"] == 2
+    assert len(cat.history("s")) == 2
+
+
+def test_pipeline_end_to_end_on_catalog(spark, tmp_path):
+    """The flagship pipeline runs unchanged on the catalog backend and
+    resumes all stages from snapshots on the second run."""
+    from hamerkop_spark.plans.pipeline import run_pipeline
+    from hamerkop_spark.synth import make_corpus
+
+    tables = make_corpus(spark, n_docs=20, seed=7)
+    cat = IcebergishCatalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, tables, str(tmp_path / "wd"), catalog=cat)
+    assert res["clusters"].count() > 0
+    assert all(not m["resumed"] for m in res["metrics"])
+    res2 = run_pipeline(spark, tables, str(tmp_path / "wd"), catalog=cat)
+    assert all(m["resumed"] for m in res2["metrics"])
+    assert rows(res2["clusters"]) == rows(res["clusters"])
