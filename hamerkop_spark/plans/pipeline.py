@@ -172,14 +172,26 @@ class StageRunner:
         self.metrics.append(entry)
         return out
 
+    def _catalog_table(self, stage: str) -> str:
+        """Namespace catalog tables by workdir (as the plain-parquet
+        backend implicitly does): two pipelines sharing one warehouse
+        but using different workdirs must never resume each other's
+        checkpoints — the fingerprint hashes config and lineage, not
+        the input data itself."""
+        import hashlib
+
+        ns = hashlib.md5(os.path.abspath(self.workdir).encode()).hexdigest()[:8]
+        return f"{ns}__{stage}"
+
     def _run_catalog(self, stage, fn, partition_by, fp, t0) -> DataFrame:
         """Catalog backend: the fingerprint lives in the current
         snapshot's properties; a mismatch commits a fresh snapshot (the
         stale one stays time-travelable instead of being overwritten)."""
-        if self.resume and self.catalog.exists(stage):
-            snap = self.catalog.current_snapshot(stage)
+        tbl = self._catalog_table(stage)
+        if self.resume and self.catalog.exists(tbl):
+            snap = self.catalog.current_snapshot(tbl)
             if snap["properties"].get("fingerprint") == fp:
-                df = self.catalog.read(stage)
+                df = self.catalog.read(tbl)
                 self.metrics.append(
                     {"stage": stage, "resumed": True,
                      "rows": snap["summary"]["rows"],
@@ -190,11 +202,11 @@ class StageRunner:
                 return df
         df = fn()
         sid = self.catalog.commit(
-            stage, df, mode="overwrite", partition_by=partition_by,
+            tbl, df, mode="overwrite", partition_by=partition_by,
             properties={"fingerprint": fp},
         )
-        out = self.catalog.read(stage)
-        snap = self.catalog.current_snapshot(stage)
+        out = self.catalog.read(tbl)
+        snap = self.catalog.current_snapshot(tbl)
         entry = {"stage": stage, "resumed": False,
                  "rows": snap["summary"]["rows"],
                  "seconds": round(time.time() - t0, 3),

@@ -23,7 +23,13 @@ granularity, not a binding to the Iceberg library:
   planners (and the StageRunner's lineage rows) answer "how big" without
   touching data files.
 - **Schema tracking.** The table schema is recorded at create time and
-  appends are checked against it (names + types; nullability may widen).
+  appends are checked against it (field names + value types at every
+  nesting level; nullability and field metadata are ignored).
+- **Conflict detection.** Commits race on an exclusive-create of the
+  next metadata version (``open(..., "x")``): of two concurrent
+  writers, exactly one wins and the loser gets ``CommitConflict`` —
+  data dirs carry a per-attempt unique suffix so the loser never
+  clobbers the winner's files, it only leaves an unreferenced dir.
 
 The reference has no table format at all — it re-reads its TSV/JSON
 inputs every run (``/root/reference/hamerkop/io.py``); this catalog is
@@ -41,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,8 +62,36 @@ class SchemaMismatch(ValueError):
     pass
 
 
+class CommitConflict(RuntimeError):
+    pass
+
+
+def _normalize_type(t):
+    """Strip nullability and field metadata at every nesting level so
+    the append schema check compares names + value types only."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {"name": f["name"], "type": _normalize_type(f["type"])}
+                    for f in t["fields"]
+                ],
+            }
+        if kind == "array":
+            return {"type": "array", "elementType": _normalize_type(t["elementType"])}
+        if kind == "map":
+            return {
+                "type": "map",
+                "keyType": _normalize_type(t["keyType"]),
+                "valueType": _normalize_type(t["valueType"]),
+            }
+    return t
+
+
 def _types_of(schema_json: dict) -> list[tuple[str, object]]:
-    return [(f["name"], f["type"]) for f in schema_json["fields"]]
+    return [(f["name"], _normalize_type(f["type"])) for f in schema_json["fields"]]
 
 
 class IcebergishCatalog:
@@ -98,14 +133,24 @@ class IcebergishCatalog:
 
         The data files and the metadata json are invisible until the
         ``os.replace`` — a writer that dies before it leaves only
-        unreferenced garbage, never a half-committed table.
+        unreferenced garbage, never a half-committed table. The
+        exclusive create (``"x"``) is the optimistic-concurrency check:
+        two racing writers both target vN+1, exactly one wins, the
+        other raises CommitConflict (and must re-read + retry), the
+        same protocol as Iceberg's rename-without-overwrite commit.
         """
         meta_dir = self._meta_dir(table)
         os.makedirs(meta_dir, exist_ok=True)
         version = (self._current_version(table) or 0) + 1
         meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh, sort_keys=True)
+        try:
+            with open(meta_path, "x") as fh:
+                json.dump(meta, fh, sort_keys=True)
+        except FileExistsError:
+            raise CommitConflict(
+                f"table {table!r}: metadata v{version} was committed by a "
+                "concurrent writer; re-read and retry"
+            ) from None
         tmp = self._hint_path(table) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(version))
@@ -157,7 +202,11 @@ class IcebergishCatalog:
             if prior
             else 1
         )
-        rel_dir = os.path.join("data", f"snap-{snapshot_id:06d}")
+        # per-attempt unique dir: a committer that loses the metadata
+        # race (CommitConflict) leaves an unreferenced dir behind — it
+        # can never clobber the winner's files
+        attempt = uuid.uuid4().hex[:8]
+        rel_dir = os.path.join("data", f"snap-{snapshot_id:06d}-{attempt}")
         abs_dir = os.path.join(self._table_path(table), rel_dir)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -170,7 +219,8 @@ class IcebergishCatalog:
             for f in fs
             if f.endswith(".parquet")
         ]
-        summary = {
+        dir_stats = dict(prior.get("dir_stats", {})) if prior else {}
+        dir_stats[rel_dir] = {
             "rows": self.spark.read.parquet(abs_dir).count(),
             "files": len(files),
             "bytes": sum(os.path.getsize(f) for f in files),
@@ -180,12 +230,20 @@ class IcebergishCatalog:
             if (prior and mode == "append")
             else []
         )
+        data_dirs = inherited + [rel_dir]
+        # summary = TABLE totals at this snapshot (sum over its dirs),
+        # not just the appended delta
+        summary = {
+            k: sum(dir_stats[d][k] for d in data_dirs)
+            for k in ("rows", "files", "bytes")
+        }
         snap = {
             "snapshot_id": snapshot_id,
             "timestamp_ms": int(time.time() * 1000),
             "operation": mode,
-            "data_dirs": inherited + [rel_dir],
+            "data_dirs": data_dirs,
             "summary": summary,
+            "added": dir_stats[rel_dir],
             "properties": properties or {},
         }
         meta = {
@@ -195,6 +253,7 @@ class IcebergishCatalog:
             else prior["schema"],
             "partition_spec": list(partition_by or []),
             "current_snapshot_id": snapshot_id,
+            "dir_stats": dir_stats,
             "snapshots": (prior["snapshots"] if prior else []) + [snap],
         }
         self._write_metadata(table, meta)
@@ -242,7 +301,7 @@ class IcebergishCatalog:
 
         meta = self._load_metadata(table)
         snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
-        keep = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        keep = {s["snapshot_id"] for s in snaps[-keep_last:]} if keep_last > 0 else set()
         keep.add(meta["current_snapshot_id"])
         kept = [s for s in snaps if s["snapshot_id"] in keep]
         expired = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in keep]
@@ -253,11 +312,16 @@ class IcebergishCatalog:
             d for s in snaps if s["snapshot_id"] not in keep for d in s["data_dirs"]
         } - live_dirs
         meta["snapshots"] = kept
+        meta["dir_stats"] = {
+            d: st for d, st in meta.get("dir_stats", {}).items() if d in live_dirs
+        }
         self._write_metadata(table, meta)
-        # Data deletion happens only after the new metadata is visible,
-        # so a reader holding the old hint can at worst see a
-        # SnapshotNotFound, never a half-deleted directory it was told
-        # still exists.
+        # Deletion happens only after the new metadata is visible: a
+        # reader that resolves the hint after the flip gets a clean
+        # SnapshotNotFound for expired ids. (A reader still holding a
+        # lazy DataFrame over an expiring snapshot can fail mid-scan —
+        # the same read/expire race real Iceberg has; retention policy
+        # is the operator's job.)
         for d in dead_dirs:
             shutil.rmtree(os.path.join(self._table_path(table), d), ignore_errors=True)
         return expired

@@ -92,6 +92,8 @@ def test_append_schema_mismatch_raises(spark, cat):
 
 
 def test_expire_snapshots_keeps_current_and_deletes_orphans(spark, cat):
+    import glob
+
     s1 = cat.commit("t", _df(spark, [(1, "a")]))
     s2 = cat.commit("t", _df(spark, [(2, "b")]))  # overwrite: s1 dir now orphanable
     s3 = cat.commit("t", _df(spark, [(3, "c")]), mode="append")
@@ -100,11 +102,58 @@ def test_expire_snapshots_keeps_current_and_deletes_orphans(spark, cat):
     assert [h["snapshot_id"] for h in cat.history("t")] == [s2, s3]
     # s1's data dir is gone, s2's survives (referenced by s3 via append)
     tpath = os.path.join(cat.warehouse, "t", "data")
-    assert not os.path.exists(os.path.join(tpath, f"snap-{s1:06d}"))
-    assert os.path.exists(os.path.join(tpath, f"snap-{s2:06d}"))
+    assert glob.glob(os.path.join(tpath, f"snap-{s1:06d}-*")) == []
+    assert glob.glob(os.path.join(tpath, f"snap-{s2:06d}-*"))
     assert rows(cat.read("t")) == [(2, "b"), (3, "c")]
     with pytest.raises(SnapshotNotFound):
         cat.read("t", snapshot_id=s1)
+    # keep_last=0 keeps only the current snapshot (not a silent no-op)
+    assert cat.expire_snapshots("t", keep_last=0) == [s2]
+    assert [h["snapshot_id"] for h in cat.history("t")] == [s3]
+    # s2's dir survives because current s3 references it via append
+    assert rows(cat.read("t")) == [(2, "b"), (3, "c")]
+
+
+def test_snapshot_summary_is_table_total_after_append(spark, cat):
+    cat.commit("t", _df(spark, [(i, "x") for i in range(100)]))
+    cat.commit("t", _df(spark, [(100, "y")]), mode="append")
+    snap = cat.current_snapshot("t")
+    assert snap["summary"]["rows"] == 101  # table total, not the delta
+    assert snap["added"]["rows"] == 1
+    assert cat.read("t").count() == 101
+
+
+def test_commit_conflict_detected_and_loser_never_clobbers(spark, cat):
+    from hamerkop_spark.sources.catalog import CommitConflict
+
+    cat.commit("t", _df(spark, [(1, "a")]))
+    # simulate a concurrent winner: somebody flipped v2 between our
+    # metadata read and our write
+    meta = cat._load_metadata("t")
+    cat._write_metadata("t", meta)  # v2 now taken
+    # rewind the hint so our commit targets v2 too
+    with open(cat._hint_path("t"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(CommitConflict):
+        cat.commit("t", _df(spark, [(2, "b")]))
+    # the winner's table is untouched
+    with open(cat._hint_path("t"), "w") as fh:
+        fh.write("2")
+    assert rows(cat.read("t")) == [(1, "a")]
+
+
+def test_append_nested_nullability_is_ignored(spark, cat):
+    a = spark.createDataFrame([(1, "x")], "k int, v string").select(
+        "k", F.struct(F.col("v").alias("s")).alias("nested")
+    )
+    cat.commit("t", a)
+    # outer join makes the nested field nullable=true; append must accept
+    b = (
+        spark.createDataFrame([(2,)], "k int")
+        .join(a.select("k", "nested"), "k", "left")
+    )
+    cat.commit("t", b, mode="append")
+    assert cat.read("t").count() == 2
 
 
 def test_partitioned_table_prunes(spark, cat):
@@ -140,7 +189,8 @@ def test_stage_runner_catalog_backend(spark, tmp_path):
     r1 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
     out = r1.run("s", stage, params={"p": 1})
     assert rows(out) == [(1, "a")] and calls["n"] == 1
-    assert cat.current_snapshot("s")["properties"]["fingerprint"]
+    tbl = r1._catalog_table("s")
+    assert cat.current_snapshot(tbl)["properties"]["fingerprint"]
 
     # same params -> resume from snapshot, fn not called
     r2 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
@@ -153,7 +203,14 @@ def test_stage_runner_catalog_backend(spark, tmp_path):
     r3 = StageRunner(spark, str(tmp_path / "wd"), resume=True, catalog=cat)
     r3.run("s", stage, params={"p": 2})
     assert calls["n"] == 2
-    assert len(cat.history("s")) == 2
+    assert len(cat.history(tbl)) == 2
+
+    # a DIFFERENT workdir on the same warehouse is a different namespace:
+    # it must not resume this workdir's checkpoint even with equal params
+    r4 = StageRunner(spark, str(tmp_path / "wd2"), resume=True, catalog=cat)
+    r4.run("s", stage, params={"p": 2})
+    assert calls["n"] == 3
+    assert r4._catalog_table("s") != tbl
 
 
 def test_pipeline_end_to_end_on_catalog(spark, tmp_path):
