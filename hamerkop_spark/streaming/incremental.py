@@ -16,6 +16,11 @@ stateless ones lift directly onto streaming DataFrames:
 * `foreach_batch_linker` — per-micro-batch entity linking: each batch of
   pages runs the batch blocking+resolve stages against the (static) KB
   and appends decisions; exactly-once via checkpointed sink.
+* `catalog_stream_sink` — foreachBatch writer committing each
+  micro-batch as an append snapshot to an IcebergishCatalog table, with
+  replayed batches filtered by a `last_batch_id` high-water mark:
+  atomic batch visibility + idempotent appends = exactly-once into the
+  table.
 """
 
 from __future__ import annotations
@@ -326,3 +331,38 @@ def compact_band_store(
     shutil.move(tmp, state_dir)
     shutil.rmtree(old)
     return spark.read.parquet(state_dir)
+
+
+def catalog_stream_sink(catalog, table: str, transform=None):
+    """foreachBatch process function committing each micro-batch as an
+    append SNAPSHOT to an IcebergishCatalog table — the streaming side
+    of the north_rule's Iceberg checkpointing.
+
+    Strictly better than `.write.mode("append").parquet(...)` under
+    failure: a batch that crashes mid-write leaves only an unreferenced
+    data dir (never partial rows visible), and a batch REPLAYED after a
+    restart is detected via the `last_batch_id` snapshot property and
+    skipped — append becomes idempotent, i.e. end-to-end exactly-once
+    into the table. Batch ids are monotonically increasing and
+    foreachBatch invocations are sequential, so a single high-water mark
+    is a sufficient replay filter.
+
+    :param transform: optional batch_df -> DataFrame stage (e.g. the
+        blocking+resolve lift in foreach_batch_linker) applied before
+        the commit.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.exists(table):
+            last = catalog.current_snapshot(table)["properties"].get(
+                "last_batch_id"
+            )
+            if last is not None and int(last) >= batch_id:
+                return  # replay of an already-committed batch
+        out = transform(batch_df) if transform is not None else batch_df
+        catalog.commit(
+            table, out, mode="append",
+            properties={"last_batch_id": str(batch_id)},
+        )
+
+    return process

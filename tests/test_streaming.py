@@ -244,3 +244,39 @@ def test_foreach_batch_dedup_global_bucket_cap(spark, tmp_path):
     ).parquet(d)
     run_once()
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_catalog_stream_sink_exactly_once(spark, tmp_path, pages_dir):
+    """Each micro-batch becomes an append snapshot; a replayed batch id
+    is skipped (idempotent), and mid-write crashes can never leave
+    partial rows visible (atomic snapshot commit)."""
+    from hamerkop_spark.sources.catalog import IcebergishCatalog
+
+    cat = IcebergishCatalog(spark, str(tmp_path / "wh"))
+    process = S.catalog_stream_sink(
+        cat, "docs", transform=lambda b: b.select("url", "text")
+    )
+    docs = S.stream_documents(spark, pages_dir)
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert cat.read("docs").count() == 6
+    n_snaps = len(cat.history("docs"))
+    last_bid = int(cat.current_snapshot("docs")["properties"]["last_batch_id"])
+
+    # simulate a foreachBatch REPLAY of the last committed batch
+    replay = spark.createDataFrame(
+        [("http://x/999", "dup body")], "url string, text string"
+    )
+    process(replay, last_bid)
+    assert cat.read("docs").count() == 6  # skipped, no duplicates
+    assert len(cat.history("docs")) == n_snaps
+
+    # a genuinely NEW batch appends one snapshot
+    process(replay, last_bid + 1)
+    assert cat.read("docs").count() == 7
+    assert len(cat.history("docs")) == n_snaps + 1
