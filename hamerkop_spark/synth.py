@@ -113,11 +113,36 @@ def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
 
     eid = 1
     used = set()
-    for _ in range(n_per):
-        name = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+
+    def unique_name(gen, widen):
+        """Rejection-sample from `gen`, escaping to `widen` once the base
+        pool is (nearly) exhausted — the base PER pool is only
+        |FIRST|x|LAST| = 480 combos, so large KBs would otherwise loop
+        forever. Deterministic (driven by `rng`) and guaranteed to
+        terminate: the final escape appends a never-reused counter."""
+        name = gen()
+        tries = 0
         while name in used:
-            name = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+            tries += 1
+            if tries <= 30:
+                name = gen()
+            elif tries <= 120:
+                name = widen()
+            else:
+                name = f"{widen()} {len(used)}"
         used.add(name)
+        return name
+
+    import string as _string
+
+    for _ in range(n_per):
+        name = unique_name(
+            lambda: f"{rng.choice(FIRST)} {rng.choice(LAST)}",
+            lambda: (
+                f"{rng.choice(FIRST)} "
+                f"{rng.choice(_string.ascii_uppercase)}. {rng.choice(LAST)}"
+            ),
+        )
         alt = [_misspell(rng, name)]
         links = []
         if rng.random() < 0.5:
@@ -125,10 +150,13 @@ def build_kb(rng: random.Random, n_per=40, n_org=30, n_gpe=24, n_loc=6):
         add(f"E{eid:05d}", "PER", name, "WLL", rng.choice(COUNTRIES), links, alt)
         eid += 1
     for _ in range(n_org):
-        name = f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)}"
-        while name in used:
-            name = f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)}"
-        used.add(name)
+        name = unique_name(
+            lambda: f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)}",
+            lambda: (
+                f"{rng.choice(ORG_A)} {rng.choice(ORG_B)} {rng.choice(ORG_C)} "
+                f"of {rng.choice(CITY)}"
+            ),
+        )
         alt = [_acronym(name), _misspell(rng, name)]
         links = ["http://en.wikipedia.org/wiki/" + name.replace(" ", "_")]
         add(f"E{eid:05d}", "ORG", name, "APB", rng.choice(COUNTRIES), links, alt)
