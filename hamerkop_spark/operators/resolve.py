@@ -83,13 +83,19 @@ def wikipedia_resolver(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def edit_distance_resolver(
-    pairs: DataFrame, threshold: float = 0.1
+    pairs: DataFrame, threshold: float = 0.1, margin: float = 0.0
 ) -> tuple[DataFrame, DataFrame]:
     """R4 EditDistanceResolver (resolver.py:306-322): per-chain argmin of
     min-over-name-pairs normalized edit distance; accept when < threshold.
     (The reference's accidental cross-candidate carry-over of `distance`
     is not replicated; per-chain argmin is the documented intent —
-    SURVEY.md §7(b).) Deterministic tie-break by entity_id."""
+    SURVEY.md §7(b).) Deterministic tie-break by entity_id.
+
+    `margin` > 0 adds an ambiguity gate: abstain (leave for later
+    stages / NIL) when the runner-up candidate's distance is within
+    `margin` of the best — at web-scale KB surface density, a fuzzy
+    argmin with several near-equal candidates is evidence of a
+    collision, not a link."""
     from hamerkop_spark.operators.features import ensure_derived
 
     d = (
@@ -99,21 +105,32 @@ def edit_distance_resolver(
     )
     w = Window.partitionBy(*CHAIN).orderBy("dist", "entity_id")
     ranked = d.withColumn("rn", F.row_number().over(w))
-    decisions = ranked.where((F.col("rn") == 1) & (F.col("dist") < threshold)).select(
-        *CHAIN, "entity_id"
-    )
+    accept = (F.col("rn") == 1) & (F.col("dist") < threshold)
+    if margin > 0:
+        nxt = F.lead("dist").over(w)
+        ranked = ranked.withColumn("next_dist", nxt)
+        accept = accept & (
+            F.col("next_dist").isNull()
+            | (F.col("next_dist") - F.col("dist") >= margin)
+        )
+    decisions = ranked.where(accept).select(*CHAIN, "entity_id")
     remaining = d.drop("dist").join(decisions.select(*CHAIN), CHAIN, "left_anti")
     return decisions, remaining
 
 
 def linear_resolver(
-    weights: dict[str, float], bias: float = 0.0, threshold: float = 0.0
+    weights: dict[str, float], bias: float = 0.0, threshold: float = 0.0,
+    margin: float = 0.0,
 ) -> Resolver:
     """R5 SvmResolver (resolver.py:325-343) generalized: a calibrated
     linear/logistic combination over feature columns. All scores below
     `threshold` -> NIL (no decision); else argmax (deterministic
     tie-break by entity_id). Score is a native column expression — the
-    model's weights are literals, so the whole decision stays in codegen."""
+    model's weights are literals, so the whole decision stays in codegen.
+
+    `margin` > 0 abstains when the runner-up's score is within `margin`
+    (logit units) of the best: an ambiguity gate against fuzzy-collision
+    links at dense KB surface neighborhoods."""
 
     def run(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
         score = F.lit(float(bias))
@@ -124,9 +141,16 @@ def linear_resolver(
             F.desc("match_score"), F.col("entity_id")
         )
         ranked = scored.withColumn("rn", F.row_number().over(w))
-        decisions = ranked.where(
-            (F.col("rn") == 1) & (F.col("match_score") >= threshold)
-        ).select(*CHAIN, "entity_id")
+        accept = (F.col("rn") == 1) & (F.col("match_score") >= threshold)
+        if margin > 0:
+            ranked = ranked.withColumn(
+                "next_score", F.lead("match_score").over(w)
+            )
+            accept = accept & (
+                F.col("next_score").isNull()
+                | (F.col("match_score") - F.col("next_score") >= margin)
+            )
+        decisions = ranked.where(accept).select(*CHAIN, "entity_id")
         remaining = scored.drop("match_score").join(
             decisions.select(*CHAIN), CHAIN, "left_anti"
         )

@@ -256,6 +256,7 @@ def run_pipeline(
     weights: dict | None = None,
     bias: float = DEFAULT_BIAS,
     threshold: float = DEFAULT_THRESHOLD,
+    margin: float = 0.0,
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
     catalog=None,
@@ -379,8 +380,12 @@ def run_pipeline(
             [
                 R.exact_name_resolver,
                 R.wikipedia_resolver,
-                lambda p: R.edit_distance_resolver(p, threshold=0.1),
-                R.linear_resolver(weights or DEFAULT_WEIGHTS, bias, threshold),
+                lambda p: R.edit_distance_resolver(
+                    p, threshold=0.1, margin=margin
+                ),
+                R.linear_resolver(
+                    weights or DEFAULT_WEIGHTS, bias, threshold, margin=margin
+                ),
             ],
         )
 
@@ -388,7 +393,7 @@ def run_pipeline(
         "decisions",
         mk_decisions,
         params={"weights": weights or DEFAULT_WEIGHTS, "bias": bias,
-                "threshold": threshold},
+                "threshold": threshold, "margin": margin},
         deps=("scored_pairs",),
     )
 

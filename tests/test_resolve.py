@@ -116,3 +116,48 @@ def test_type_specific_gate(spark):
     d, rem = gated(pairs)
     assert decided(d) == []          # PER chain not touched by ORG-only stage
     assert rem.count() == 1
+
+
+def test_edit_distance_margin_gate(spark):
+    # c1: best 0.05, runner-up 0.10 -> gap 0.05 < margin 0.08 -> abstain
+    # c2: single candidate at 0.05 -> no runner-up -> link
+    pairs = mk(spark, [
+        ("c1", "E1", ["abcdefghijklmnopqrst"], ["abcdefghijklmnopqrsx"], None, 0, 1),
+        ("c1", "E2", ["abcdefghijklmnopqrst"], ["abcdefghijklmnopqrxx"], None, 0, 2),
+        ("c2", "E3", ["abcdefghijklmnopqrst"], ["abcdefghijklmnopqrsx"], None, 0, 1),
+    ])
+    d, rem = R.edit_distance_resolver(pairs, threshold=0.2, margin=0.08)
+    assert decided(d) == [("c2", "E3")]
+    # without the margin both link (c1 by argmin)
+    d0, _ = R.edit_distance_resolver(pairs, threshold=0.2)
+    assert decided(d0) == [("c1", "E1"), ("c2", "E3")]
+
+
+def test_linear_resolver_margin_gate(spark):
+    from pyspark.sql import functions as F
+
+    from hamerkop_spark.operators.features import extract_features
+
+    pairs = mk(spark, [
+        # c1: two exact-match candidates -> equal scores -> gap 0 -> abstain
+        ("c1", "E1", ["John"], ["john"], None, 0, 1),
+        ("c1", "E2", ["John"], ["john"], None, 0, 2),
+        # c2: one exact candidate, one no-evidence -> big gap -> link
+        ("c2", "E3", ["Mary"], ["mary"], None, 0, 1),
+        ("c2", "E4", ["Mary"], ["Omega"], None, 0, 2),
+    ])
+    scored = extract_features(
+        pairs.withColumn("chain_name", pairs.chain_names[0])
+        .withColumn("origin", F.lit("geonames"))
+        .withColumn("geo_country", F.lit(None).cast("string"))
+        .withColumn("per_location", F.lit(None).cast("string"))
+        .withColumn("org_location", F.lit(None).cast("string"))
+    )
+    resolver = R.linear_resolver(
+        {"f_exact_match": 1.0}, bias=0.0, threshold=0.5, margin=0.3
+    )
+    d, rem = resolver(scored)
+    assert decided(d) == [("c2", "E3")]
+    # margin=0 keeps the deterministic-tie-break argmax behavior
+    d0, _ = R.linear_resolver({"f_exact_match": 1.0}, 0.0, 0.5)(scored)
+    assert decided(d0) == [("c1", "E1"), ("c2", "E3")]
