@@ -384,6 +384,31 @@ def q_r5_linear_argmax(spark, sf):
     )
 
 
+def q_r5_margin_gate(spark, sf):
+    """R5 + ambiguity margin (operators/resolve.linear_resolver margin):
+    per-group argmax that ABSTAINS when the runner-up is within 5.0 of
+    the best score — the dense-KB precision gate, as lead() over the
+    same ranking window."""
+    li = _t(spark, sf, "lineitem")
+    score = F.col("l_quantity") * 2.0 + F.col("l_discount") * 100.0 - 50.0
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("score"), "l_linenumber")
+    return (
+        li.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("next_score", F.lead("score").over(w))
+        .where(
+            (F.col("rn") == 1)
+            & (F.col("score") >= 30.0)
+            & (
+                F.col("next_score").isNull()
+                | (F.col("score") - F.col("next_score") >= 5.0)
+            )
+        )
+        .select("l_orderkey", F.col("l_linenumber").alias("best_line"),
+                det_round(F.col("score"), 4).alias("score"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup on md5 content fingerprint (operators/dedup.exact_dedup)."""
     docs = _t(spark, sf, "documents")
@@ -1031,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_first_resolver": q_r1_first_resolver,
         "r2_one_many_none": q_r2_one_many_none,
         "r5_linear_argmax": q_r5_linear_argmax,
+        "r5_margin_gate": q_r5_margin_gate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1549,6 +1575,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber AS best_line,
                    floor((score) * 10000.0 + 0.5) / 10000.0 AS score
             FROM ranked WHERE rn = 1 AND score >= 30.0
+        """,
+        "r5_margin_gate": """
+            WITH scored AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity * 2.0 + l_discount * 100.0 - 50.0 AS score
+              FROM lineitem
+            ), ranked AS (
+              SELECT l_orderkey, l_linenumber, score,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY score DESC, l_linenumber) AS rn,
+                     lead(score) OVER (PARTITION BY l_orderkey
+                                       ORDER BY score DESC, l_linenumber)
+                       AS next_score
+              FROM scored
+            )
+            SELECT l_orderkey, l_linenumber AS best_line,
+                   floor((score) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM ranked
+            WHERE rn = 1 AND score >= 30.0
+              AND (next_score IS NULL OR score - next_score >= 5.0)
         """,
         "dedup_exact": f"""
             WITH keyed AS (
