@@ -384,6 +384,31 @@ def q_r5_linear_argmax(spark, sf):
     )
 
 
+def q_f_token_jaccard(spark, sf):
+    """north_rule token-set Jaccard (operators/features.
+    token_jaccard_feature): symmetric |A∩B|/|A∪B| over distinct
+    lowercased token sets, document pairs. Explicit whitespace class on
+    both engines (Java \\s and RE2 \\s disagree on \\x0B)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("text"), "[ \\t\\n\\r\\f]+"), lambda t: t != ""
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("src"), toks.alias("ta"))
+    b = docs.select(F.col("doc_id").alias("dst"), toks.alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .withColumn("jaccard", det_round(inter / union, 4))
+        .where(F.col("jaccard") >= 0.1)
+        .select("src", "dst", "jaccard")
+    )
+
+
 def q_r5_margin_gate(spark, sf):
     """R5 + ambiguity margin (operators/resolve.linear_resolver margin):
     per-group argmax that ABSTAINS when the runner-up is within 5.0 of
@@ -1057,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_one_many_none": q_r2_one_many_none,
         "r5_linear_argmax": q_r5_linear_argmax,
         "r5_margin_gate": q_r5_margin_gate,
+        "f_token_jaccard": q_f_token_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1595,6 +1621,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND score >= 30.0
               AND (next_score IS NULL OR score - next_score >= 5.0)
+        """,
+        "f_token_jaccard": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
+                       t -> t <> '')) AS toks
+              FROM documents WHERE doc_id < 40
+            ), t AS (
+              SELECT doc_id, unnest(toks) AS tok FROM d
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id
+            ), i AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT src, dst,
+                   floor((n / (sa.s + sb.s - n)) * 10000.0 + 0.5) / 10000.0
+                     AS jaccard
+            FROM i JOIN sz sa ON i.src = sa.doc_id
+                   JOIN sz sb ON i.dst = sb.doc_id
+            WHERE floor((n / (sa.s + sb.s - n)) * 10000.0 + 0.5) / 10000.0
+                    >= 0.1
         """,
         "dedup_exact": f"""
             WITH keyed AS (

@@ -22,7 +22,11 @@ from hamerkop_spark.functions.strings import wikipedia_link
 
 
 def build_pairs(
-    chains: DataFrame, candidates: DataFrame, kb_entities: DataFrame
+    chains: DataFrame,
+    candidates: DataFrame,
+    kb_entities: DataFrame,
+    embeddings: bool = False,
+    emb_dim: int = 32,
 ) -> DataFrame:
     """Assemble the scored-pairs input: candidates joined to chain name
     data and entity attributes. The KB side joins on entity_id (broadcast
@@ -46,6 +50,15 @@ def build_pairs(
         F.col("all_strings").alias("chain_all_strings"),
     )
     chain_side = ensure_derived(chain_side)
+    if embeddings:
+        # hashing-trick name embeddings, PER SIDE below the join (same
+        # hoisting rule as the other derived columns); opt-in because
+        # they add emb_dim doubles per row to any checkpointed pairs
+        from hamerkop_spark.functions.embed import add_hashed_embedding
+
+        chain_side = add_hashed_embedding(
+            chain_side, "chain_name", "chain_emb", dim=emb_dim
+        )
     entity_side = kb_entities.select(
         "entity_id",
         F.col("names").alias("entity_names"),
@@ -56,6 +69,17 @@ def build_pairs(
         "org_location",
     )
     entity_side = ensure_derived(entity_side)
+    if embeddings:
+        from hamerkop_spark.functions.embed import add_hashed_embedding
+
+        entity_side = add_hashed_embedding(
+            entity_side.withColumn(
+                "__entity_primary", F.element_at(F.col("entity_names"), 1)
+            ),
+            "__entity_primary",
+            "entity_emb",
+            dim=emb_dim,
+        ).drop("__entity_primary")
     return (
         candidates.join(chain_side, ["doc_id", "chain_id"])
         .join(entity_side, "entity_id")
@@ -290,6 +314,31 @@ def jaro_winkler_feature() -> Column:
     )
 
 
+def token_jaccard_feature() -> Column:
+    """north_rule string-distance bundle: SYMMETRIC token-set Jaccard
+    |A∩B| / |A∪B| over the flattened token sets of all chain strings vs
+    all entity names (F7 shared_tokens is the reference's asymmetric
+    max-per-name-pair variant; this is the set-level complement).
+    Top-level expressions (no lambda nesting), so Catalyst CSE applies."""
+    a = F.array_distinct(F.flatten(F.col("chain_toks")))
+    b = F.array_distinct(F.flatten(F.col("entity_toks")))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def embedding_cosine_feature() -> Column:
+    """north_rule "cosine over name/context embedding features": cosine
+    between per-side embedding columns `chain_emb` / `entity_emb`
+    (array<float/double>). Attach them with
+    build_pairs(..., embeddings=True) — a native hashing-trick n-gram
+    embedding (functions/embed.py) — or join model-produced vectors
+    under the same column names; the feature is agnostic."""
+    from hamerkop_spark.functions.textdist import cosine_native
+
+    return cosine_native(F.col("chain_emb"), F.col("entity_emb"))
+
+
 STANDARD_FEATURES = {
     "f_origin": origin_feature,
     "f_num_names": number_of_names_feature,
@@ -300,6 +349,17 @@ STANDARD_FEATURES = {
     "f_last_name": last_name_feature,
     "f_levenshtein": levenshtein_feature,
     "f_jaro_winkler": jaro_winkler_feature,
+}
+
+#: STANDARD (the reference-parity bundle the default pipeline and bench
+#: measure) + the north_rule's token-set Jaccard and embedding cosine.
+#: Opt-in: extract_features(pairs, features=EXTENDED_FEATURES); the
+#: cosine needs build_pairs(..., embeddings=True) or caller-attached
+#: chain_emb/entity_emb columns.
+EXTENDED_FEATURES = {
+    **STANDARD_FEATURES,
+    "f_token_jaccard": token_jaccard_feature,
+    "f_emb_cosine": embedding_cosine_feature,
 }
 
 

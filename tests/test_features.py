@@ -92,3 +92,75 @@ def test_extract_features_assembles_vector(spark):
     row = df.collect()[0]
     assert row["f_exact_match"] == 1.0
     assert len(row["features"]) == len(FE.STANDARD_FEATURES)
+
+
+def test_token_jaccard_feature(spark):
+    # chain {a,b}, entity {b,c}: |{b}| / |{a,b,c}| = 1/3
+    assert val(
+        mk_pair(spark, ["a b"], ["b c"]), FE.token_jaccard_feature()
+    ) == pytest.approx(1 / 3)
+    # multi-name sides flatten to one set: {a,b} vs {a,b} -> 1.0
+    assert val(
+        mk_pair(spark, ["a", "b"], ["a b"]), FE.token_jaccard_feature()
+    ) == pytest.approx(1.0)
+    assert val(mk_pair(spark, ["x"], ["y"]), FE.token_jaccard_feature()) == 0.0
+
+
+def test_hashed_embedding_deterministic_and_discriminative(spark):
+    from hamerkop_spark.functions.embed import add_hashed_embedding
+    from hamerkop_spark.functions.textdist import cosine_native
+
+    df = spark.createDataFrame(
+        [("john smith",), ("john smith",), ("john smyth",), ("acme corp",)],
+        "name string",
+    )
+    out = add_hashed_embedding(df, "name", "emb", dim=32).collect()
+    assert out[0]["emb"] == out[1]["emb"]  # deterministic
+    assert len(out[0]["emb"]) == 32
+
+    pairs = spark.createDataFrame(
+        [("john smith", "john smyth"), ("john smith", "acme corp")],
+        "a string, b string",
+    )
+    pairs = add_hashed_embedding(pairs, "a", "ea", dim=32)
+    pairs = add_hashed_embedding(pairs, "b", "eb", dim=32)
+    sims = [
+        r["cos"]
+        for r in pairs.select(
+            cosine_native(F.col("ea"), F.col("eb")).alias("cos")
+        ).collect()
+    ]
+    assert sims[0] > 0.5 > sims[1]  # near-dup >> unrelated
+    # self-cosine is exactly 1
+    same = add_hashed_embedding(
+        spark.createDataFrame([("x y z",)], "a string"), "a", "e", dim=32
+    )
+    assert same.select(
+        cosine_native(F.col("e"), F.col("e")).alias("c")
+    ).collect()[0]["c"] == pytest.approx(1.0)
+
+
+def test_extended_features_end_to_end(spark):
+    """build_pairs(embeddings=True) + EXTENDED_FEATURES: per-side emb
+    columns exist below the join and the two extra features assemble."""
+    chains = spark.createDataFrame(
+        [("d1", "c1", "PER", "John Smith", ["John Smith"], ["John Smith"])],
+        "doc_id string, chain_id string, type string, name string, "
+        "names array<string>, all_strings array<string>",
+    )
+    cands = spark.createDataFrame(
+        [("d1", "c1", "E1")], "doc_id string, chain_id string, entity_id string"
+    )
+    kb = spark.createDataFrame(
+        [("E1", ["John Smyth"], [], "WLL", None, None, None)],
+        "entity_id string, names array<string>, urls array<string>, "
+        "origin string, geo_country string, per_location string, "
+        "org_location string",
+    )
+    pairs = FE.build_pairs(chains, cands, kb, embeddings=True)
+    scored = FE.extract_features(pairs, features=FE.EXTENDED_FEATURES)
+    row = scored.collect()[0]
+    # {john,smith} vs {john,smyth}: 1 shared / 3 in union
+    assert row["f_token_jaccard"] == pytest.approx(1 / 3)
+    assert 0.5 < row["f_emb_cosine"] < 1.0
+    assert len(row["features"]) == len(FE.EXTENDED_FEATURES)
