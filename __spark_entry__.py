@@ -384,8 +384,8 @@ def q_r5_linear_argmax(spark, sf):
     )
 
 
-def q_f_token_jaccard(spark, sf):
-    """north_rule token-set Jaccard (operators/features.
+def q_f_token_jaccard_docs(spark, sf):
+    """north_rule token-set Jaccard, document-pair variant (operators/features.
     token_jaccard_feature): symmetric |A∩B|/|A∪B| over distinct
     lowercased token sets, document pairs. Explicit whitespace class on
     both engines (Java \\s and RE2 \\s disagree on \\x0B)."""
@@ -406,6 +406,30 @@ def q_f_token_jaccard(spark, sf):
         .withColumn("jaccard", det_round(inter / union, 4))
         .where(F.col("jaccard") >= 0.1)
         .select("src", "dst", "jaccard")
+    )
+
+
+def q_f_emb_cosine(spark, sf):
+    """north_rule embedding-cosine pairwise feature (operators/features.
+    embedding_cosine_feature): cosine over paired embedding columns —
+    here each vector vs its successor id, an equi-join (the per-pair
+    feature shape, vs ann_cosine_search's broadcast scan shape)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("ea", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("eb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, "pair_id")
+        .select("pair_id", det_round(dot / (na * nb), 4).alias("f_emb_cosine"))
     )
 
 
@@ -1082,7 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_one_many_none": q_r2_one_many_none,
         "r5_linear_argmax": q_r5_linear_argmax,
         "r5_margin_gate": q_r5_margin_gate,
-        "f_token_jaccard": q_f_token_jaccard,
+        "f_token_jaccard_docs": q_f_token_jaccard_docs,
+        "f_emb_cosine": q_f_emb_cosine,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1622,7 +1647,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND score >= 30.0
               AND (next_score IS NULL OR score - next_score >= 5.0)
         """,
-        "f_token_jaccard": """
+        "f_emb_cosine": """
+            WITH a AS (
+              SELECT vec_id AS pair_id, embedding::DOUBLE[] AS ea
+              FROM embeddings
+            ), b AS (
+              SELECT vec_id - 1 AS pair_id, embedding::DOUBLE[] AS eb
+              FROM embeddings
+            )
+            SELECT a.pair_id,
+                   floor((list_dot_product(ea, eb)
+                     / (sqrt(list_dot_product(ea, ea))
+                        * sqrt(list_dot_product(eb, eb)))) * 10000.0 + 0.5)
+                     / 10000.0 AS f_emb_cosine
+            FROM a JOIN b ON a.pair_id = b.pair_id
+        """,
+        "f_token_jaccard_docs": """
             WITH d AS (
               SELECT doc_id,
                      list_distinct(list_filter(
