@@ -399,11 +399,13 @@ def q_f_token_jaccard_docs(spark, sf):
     b = docs.select(F.col("doc_id").alias("dst"), toks.alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
+    # union==0 guard (both docs whitespace-only): ANSI divide-by-zero
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
         F.broadcast(a)
         .crossJoin(b)
         .where(F.col("src") < F.col("dst"))
-        .withColumn("jaccard", det_round(inter / union, 4))
+        .withColumn("jaccard", det_round(jac, 4))
         .where(F.col("jaccard") >= 0.1)
         .select("src", "dst", "jaccard")
     )
@@ -427,9 +429,11 @@ def q_f_emb_cosine(spark, sf):
                       lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("ea", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("eb", F.lit(0.0), lambda acc, x: acc + x * x))
+    # zero-norm guard: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO
+    cos = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
     return (
         a.join(b, "pair_id")
-        .select("pair_id", det_round(dot / (na * nb), 4).alias("f_emb_cosine"))
+        .select("pair_id", det_round(cos, 4).alias("f_emb_cosine"))
     )
 
 

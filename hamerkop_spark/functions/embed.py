@@ -7,20 +7,22 @@ feature-hashing embedding over character n-grams (Weinberger et al.,
 "Feature Hashing for Large Scale Multitask Learning", ICML'09 — the
 same construction as scikit-learn's HashingVectorizer). Deterministic,
 vocabulary-free (no fit step, no dictionary to ship), and entirely
-JVM-side: xxhash64 for bucket + sign, higher-order aggregates for the
-accumulation, so embedding 10^12 names is a narrow map with zero
+JVM-side: xxhash64 for bucket + sign, one higher-order aggregate for
+the accumulation, so embedding 10^12 names is a narrow map with zero
 Python crossings.
 
-Layout matters (the transform-lambda CSE trap, see
-functions/strings.char_ngrams): the bucket-accumulation step scans the
-hashed-gram array once per output dimension, so the hashing step MUST
-be materialized below a projection/join boundary first — otherwise
-Catalyst inlines it into the per-dimension lambda and every gram is
-re-hashed dim times. `ngram_hash_signs` (cheap, per gram) and
-`embedding_from_signs` (per dimension, over a COLUMN REFERENCE) are
-therefore separate expressions; `add_hashed_embedding` wires them
-through two withColumn steps, and operators/features.DERIVED_COLS does
-the same per join side.
+Expression layout (the lambda-CSE trap, see
+functions/strings.char_ngrams): withColumn "materialization" does NOT
+protect a subexpression from being inlined into a lambda —
+CollapseProject folds adjacent projections, so a per-dimension
+`transform(sequence(0, dim-1), i -> aggregate(signs, ...))` re-derives
+`signs` (n-gramming + both hashes) dim times per row even when signs
+"was" its own column. The safe shape used here inverts the loop: ONE
+`aggregate` over the hashed-gram array — which sits in the aggregate's
+*input* position, evaluated once per row — whose merge lambda updates a
+dim-length accumulator via an indexed transform. Per row that costs
+O(grams) hash evaluations + O(grams x dim) pure arithmetic, with no
+re-hashing at any dim.
 """
 
 from __future__ import annotations
@@ -35,8 +37,7 @@ DEFAULT_DIM = 32
 
 def ngram_hash_signs(col: Column, dim: int = DEFAULT_DIM, n: int = 3) -> Column:
     """array<struct<b:int, s:double>>: one (bucket, ±1 sign) per char
-    n-gram of lower(col). One xxhash64 pair per gram. Materialize this
-    as a column before feeding embedding_from_signs."""
+    n-gram of lower(col). One xxhash64 pair per gram."""
     grams = char_ngrams(F.lower(col), n)
     return F.transform(
         grams,
@@ -49,17 +50,21 @@ def ngram_hash_signs(col: Column, dim: int = DEFAULT_DIM, n: int = 3) -> Column:
     )
 
 
-def embedding_from_signs(signs: Column, dim: int = DEFAULT_DIM) -> Column:
-    """array<double> of length `dim`: signed bucket counts. `signs`
-    should be a materialized column reference (see module docstring).
+def hashed_char_ngram_embedding(
+    col: Column, dim: int = DEFAULT_DIM, n: int = 3
+) -> Column:
+    """array<double> of length `dim`: signed bucket counts of the char
+    n-grams of lower(col). Single scan of the hashed grams (see module
+    docstring for why the accumulate-into-array shape is mandatory).
     Not normalized — cosine_native normalizes, and unnormalized counts
     keep addition/averaging well-defined for callers that pool."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            signs,
-            F.lit(0.0),
-            lambda acc, x: acc + F.when(x["b"] == i, x["s"]).otherwise(F.lit(0.0)),
+    return F.aggregate(
+        ngram_hash_signs(col, dim, n),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(x["b"] == i, x["s"]).otherwise(F.lit(0.0)),
         ),
     )
 
@@ -71,15 +76,7 @@ def add_hashed_embedding(
     dim: int = DEFAULT_DIM,
     n: int = 3,
 ) -> DataFrame:
-    """df + `out_col`: hashing-trick embedding of `src_col`. Two
-    projection steps so the hash work is evaluated once per gram (the
-    per-dimension scan then reads the materialized structs). Note that
-    without a join/exchange boundary below them, collapsed projections
-    can still inline — per-side derivation before a join (as
-    build_pairs does) is the safe placement on hot paths."""
-    tmp = f"__{out_col}_signs"
-    return (
-        df.withColumn(tmp, ngram_hash_signs(F.col(src_col), dim, n))
-        .withColumn(out_col, embedding_from_signs(F.col(tmp), dim))
-        .drop(tmp)
+    """df + `out_col`: hashing-trick embedding of `src_col`."""
+    return df.withColumn(
+        out_col, hashed_char_ngram_embedding(F.col(src_col), dim, n)
     )

@@ -73,8 +73,12 @@ def build_pairs(
         from hamerkop_spark.functions.embed import add_hashed_embedding
 
         entity_side = add_hashed_embedding(
+            # F.get, not element_at: ANSI mode (Spark 4 default) throws
+            # on out-of-bounds element_at, and caller-supplied KBs can
+            # legitimately carry names=[] rows
             entity_side.withColumn(
-                "__entity_primary", F.element_at(F.col("entity_names"), 1)
+                "__entity_primary",
+                F.coalesce(F.get(F.col("entity_names"), 0), F.lit("")),
             ),
             "__entity_primary",
             "entity_emb",

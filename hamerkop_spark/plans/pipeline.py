@@ -257,6 +257,7 @@ def run_pipeline(
     bias: float = DEFAULT_BIAS,
     threshold: float = DEFAULT_THRESHOLD,
     margin: float = 0.0,
+    edit_margin: float = 0.0,
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
     catalog=None,
@@ -380,8 +381,13 @@ def run_pipeline(
             [
                 R.exact_name_resolver,
                 R.wikipedia_resolver,
+                # margin and edit_margin are SEPARATE knobs: the linear
+                # stage's margin is in logit units, the edit stage's in
+                # normalized-distance units ([0,1], accept range < 0.1)
+                # — one coupled value would disable the edit stage long
+                # before it tightens the linear one
                 lambda p: R.edit_distance_resolver(
-                    p, threshold=0.1, margin=margin
+                    p, threshold=0.1, margin=edit_margin
                 ),
                 R.linear_resolver(
                     weights or DEFAULT_WEIGHTS, bias, threshold, margin=margin
@@ -393,7 +399,8 @@ def run_pipeline(
         "decisions",
         mk_decisions,
         params={"weights": weights or DEFAULT_WEIGHTS, "bias": bias,
-                "threshold": threshold, "margin": margin},
+                "threshold": threshold, "margin": margin,
+                "edit_margin": edit_margin},
         deps=("scored_pairs",),
     )
 

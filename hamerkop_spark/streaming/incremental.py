@@ -333,7 +333,8 @@ def compact_band_store(
     return spark.read.parquet(state_dir)
 
 
-def catalog_stream_sink(catalog, table: str, transform=None):
+def catalog_stream_sink(catalog, table: str, transform=None,
+                        stream_id: str = "stream"):
     """foreachBatch process function committing each micro-batch as an
     append SNAPSHOT to an IcebergishCatalog table — the streaming side
     of the north_rule's Iceberg checkpointing.
@@ -341,28 +342,56 @@ def catalog_stream_sink(catalog, table: str, transform=None):
     Strictly better than `.write.mode("append").parquet(...)` under
     failure: a batch that crashes mid-write leaves only an unreferenced
     data dir (never partial rows visible), and a batch REPLAYED after a
-    restart is detected via the `last_batch_id` snapshot property and
-    skipped — append becomes idempotent, i.e. end-to-end exactly-once
-    into the table. Batch ids are monotonically increasing and
-    foreachBatch invocations are sequential, so a single high-water mark
-    is a sufficient replay filter.
+    restart is detected via the per-stream high-water mark in snapshot
+    properties and skipped — append becomes idempotent, i.e.
+    end-to-end exactly-once into the table.
+
+    Robustness of the watermark:
+
+    - it is keyed ``last_batch_id:<stream_id>``, so maintenance commits
+      to the same table (compaction, backfills) or OTHER streams can
+      never clobber it;
+    - it is read as the max over ALL retained snapshots, not just the
+      current one — an interleaved non-sink commit between batch N and
+      a replay of batch N still dedups;
+    - only ``batch_id == watermark`` is treated as a replay (Spark can
+      only re-deliver the last uncommitted batch). ``batch_id <
+      watermark`` means the stream was restarted with a FRESH
+      checkpointLocation against an old table — that raises instead of
+      silently dropping every new batch; pass a new `stream_id` (or a
+      new table) for a genuinely new stream.
 
     :param transform: optional batch_df -> DataFrame stage (e.g. the
         blocking+resolve lift in foreach_batch_linker) applied before
         the commit.
     """
+    prop = f"last_batch_id:{stream_id}"
+
+    def watermark() -> int | None:
+        if not catalog.exists(table):
+            return None
+        vals = [
+            int(s["properties"][prop])
+            for s in catalog._load_metadata(table)["snapshots"]
+            if prop in s.get("properties", {})
+        ]
+        return max(vals) if vals else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if catalog.exists(table):
-            last = catalog.current_snapshot(table)["properties"].get(
-                "last_batch_id"
-            )
-            if last is not None and int(last) >= batch_id:
-                return  # replay of an already-committed batch
+        last = watermark()
+        if last is not None:
+            if batch_id == last:
+                return  # replay of the already-committed batch
+            if batch_id < last:
+                raise ValueError(
+                    f"catalog_stream_sink[{stream_id}] on {table!r}: "
+                    f"batch {batch_id} < committed watermark {last} — "
+                    "the stream checkpoint was reset against an "
+                    "existing table; use a fresh stream_id or table"
+                )
         out = transform(batch_df) if transform is not None else batch_df
         catalog.commit(
-            table, out, mode="append",
-            properties={"last_batch_id": str(batch_id)},
+            table, out, mode="append", properties={prop: str(batch_id)},
         )
 
     return process

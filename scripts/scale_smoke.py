@@ -24,6 +24,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--misspell", type=float, default=0.3)
     ap.add_argument("--margin", type=float, default=0.0)
+    ap.add_argument("--edit-margin", type=float, default=0.0)
     ap.add_argument("--workdir", default="/tmp/hk_scale_smoke")
     ap.add_argument(
         "--generators", default="exact,ngram",
@@ -55,7 +56,7 @@ def main() -> None:
     res = run_pipeline(
         spark, corpus, args.workdir, resume=False,
         generators=tuple(args.generators.split(",")),
-        margin=args.margin,
+        margin=args.margin, edit_margin=args.edit_margin,
     )
     wall = round(time.time() - t0, 1)
     f1 = evaluate_pipeline(res, corpus["labeled_pairs"]).asDict()
@@ -66,6 +67,7 @@ def main() -> None:
         "labeled_pairs": corpus["labeled_pairs"].count(),
         "misspell_prob": args.misspell,
         "margin": args.margin,
+        "edit_margin": args.edit_margin,
         "cores": args.cores,
         "gen_seconds": gen_s,
         "pipeline_seconds": wall,

@@ -266,7 +266,9 @@ def test_catalog_stream_sink_exactly_once(spark, tmp_path, pages_dir):
     q.awaitTermination(120)
     assert cat.read("docs").count() == 6
     n_snaps = len(cat.history("docs"))
-    last_bid = int(cat.current_snapshot("docs")["properties"]["last_batch_id"])
+    last_bid = int(
+        cat.current_snapshot("docs")["properties"]["last_batch_id:stream"]
+    )
 
     # simulate a foreachBatch REPLAY of the last committed batch
     replay = spark.createDataFrame(
@@ -276,7 +278,28 @@ def test_catalog_stream_sink_exactly_once(spark, tmp_path, pages_dir):
     assert cat.read("docs").count() == 6  # skipped, no duplicates
     assert len(cat.history("docs")) == n_snaps
 
+    # an interleaved maintenance commit must not clobber the watermark
+    cat.commit(
+        "docs",
+        spark.createDataFrame([("http://x/m", "maint")], "url string, text string"),
+        mode="append",
+    )
+    process(replay, last_bid)
+    assert cat.read("docs").count() == 7  # still deduped (6 + maint row)
+
     # a genuinely NEW batch appends one snapshot
     process(replay, last_bid + 1)
-    assert cat.read("docs").count() == 7
-    assert len(cat.history("docs")) == n_snaps + 1
+    assert cat.read("docs").count() == 8
+
+    # a RESET checkpoint (batch ids restart below the watermark) raises
+    # instead of silently dropping data
+    with pytest.raises(ValueError, match="watermark"):
+        process(replay, 0 if last_bid > 0 else -1)
+
+    # ...but a different stream_id is a fresh watermark namespace
+    p2 = S.catalog_stream_sink(
+        cat, "docs", transform=lambda b: b.select("url", "text"),
+        stream_id="s2",
+    )
+    p2(replay, 0)
+    assert cat.read("docs").count() == 9
