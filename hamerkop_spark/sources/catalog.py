@@ -326,6 +326,30 @@ class IcebergishCatalog:
             shutil.rmtree(os.path.join(self._table_path(table), d), ignore_errors=True)
         return expired
 
+    def cleanup_orphans(self, table: str) -> list[str]:
+        """Delete data dirs referenced by NO snapshot — the debris of
+        crashed writers and CommitConflict losers (their per-attempt
+        dirs are invisible but occupy space). Metadata is untouched;
+        safe to run any time after in-flight commits have settled (an
+        in-flight commit's dir is an orphan until its hint flip, so
+        don't run concurrently with active writers)."""
+        import shutil
+
+        meta = self._load_metadata(table)
+        live = {d for s in meta["snapshots"] for d in s["data_dirs"]}
+        data_root = os.path.join(self._table_path(table), "data")
+        if not os.path.isdir(data_root):
+            return []
+        orphans = [
+            os.path.join("data", d)
+            for d in sorted(os.listdir(data_root))
+            if os.path.join("data", d) not in live
+        ]
+        for d in orphans:
+            shutil.rmtree(os.path.join(self._table_path(table), d),
+                          ignore_errors=True)
+        return orphans
+
     def drop(self, table: str) -> None:
         import shutil
 

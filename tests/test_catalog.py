@@ -227,3 +227,62 @@ def test_pipeline_end_to_end_on_catalog(spark, tmp_path):
     res2 = run_pipeline(spark, tables, str(tmp_path / "wd"), catalog=cat)
     assert all(m["resumed"] for m in res2["metrics"])
     assert rows(res2["clusters"]) == rows(res["clusters"])
+
+
+def test_cleanup_orphans(spark, cat):
+    cat.commit("t", _df(spark, [(1, "a")]))
+    # a crashed/losing writer's dir: data written, never referenced
+    _df(spark, [(9, "z")]).write.parquet(
+        os.path.join(cat.warehouse, "t", "data", "snap-000099-deadbeef")
+    )
+    orphans = cat.cleanup_orphans("t")
+    assert orphans == [os.path.join("data", "snap-000099-deadbeef")]
+    assert rows(cat.read("t")) == [(1, "a")]
+    assert cat.cleanup_orphans("t") == []
+
+
+def test_streaming_linker_into_catalog(spark, tmp_path):
+    """Composition: the micro-batch entity-linking lift (the
+    foreach_batch_linker stage) as a catalog_stream_sink transform —
+    streaming blocking+linking with exactly-once snapshot appends."""
+    import datetime
+
+    from hamerkop_spark.schemas import PAGES
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+    from hamerkop_spark.sources.web import wrap_text_as_html
+    from hamerkop_spark.streaming import incremental as S
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows_in = [
+        ("http://x/1", ts, bytearray(wrap_text_as_html("John Smith", "u")),
+         "John Smith", "eng"),
+        ("http://x/2", ts, bytearray(wrap_text_as_html("nobody here", "u")),
+         "nobody here", "eng"),
+    ]
+    pages_d = str(tmp_path / "p")
+    spark.createDataFrame(rows_in, PAGES).write.parquet(pages_d)
+    kb_names = spark.createDataFrame(
+        [("E1", "PER", "john smith", 0, "john smith")],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+
+    def link(batch_df):
+        chains = batch_df.select(
+            F.col("url").alias("doc_id"), F.col("url").alias("chain_id"),
+            F.lit("PER").alias("type"), F.col("text").alias("name"),
+        )
+        return exact_match_candidates(chains, kb_names)
+
+    cat = IcebergishCatalog(spark, str(tmp_path / "wh"))
+    process = S.catalog_stream_sink(cat, "decisions", transform=link)
+    q = (
+        S.stream_documents(spark, pages_d)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = cat.read("decisions").collect()
+    assert [(r["doc_id"], r["entity_id"]) for r in got] == [("http://x/1", "E1")]
