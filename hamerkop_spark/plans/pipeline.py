@@ -260,6 +260,7 @@ def run_pipeline(
     edit_margin: float = 0.0,
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
+    ngram_max_df: int | None = None,
     catalog=None,
 ) -> dict:
     """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
@@ -311,11 +312,16 @@ def run_pipeline(
             if gen == "exact":
                 sets.append(B.exact_match_candidates(chains, kb_names))
             elif gen == "ngram":
+                # ngram_max_df skips grams posting to more than that
+                # many names — at dense KBs a ~10%-of-names cap cuts
+                # retrieval wall 30-70% for <1% candidate loss
+                # (BASELINE.md); None (default) scores every gram like
+                # the reference does
                 postings, _ = B.build_ngram_postings(kb_names)
                 sets.append(
                     B.ngram_candidates(
                         chains, postings, limit=candidate_limit,
-                        broadcast_postings=True,
+                        broadcast_postings=True, max_df=ngram_max_df,
                     )
                 )
             elif gen == "phonetic":
@@ -363,7 +369,8 @@ def run_pipeline(
     candidates = runner.run(
         "candidates",
         mk_candidates,
-        params={"generators": list(generators), "limit": candidate_limit},
+        params={"generators": list(generators), "limit": candidate_limit,
+                "ngram_max_df": ngram_max_df},
         deps=("chains", "kb_names"),
     )
 

@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("--misspell", type=float, default=0.3)
     ap.add_argument("--margin", type=float, default=0.0)
     ap.add_argument("--edit-margin", type=float, default=0.0)
+    ap.add_argument("--ngram-max-df", type=int, default=None)
     ap.add_argument("--workdir", default="/tmp/hk_scale_smoke")
     ap.add_argument(
         "--generators", default="exact,ngram",
@@ -57,6 +58,7 @@ def main() -> None:
         spark, corpus, args.workdir, resume=False,
         generators=tuple(args.generators.split(",")),
         margin=args.margin, edit_margin=args.edit_margin,
+        ngram_max_df=args.ngram_max_df,
     )
     wall = round(time.time() - t0, 1)
     f1 = evaluate_pipeline(res, corpus["labeled_pairs"]).asDict()
