@@ -225,20 +225,64 @@ def run_scaling_level(cores: int, variants: int, budget_s: float) -> dict:
     }
 
 
+def _submit_zip() -> str:
+    """Zip the package once for --py-files (north_rule run form)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = "/tmp/hamerkop_spark_bench.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            pkg = os.path.join(root, "hamerkop_spark")
+            for dirpath, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, root))
+    return zpath
+
+
 def _spawn_level(cores: int, variants: int, budget_s: float) -> dict | None:
     """Run one scaling level in a fresh python+JVM subprocess and parse
-    the single JSON line it prints."""
+    the single JSON line it prints.
+
+    HK_BENCH_SPARK_SUBMIT=1 launches each level as
+    ``spark-submit --master local[N] --py-files <pkg.zip> bench.py ...``
+    — the north_rule's literal run form; the default python launch
+    creates the identical local-mode JVM via the session builder and is
+    kept for environments without a Spark distribution on PATH."""
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-level",
-             str(cores), "--variants", str(variants),
-             "--budget", str(budget_s)],
-            capture_output=True, text=True, env=env,
-            timeout=budget_s + 120,
-        )
-    except subprocess.TimeoutExpired:
+    submit = os.environ.get("HK_BENCH_SPARK_SUBMIT") == "1"
+    spark_submit = os.environ.get(
+        "SPARK_SUBMIT", "/opt/spark/bin/spark-submit"
+    )
+    launchers = []
+    if submit and os.path.exists(spark_submit):
+        launchers.append([
+            spark_submit, "--master", f"local[{cores}]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", _submit_zip(),
+            os.path.abspath(__file__),
+        ])
+    # python launcher: the fallback (and the default) — same local-mode
+    # JVM via the session builder
+    launchers.append([sys.executable, os.path.abspath(__file__)])
+    args = ["--scaling-level", str(cores), "--variants", str(variants),
+            "--budget", str(budget_s)]
+    out = None
+    for base in launchers:
+        try:
+            out = subprocess.run(
+                base + args,
+                capture_output=True, text=True, env=env,
+                timeout=budget_s + 120,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        if out.returncode == 0 and "{" in out.stdout:
+            break
+    if out is None:
         return None
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
