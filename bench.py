@@ -226,20 +226,37 @@ def run_scaling_level(cores: int, variants: int, budget_s: float) -> dict:
 
 
 def _submit_zip() -> str:
-    """Zip the package once for --py-files (north_rule run form)."""
+    """Zip the package for --py-files (north_rule run form). Always
+    rebuilt (the package is tiny) via temp + atomic replace: an
+    existence-cached zip would ship STALE code to executors after any
+    edit — driver/executor version skew with no error — and a crash
+    mid-write would leave a truncated zip that poisons every later
+    launch."""
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
     zpath = "/tmp/hamerkop_spark_bench.zip"
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            pkg = os.path.join(root, "hamerkop_spark")
-            for dirpath, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        zf.write(full, os.path.relpath(full, root))
+    tmp = zpath + f".tmp{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        pkg = os.path.join(root, "hamerkop_spark")
+        for dirpath, _, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    os.replace(tmp, zpath)
     return zpath
+
+
+def _parse_result(stdout: str) -> dict | None:
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
 
 
 def _spawn_level(cores: int, variants: int, budget_s: float) -> dict | None:
@@ -251,46 +268,49 @@ def _spawn_level(cores: int, variants: int, budget_s: float) -> dict | None:
     — the north_rule's literal run form; the default python launch
     creates the identical local-mode JVM via the session builder and is
     kept for environments without a Spark distribution on PATH."""
+    import shutil
+
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
     submit = os.environ.get("HK_BENCH_SPARK_SUBMIT") == "1"
     spark_submit = os.environ.get(
         "SPARK_SUBMIT", "/opt/spark/bin/spark-submit"
     )
+    if not os.path.exists(spark_submit):
+        spark_submit = shutil.which("spark-submit")
     launchers = []
-    if submit and os.path.exists(spark_submit):
-        launchers.append([
+    if submit and spark_submit:
+        launchers.append(("spark-submit", [
             spark_submit, "--master", f"local[{cores}]",
             "--conf", "spark.ui.enabled=false",
             "--py-files", _submit_zip(),
             os.path.abspath(__file__),
-        ])
+        ]))
     # python launcher: the fallback (and the default) — same local-mode
     # JVM via the session builder
-    launchers.append([sys.executable, os.path.abspath(__file__)])
+    launchers.append(("python", [sys.executable, os.path.abspath(__file__)]))
     args = ["--scaling-level", str(cores), "--variants", str(variants),
             "--budget", str(budget_s)]
-    out = None
-    for base in launchers:
+    t0 = time.time()
+    total_timeout = budget_s + 120
+    for name, base in launchers:
+        # a hung first launcher must not double the level's wall: the
+        # fallback only gets what remains of the level timeout
+        remaining = total_timeout - (time.time() - t0)
+        if remaining < 30:
+            break
         try:
             out = subprocess.run(
                 base + args,
                 capture_output=True, text=True, env=env,
-                timeout=budget_s + 120,
+                timeout=remaining,
             )
         except subprocess.TimeoutExpired:
             continue
-        if out.returncode == 0 and "{" in out.stdout:
-            break
-    if out is None:
-        return None
-    for line in reversed(out.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
+        res = _parse_result(out.stdout)
+        if res is not None:
+            res["launcher"] = name
+            return res
     return None
 
 
@@ -329,6 +349,7 @@ def main() -> None:
             scaling[f"local{cores}_score_seconds"] = res["score_seconds"]
             scaling[f"local{cores}_score_runs"] = res["score_runs"]
             scaling[f"local{cores}_blocking_seconds"] = res["blocking_seconds"]
+            scaling[f"local{cores}_launcher"] = res.get("launcher", "python")
             scaling["n_pairs"] = res["n_pairs"]
 
         def _recompute() -> None:

@@ -369,8 +369,12 @@ def run_pipeline(
     candidates = runner.run(
         "candidates",
         mk_candidates,
+        # ngram_max_df enters the fingerprint only when set: adding the
+        # key unconditionally would invalidate every pre-existing
+        # checkpoint at the default (None = identical behavior)
         params={"generators": list(generators), "limit": candidate_limit,
-                "ngram_max_df": ngram_max_df},
+                **({"ngram_max_df": ngram_max_df}
+                   if ngram_max_df is not None else {})},
         deps=("chains", "kb_names"),
     )
 

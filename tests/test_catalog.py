@@ -283,6 +283,6 @@ def test_streaming_linker_into_catalog(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = cat.read("decisions").collect()
     assert [(r["doc_id"], r["entity_id"]) for r in got] == [("http://x/1", "E1")]
