@@ -164,3 +164,16 @@ def test_extended_features_end_to_end(spark):
     assert row["f_token_jaccard"] == pytest.approx(1 / 3)
     assert 0.5 < row["f_emb_cosine"] < 1.0
     assert len(row["features"]) == len(FE.EXTENDED_FEATURES)
+
+
+def test_hashed_embedding_plan_hashes_each_gram_once(spark):
+    """Regression lock for the lambda-CSE trap: the optimized plan must
+    contain exactly the two xxhash64 call sites (bucket + sign) inside
+    the per-gram transform — NOT dim copies inlined into a
+    per-dimension lambda (the collapsed-projection failure mode)."""
+    from hamerkop_spark.functions.embed import add_hashed_embedding
+
+    df = spark.createDataFrame([("john smith",)], "name string")
+    out = add_hashed_embedding(df, "name", "emb", dim=32)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 2, plan
