@@ -222,10 +222,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every corpus vector to its nearest
     coarse centroid (inverted lists), route each query to its `n_probe`
     nearest centroids, brute-force cosine only within the probed lists.
+
+    `train_iterations` > 0 replaces the hash-sampled centroids with
+    `kmeans_centroids` Lloyd-trained ones (better-balanced lists,
+    higher recall at the same n_probe); 0 keeps the zero-training
+    oracle-derivable draw.
 
     Scale shape: the centroid table is broadcast (k_clusters rows), so
     both assignment fan-outs are bounded broadcast crossJoins x
@@ -235,7 +241,12 @@ def ivf_topk(
     lists are never scored. Recall < 1 by construction; raise n_probe
     to trade cost for recall (n_probe = k_clusters degrades to exact
     brute force)."""
-    cents = ivf_centroids(corpus, k_clusters, id_col, vec_col)
+    if train_iterations > 0:
+        cents = kmeans_centroids(
+            corpus, k_clusters, train_iterations, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, k_clusters, id_col, vec_col)
 
     def assign(df: DataFrame, side_id: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -275,4 +286,89 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k_clusters: int,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF quantizer: Lloyd's k-means expressed Spark-first.
+
+    Init = the deterministic hash-sampled draw (`ivf_centroids`), so
+    the whole procedure is seed-free and resume-safe. Each iteration:
+
+      1. centroids live as LITERAL arrays (k x dim doubles, collected
+         to the driver — the same shape MLlib uses): assignment is a
+         broadcast-free map over the corpus, one codegen'd expression
+         per centroid, no join, no shuffle;
+      2. new means via posexplode -> groupBy(cluster, pos).avg — a
+         uniform (k x dim)-key shuffle with map-side partial
+         aggregation, immune to cluster-size skew because the key
+         carries the dimension index;
+      3. empty clusters keep their previous centroid.
+
+    Convergence in a handful of iterations is typical for IVF coarse
+    quantizers; `iterations` bounds the cost deterministically (no
+    data-dependent stopping, so reruns produce byte-identical
+    centroids)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cents = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(
+            r["centroid"]
+            for r in ivf_centroids(corpus, k_clusters, id_col, vec_col)
+            .orderBy("centroid_id")
+            .collect()
+        )
+    ]
+    dim = len(cents[0][1]) if cents else 0
+
+    def nearest(v: Column) -> Column:
+        # argmax over literal centroids: least(sims...) would lose the
+        # INDEX, so fold a running (best_sim, best_id) struct — k is
+        # small (coarse quantizer), the expression stays in codegen
+        best = F.struct(
+            F.lit(-2.0).alias("s"), F.lit(-1).alias("c")
+        )
+        for cid, cvec in cents:
+            sim = cosine_native(v, F.array(*[F.lit(x) for x in cvec]))
+            best = F.when(
+                sim > best["s"],
+                F.struct(sim.alias("s"), F.lit(cid).alias("c")),
+            ).otherwise(best)
+        return best["c"]
+
+    for _ in range(iterations):
+        assigned = vecs.withColumn("_c", nearest(F.col("_v")))
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_c")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_p", "_m"))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_centroid")
+            )
+            .collect()
+        )
+        updated = dict(cents)
+        for r in means:
+            updated[r["_c"]] = [float(x) for x in r["_centroid"]]
+        cents = sorted(updated.items())
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        f"centroid_id int, centroid array<double>",
     )

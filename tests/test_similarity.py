@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from hamerkop_spark.operators import similarity as SIM
 
@@ -112,3 +113,84 @@ def test_ivf_partial_probe_recall_and_determinism(spark):
         for r in SIM.ivf_topk(df, queries, k=10, k_clusters=8, n_probe=3).collect()
     }
     assert again == got
+
+
+def test_kmeans_centroids_deterministic_and_converging(spark):
+    """Lloyd iterations: byte-identical across runs; mean within-cluster
+    similarity does not degrade vs the untrained hash draw."""
+    import random
+
+    from hamerkop_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_centroids,
+    )
+    from hamerkop_spark.functions.textdist import cosine_native
+
+    rng = random.Random(7)
+    # 4 natural clusters around orthogonal-ish axes in 8d
+    rows = []
+    for i in range(200):
+        c = i % 4
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k1 = kmeans_centroids(corpus, 4, iterations=3)
+    k2 = kmeans_centroids(corpus, 4, iterations=3)
+    assert sorted(map(tuple, (r["centroid"] for r in k1.collect()))) == sorted(
+        map(tuple, (r["centroid"] for r in k2.collect()))
+    )
+
+    def mean_best_sim(cents):
+        scored = corpus.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            cosine_native(
+                F.col("embedding"), F.col("centroid")
+            ).alias("sim"),
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.max("sim").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    trained = mean_best_sim(k1)
+    untrained = mean_best_sim(ivf_centroids(corpus, 4))
+    assert trained >= untrained - 1e-9
+    assert trained > 0.9  # found the 4 natural directions
+
+
+def test_ivf_trained_recall_not_worse(spark):
+    """ivf_topk(train_iterations>0) recall@5 vs brute force is >= the
+    untrained variant on a clustered corpus."""
+    import random
+
+    from hamerkop_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        c = i % 5
+        base = [0.0] * 8
+        base[c] = 1.0
+        rows.append((i, [x + rng.gauss(0, 0.2) for x in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(res):
+        truth = brute_force_topk(corpus, queries, k=5)
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+        g = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+        return len(t & g) / len(t)
+
+    r_trained = recall(
+        ivf_topk(corpus, queries, k=5, k_clusters=5, n_probe=1,
+                 train_iterations=3)
+    )
+    r_untrained = recall(
+        ivf_topk(corpus, queries, k=5, k_clusters=5, n_probe=1)
+    )
+    assert r_trained >= r_untrained - 1e-9
+    assert r_trained >= 0.8
