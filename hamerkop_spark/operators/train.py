@@ -79,3 +79,78 @@ def training_rows_from_gold(
         "doc_id", "chain_id", "link_type", "gold_links"
     ).dropDuplicates(["doc_id", "chain_id"])
     return record_labeled_pairs(scored_pairs, gold)
+
+
+def tune_margin(
+    labeled: DataFrame,
+    weights: dict[str, float],
+    bias: float,
+    threshold: float,
+    margins: tuple = (0.0, 0.1, 0.25, 0.5, 0.75, 1.0),
+) -> dict:
+    """Pick the linear resolver's ambiguity margin from labeled pairs.
+
+    One distributed pass builds the per-chain decision surface — top-1
+    score, top-1 label, and the gap to the runner-up (the exact
+    quantities linear_resolver(margin=...) gates on) — then every
+    candidate margin is evaluated from conditional aggregates over that
+    one small table: no per-margin re-scoring, no driver-side loop over
+    rows. Decision-level metrics: precision = correct links / links
+    made, recall = correct links / chains that have a gold entity.
+
+    Returns {"best_margin", "results": [{margin, precision, recall,
+    f1, decided}, ...]} with ties broken toward the SMALLER margin
+    (less abstention at equal F1).
+
+    Scope note: this optimizes the LINEAR STAGE's decision F1, which
+    counts every abstention as a miss. End-to-end pairwise F1 is softer
+    on abstention — an abstained chain still clusters through the
+    NIL-name path — so the pipeline-level optimum can sit at a larger
+    margin than the tuner's (measured: tuner 0.0 vs e2e 0.25 on the
+    100x noisy corpus, BASELINE.md). Use the tuner's pick as the
+    conservative floor and the e2e sweep for the final knob."""
+    from pyspark.sql import Window
+
+    score = F.lit(float(bias))
+    for col, wgt in weights.items():
+        score = score + F.lit(float(wgt)) * F.col(col)
+    chain = ["doc_id", "chain_id"]
+    w = Window.partitionBy(*chain).orderBy(
+        F.desc("match_score"), F.col("entity_id")
+    )
+    ranked = (
+        labeled.withColumn("match_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("next_score", F.lead("match_score").over(w))
+        .withColumn("has_gold", F.max("label").over(Window.partitionBy(*chain)))
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "match_score",
+        F.coalesce(
+            F.col("match_score") - F.col("next_score"), F.lit(float("inf"))
+        ).alias("gap"),
+        F.col("label").alias("top_label"),
+        "has_gold",
+    )
+    aggs = [F.sum("has_gold").alias("n_gold")]
+    for i, m in enumerate(margins):
+        decided = (F.col("match_score") >= threshold) & (F.col("gap") >= m)
+        aggs.append(F.sum(decided.cast("int")).alias(f"d{i}"))
+        aggs.append(
+            F.sum((decided & (F.col("top_label") == 1)).cast("int")).alias(
+                f"c{i}"
+            )
+        )
+    row = top.agg(*aggs).collect()[0]
+    results = []
+    for i, m in enumerate(margins):
+        dec, cor = row[f"d{i}"], row[f"c{i}"]
+        p = cor / dec if dec else 0.0
+        r = cor / row["n_gold"] if row["n_gold"] else 0.0
+        f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+        results.append(
+            {"margin": float(m), "precision": p, "recall": r, "f1": f1,
+             "decided": int(dec)}
+        )
+    best = max(results, key=lambda x: (x["f1"], -x["margin"]))
+    return {"best_margin": best["margin"], "results": results}

@@ -2,6 +2,8 @@
 weights -> held-out pipeline F1 (the north_rule's 'calibrated
 logistic-combination' end-to-end)."""
 
+import pytest
+
 from hamerkop_spark.operators.features import STANDARD_FEATURES
 from hamerkop_spark.operators.train import fit_logistic, training_rows_from_gold
 from hamerkop_spark.plans.pipeline import evaluate_pipeline, run_pipeline
@@ -39,3 +41,53 @@ def test_fit_logistic_deterministic(spark):
     m2 = fit_logistic(df, ["a", "b"], iterations=100)
     assert m1 == m2
     assert m1["weights"]["a"] > 0  # a == label perfectly
+
+
+def test_tune_margin_picks_gap_that_separates_ambiguity(spark):
+    """Chains where two candidates score equally (top is WRONG half the
+    time) are pure precision loss at margin 0; the tuner must pick a
+    margin big enough to abstain on them but small enough to keep the
+    clean chains' links."""
+    from hamerkop_spark.operators.train import tune_margin
+
+    rows = []
+    # 10 clean chains: gold candidate scores 1.0, runner-up 0.0
+    for i in range(10):
+        rows.append((f"d", f"clean{i}", "G", 1.0, 1))
+        rows.append((f"d", f"clean{i}", "X", 0.0, 0))
+    # 10 ambiguous chains: two candidates at 1.0, top (by id) is wrong
+    for i in range(10):
+        rows.append((f"d", f"amb{i}", "A", 1.0, 0))
+        rows.append((f"d", f"amb{i}", "B", 1.0, 1))
+    labeled = spark.createDataFrame(
+        rows, "doc_id string, chain_id string, entity_id string, "
+              "f_s double, label int"
+    )
+    out = tune_margin(
+        labeled, weights={"f_s": 1.0}, bias=0.0, threshold=0.5,
+        margins=(0.0, 0.5),
+    )
+    # margin 0: 20 decided, 10 correct -> P 0.5, R 0.5, F1 0.5
+    # margin 0.5: 10 decided (clean only), all correct -> P 1, R 0.5, F1 2/3
+    by_m = {r["margin"]: r for r in out["results"]}
+    assert by_m[0.0]["precision"] == pytest.approx(0.5)
+    assert by_m[0.5]["precision"] == pytest.approx(1.0)
+    assert by_m[0.5]["recall"] == pytest.approx(0.5)
+    assert out["best_margin"] == 0.5
+
+
+def test_tune_margin_prefers_smaller_margin_on_ties(spark):
+    """With no ambiguity, every margin below the clean gap has equal F1
+    — the tuner must return the smallest."""
+    from hamerkop_spark.operators.train import tune_margin
+
+    rows = [("d", "c1", "G", 1.0, 1), ("d", "c1", "X", 0.0, 0)]
+    labeled = spark.createDataFrame(
+        rows, "doc_id string, chain_id string, entity_id string, "
+              "f_s double, label int"
+    )
+    out = tune_margin(
+        labeled, weights={"f_s": 1.0}, bias=0.0, threshold=0.5,
+        margins=(0.0, 0.25, 0.5),
+    )
+    assert out["best_margin"] == 0.0
