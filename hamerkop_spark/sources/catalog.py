@@ -254,14 +254,30 @@ class IcebergishCatalog:
             "partition_spec": list(partition_by or []),
             "current_snapshot_id": snapshot_id,
             "dir_stats": dir_stats,
+            "refs": dict(prior.get("refs", {})) if prior else {},
             "snapshots": (prior["snapshots"] if prior else []) + [snap],
         }
         self._write_metadata(table, meta)
         return snapshot_id
 
-    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Read the current snapshot, or time-travel to `snapshot_id`."""
+    def read(
+        self,
+        table: str,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot, time-travel to `snapshot_id`, or
+        resolve a named `tag` (Iceberg ref)."""
         meta = self._load_metadata(table)
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = meta.get("refs", {})
+            if tag not in refs:
+                raise SnapshotNotFound(
+                    f"tag {tag!r} not in table {table!r}"
+                )
+            snapshot_id = refs[tag]
         snap = self._snapshot(meta, snapshot_id)
         dirs = [
             os.path.join(self._table_path(table), d) for d in snap["data_dirs"]
@@ -293,6 +309,27 @@ class IcebergishCatalog:
         meta["current_snapshot_id"] = snapshot_id
         self._write_metadata(table, meta)
 
+    def tag(self, table: str, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag/ref): a pure-metadata pointer —
+        e.g. the blessed KB build a linking run was scored against.
+        Defaults to the current snapshot; tagged snapshots survive
+        expire_snapshots until the tag is dropped."""
+        meta = self._load_metadata(table)
+        snap = self._snapshot(meta, snapshot_id)
+        meta.setdefault("refs", {})[name] = snap["snapshot_id"]
+        self._write_metadata(table, meta)
+        return snap["snapshot_id"]
+
+    def tags(self, table: str) -> dict[str, int]:
+        return dict(self._load_metadata(table).get("refs", {}))
+
+    def drop_tag(self, table: str, name: str) -> None:
+        meta = self._load_metadata(table)
+        refs = meta.get("refs", {})
+        if name in refs:
+            del refs[name]
+            self._write_metadata(table, meta)
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots (the current one
         is always kept) and delete data dirs no retained snapshot
@@ -303,6 +340,7 @@ class IcebergishCatalog:
         snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
         keep = {s["snapshot_id"] for s in snaps[-keep_last:]} if keep_last > 0 else set()
         keep.add(meta["current_snapshot_id"])
+        keep |= set(meta.get("refs", {}).values())  # tagged snapshots pinned
         kept = [s for s in snaps if s["snapshot_id"] in keep]
         expired = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in keep]
         if not expired:

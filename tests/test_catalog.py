@@ -286,3 +286,23 @@ def test_streaming_linker_into_catalog(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not finish in 120s"
     got = cat.read("decisions").collect()
     assert [(r["doc_id"], r["entity_id"]) for r in got] == [("http://x/1", "E1")]
+
+
+def test_tags_pin_snapshots_and_resolve_reads(spark, cat):
+    s1 = cat.commit("t", _df(spark, [(1, "a")]))
+    cat.tag("t", "blessed")  # defaults to current (s1)
+    s2 = cat.commit("t", _df(spark, [(2, "b")]))
+    s3 = cat.commit("t", _df(spark, [(3, "c")]))
+    assert cat.tags("t") == {"blessed": s1}
+    assert rows(cat.read("t", tag="blessed")) == [(1, "a")]
+    # tagged snapshot survives expiry that would otherwise drop it
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert s1 not in expired and s2 in expired
+    assert rows(cat.read("t", tag="blessed")) == [(1, "a")]
+    # dropping the tag releases it
+    cat.drop_tag("t", "blessed")
+    assert cat.expire_snapshots("t", keep_last=1) == [s1]
+    with pytest.raises(SnapshotNotFound):
+        cat.read("t", tag="blessed")
+    with pytest.raises(SnapshotNotFound):
+        cat.tag("t", "x", snapshot_id=99)
