@@ -148,3 +148,41 @@ def cluster_mentions(
         id_col,
         "left",
     ).withColumn(out_col, F.coalesce(F.col(out_col), F.col(id_col)))
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component assignment
+    (the streaming / micro-batch ER shape: yesterday's clusters + one
+    crawl batch of fresh merge edges).
+
+    `prev` (node, component) is itself an edge set — every node points
+    at its label — and it is STAR-SHAPED: depth 1 by construction. The
+    union of those stars with the new edges therefore closes in O(log
+    |new|) label-propagation rounds that touch mostly the components
+    the new edges actually bridge; untouched stars re-confirm their
+    label in the first round and stop changing. Correctness does not
+    depend on that locality: the result equals full CC over (all
+    original edges + new edges), because a star is closure-equivalent
+    to the subgraph it summarizes (tests/test_cc.py proves equality).
+
+    Labels stay the lexicographic min node id, so a component keeps its
+    label unless a new edge merges it with a lexicographically smaller
+    one — exactly the stability checkpoint/resume needs."""
+    star = prev.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    edges = star.unionByName(
+        new_edges.select("src", "dst")
+    )
+    return connected_components(
+        edges,
+        nodes=nodes,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+    )

@@ -21,6 +21,10 @@ stateless ones lift directly onto streaming DataFrames:
   replayed batches filtered by a `last_batch_id` high-water mark:
   atomic batch visibility + idempotent appends = exactly-once into the
   table.
+* `catalog_cluster_sink` — streaming transitive clustering: each batch's
+  merge edges fold into the prior assignment via incremental_components
+  and overwrite the assignment table as a new snapshot (old cluster
+  states stay time-travelable).
 """
 
 from __future__ import annotations
@@ -392,6 +396,53 @@ def catalog_stream_sink(catalog, table: str, transform=None,
         out = transform(batch_df) if transform is not None else batch_df
         catalog.commit(
             table, out, mode="append", properties={prop: str(batch_id)},
+        )
+
+    return process
+
+
+def catalog_cluster_sink(catalog, table: str, edges_of,
+                         stream_id: str = "cc"):
+    """foreachBatch process function maintaining a RUNNING connected-
+    components assignment in a catalog table — streaming transitive
+    clustering (north_rule §2.7, micro-batch form).
+
+    Per batch: `edges_of(batch_df) -> (src, dst)` merge edges;
+    `incremental_components` folds them into the previous assignment
+    (star-shaped history + new edges, closure-equal to full CC over
+    everything ever seen); the result OVERWRITES the table as a new
+    snapshot. Replays dedup via the same per-stream watermark as
+    catalog_stream_sink — and because the assignment commit is a whole
+    snapshot (not an append), a replayed batch recomputing the same
+    closure is idempotent by value as well. Old assignments stay
+    time-travelable until expired.
+    """
+    from hamerkop_spark.operators.cc import incremental_components
+
+    prop = f"last_batch_id:{stream_id}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.exists(table):
+            snaps = catalog._load_metadata(table)["snapshots"]
+            marks = [
+                int(s["properties"][prop])
+                for s in snaps
+                if prop in s.get("properties", {})
+            ]
+            if marks and batch_id <= max(marks):
+                return  # replay of a committed batch
+            prev = catalog.read(table)
+        else:
+            prev = None
+        edges = edges_of(batch_df)
+        if prev is not None:
+            assign = incremental_components(prev, edges)
+        else:
+            from hamerkop_spark.operators.cc import connected_components
+
+            assign = connected_components(edges)
+        catalog.commit(
+            table, assign, mode="overwrite", properties={prop: str(batch_id)},
         )
 
     return process

@@ -75,3 +75,58 @@ def test_driver_query_numeric_min_across_digit_boundary(spark, tmp_path):
         for r in E.q_cc_transitive(spark, str(tmp_path)).collect()
     }
     assert got == {8: 8, 9: 8, 10: 8, 11: 8, 200: 200, 201: 200}
+
+
+def test_incremental_equals_full_closure(spark):
+    """incremental_components(prev, new) == connected_components(all):
+    star-summarized history plus a bridging batch closes identically."""
+    from hamerkop_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    batch1 = [("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")]
+    batch2 = [("b", "c"), ("f", "g"), ("z", "z2")]  # bridge, grow, new
+    prev = connected_components(edges(batch1))
+    inc = incremental_components(prev, edges(batch2))
+    full = connected_components(edges(batch1 + batch2))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r["node"]: r["component"] for r in inc.collect()}
+    assert got["d"] == "a"  # bridged a-b-c-d keeps min label
+    assert got["g"] == "e"
+    assert got["x"] == "x" and got["y"] == "x"  # untouched star stable
+    assert got["z2"] == "z"
+
+
+def test_incremental_chain_of_batches(spark):
+    """Repeated folding across many batches stays equal to the one-shot
+    closure (the long-running stream shape)."""
+    import random
+
+    from hamerkop_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(5)
+    all_pairs = [
+        (f"n{rng.randrange(40):02d}", f"n{rng.randrange(40):02d}")
+        for _ in range(60)
+    ]
+    batches = [all_pairs[i::4] for i in range(4)]
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    assign = connected_components(edges(batches[0]))
+    for b in batches[1:]:
+        assign = incremental_components(assign, edges(b))
+    full = connected_components(edges(all_pairs))
+    assert sorted(map(tuple, assign.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -303,3 +303,32 @@ def test_catalog_stream_sink_exactly_once(spark, tmp_path, pages_dir):
     )
     p2(replay, 0)
     assert cat.read("docs").count() == 9
+
+
+def test_catalog_cluster_sink_running_assignment(spark, tmp_path):
+    """Micro-batched edges accumulate into one closure-correct running
+    assignment snapshot; replays are no-ops."""
+    from hamerkop_spark.operators.cc import connected_components
+    from hamerkop_spark.sources.catalog import IcebergishCatalog
+
+    cat = IcebergishCatalog(spark, str(tmp_path / "wh"))
+
+    def edges_of(batch_df):
+        return batch_df.select("src", "dst")
+
+    process = S.catalog_cluster_sink(cat, "clusters", edges_of)
+    b0 = spark.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
+    b1 = spark.createDataFrame([("b", "c"), ("e", "f")], "src string, dst string")
+    process(b0, 0)
+    process(b1, 1)
+    got = {r["node"]: r["component"] for r in cat.read("clusters").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+    # replay of batch 1: assignment snapshot count unchanged
+    n = len(cat.history("clusters"))
+    process(b1, 1)
+    assert len(cat.history("clusters")) == n
+    # equals one-shot closure over everything
+    full = connected_components(
+        b0.unionByName(b1)
+    )
+    assert {r["node"]: r["component"] for r in full.collect()} == got
