@@ -268,6 +268,48 @@ def q_cc_transitive(spark, sf):
     )
 
 
+def q_cc_incremental(spark, sf):
+    """§2.7 incremental closure (cc.incremental_components): edges split
+    into two batches (even/odd src custkey), the first batch closed,
+    then the second FOLDED into that assignment — the micro-batch
+    streaming shape. The oracle is the one-shot recursive closure over
+    ALL edges: green means the fold is closure-equal cross-engine."""
+    from hamerkop_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    cust = _t(spark, sf, "customer")
+    a = cust.select("c_custkey", "c_nationkey")
+    b = cust.select(
+        F.col("c_custkey").alias("n_custkey"),
+        F.col("c_nationkey").alias("n_nationkey"),
+    )
+    edges = (
+        a.join(
+            b,
+            (a.c_nationkey == b.n_nationkey)
+            & (b.n_custkey == a.c_custkey + 1),
+        )
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("src"),
+            F.lpad(F.col("n_custkey").cast("string"), 12, "0").alias("dst"),
+        )
+    )
+    batch1 = edges.where(F.col("k") % 2 == 0).select("src", "dst")
+    batch2 = edges.where(F.col("k") % 2 == 1).select("src", "dst")
+    nodes = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("node")
+    )
+    prev = connected_components(batch1, nodes=nodes)
+    comps = incremental_components(prev, batch2, nodes=nodes)
+    return comps.select(
+        F.col("node").cast("bigint").alias("c_custkey"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def q_f9_levenshtein_argmin(spark, sf):
     """F9/R4: per-query argmin of normalized edit distance over the
     BLOCKED candidate set, native F.levenshtein (features.py:191-204,
@@ -1103,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_ngram_idf": q_b3_ngram_idf,
         "c2_exact_cluster": q_c2_exact_cluster,
         "cc_transitive": q_cc_transitive,
+        "cc_incremental": q_cc_incremental,
         "f9_levenshtein_argmin": q_f9_levenshtein_argmin,
         "f7_shared_tokens": q_f7_shared_tokens,
         "f_token_jaccard": q_f_token_jaccard,
@@ -1516,6 +1559,23 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "cc_transitive": """
+            WITH RECURSIVE edges AS (
+              SELECT a.c_custkey AS src, b.c_custkey AS dst
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND b.c_custkey = a.c_custkey + 1
+            ), sym AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges
+            ), reach(node, r) AS (
+              SELECT c_custkey, c_custkey FROM customer
+              UNION
+              SELECT p.node, e.dst FROM reach p JOIN sym e ON e.src = p.r
+            )
+            SELECT node AS c_custkey, min(r) AS component
+            FROM reach GROUP BY node
+        """,
+        "cc_incremental": """
             WITH RECURSIVE edges AS (
               SELECT a.c_custkey AS src, b.c_custkey AS dst
               FROM customer a JOIN customer b
