@@ -233,57 +233,18 @@ def q_c2_exact_cluster(spark, sf):
     )
 
 
-def q_cc_transitive(spark, sf):
-    """§2.7 connected components: chain edges (consecutive custkeys within
-    a nation) closed transitively; label = min custkey in component."""
-    from hamerkop_spark.operators.cc import connected_components
-
+def _cc_chain_edges(spark, sf):
+    """Shared §2.7 fixture: chain edges (consecutive custkeys within a
+    nation) and the node universe. Node ids are zero-padded so the
+    component label (lexicographic min of string node ids) coincides
+    with the NUMERIC min the oracle computes — otherwise
+    min('10','9') = '10' vs 9 whenever a component spans a digit-length
+    boundary (ADVICE r1). Returns (edges+k, nodes); `k` (the raw src
+    custkey) lets callers split batches."""
     cust = _t(spark, sf, "customer")
     a = cust.select("c_custkey", "c_nationkey")
     b = cust.select(
         F.col("c_custkey").alias("n_custkey"), F.col("c_nationkey").alias("n_nationkey")
-    )
-    edges = (
-        a.join(
-            b,
-            (a.c_nationkey == b.n_nationkey)
-            & (b.n_custkey == a.c_custkey + 1),
-        )
-        .select(
-            # zero-pad so the component label (lexicographic min of string
-            # node ids) coincides with the NUMERIC min the oracle computes —
-            # otherwise min('10','9') = '10' vs 9 whenever a component spans
-            # a digit-length boundary (ADVICE r1)
-            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("src"),
-            F.lpad(F.col("n_custkey").cast("string"), 12, "0").alias("dst"),
-        )
-    )
-    nodes = cust.select(
-        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("node")
-    )
-    comps = connected_components(edges, nodes=nodes)
-    return comps.select(
-        F.col("node").cast("bigint").alias("c_custkey"),
-        F.col("component").cast("bigint").alias("component"),
-    )
-
-
-def q_cc_incremental(spark, sf):
-    """§2.7 incremental closure (cc.incremental_components): edges split
-    into two batches (even/odd src custkey), the first batch closed,
-    then the second FOLDED into that assignment — the micro-batch
-    streaming shape. The oracle is the one-shot recursive closure over
-    ALL edges: green means the fold is closure-equal cross-engine."""
-    from hamerkop_spark.operators.cc import (
-        connected_components,
-        incremental_components,
-    )
-
-    cust = _t(spark, sf, "customer")
-    a = cust.select("c_custkey", "c_nationkey")
-    b = cust.select(
-        F.col("c_custkey").alias("n_custkey"),
-        F.col("c_nationkey").alias("n_nationkey"),
     )
     edges = (
         a.join(
@@ -297,17 +258,68 @@ def q_cc_incremental(spark, sf):
             F.lpad(F.col("n_custkey").cast("string"), 12, "0").alias("dst"),
         )
     )
-    batch1 = edges.where(F.col("k") % 2 == 0).select("src", "dst")
-    batch2 = edges.where(F.col("k") % 2 == 1).select("src", "dst")
     nodes = cust.select(
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("node")
     )
-    prev = connected_components(batch1, nodes=nodes)
-    comps = incremental_components(prev, batch2, nodes=nodes)
+    return edges, nodes
+
+
+def _cc_unpad(comps):
     return comps.select(
         F.col("node").cast("bigint").alias("c_custkey"),
         F.col("component").cast("bigint").alias("component"),
     )
+
+
+#: one recursive-CTE closure serves BOTH cc queries: cc_transitive runs
+#: the one-shot Spark closure, cc_incremental the two-batch fold — green
+#: on the same oracle proves the fold closure-equal
+_CC_CLOSURE_SQL = """
+            WITH RECURSIVE edges AS (
+              SELECT a.c_custkey AS src, b.c_custkey AS dst
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND b.c_custkey = a.c_custkey + 1
+            ), sym AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges
+            ), reach(node, r) AS (
+              SELECT c_custkey, c_custkey FROM customer
+              UNION
+              SELECT p.node, e.dst FROM reach p JOIN sym e ON e.src = p.r
+            )
+            SELECT node AS c_custkey, min(r) AS component
+            FROM reach GROUP BY node
+        """
+
+
+def q_cc_transitive(spark, sf):
+    """§2.7 connected components: chain edges closed transitively;
+    label = min custkey in component."""
+    from hamerkop_spark.operators.cc import connected_components
+
+    edges, nodes = _cc_chain_edges(spark, sf)
+    return _cc_unpad(
+        connected_components(edges.select("src", "dst"), nodes=nodes)
+    )
+
+
+def q_cc_incremental(spark, sf):
+    """§2.7 incremental closure (cc.incremental_components): edges split
+    into two batches (even/odd src custkey), the first batch closed,
+    then the second FOLDED into that assignment — the micro-batch
+    streaming shape. Shares _CC_CLOSURE_SQL with cc_transitive: green
+    on the ONE-SHOT oracle proves the fold closure-equal cross-engine."""
+    from hamerkop_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges, nodes = _cc_chain_edges(spark, sf)
+    batch1 = edges.where(F.col("k") % 2 == 0).select("src", "dst")
+    batch2 = edges.where(F.col("k") % 2 == 1).select("src", "dst")
+    prev = connected_components(batch1, nodes=nodes)
+    return _cc_unpad(incremental_components(prev, batch2, nodes=nodes))
 
 
 def q_f9_levenshtein_argmin(spark, sf):
@@ -1558,40 +1570,8 @@ def oracle_sql() -> dict[str, str]:
                      AS cluster
             FROM customer
         """,
-        "cc_transitive": """
-            WITH RECURSIVE edges AS (
-              SELECT a.c_custkey AS src, b.c_custkey AS dst
-              FROM customer a JOIN customer b
-                ON a.c_nationkey = b.c_nationkey
-               AND b.c_custkey = a.c_custkey + 1
-            ), sym AS (
-              SELECT src, dst FROM edges
-              UNION SELECT dst, src FROM edges
-            ), reach(node, r) AS (
-              SELECT c_custkey, c_custkey FROM customer
-              UNION
-              SELECT p.node, e.dst FROM reach p JOIN sym e ON e.src = p.r
-            )
-            SELECT node AS c_custkey, min(r) AS component
-            FROM reach GROUP BY node
-        """,
-        "cc_incremental": """
-            WITH RECURSIVE edges AS (
-              SELECT a.c_custkey AS src, b.c_custkey AS dst
-              FROM customer a JOIN customer b
-                ON a.c_nationkey = b.c_nationkey
-               AND b.c_custkey = a.c_custkey + 1
-            ), sym AS (
-              SELECT src, dst FROM edges
-              UNION SELECT dst, src FROM edges
-            ), reach(node, r) AS (
-              SELECT c_custkey, c_custkey FROM customer
-              UNION
-              SELECT p.node, e.dst FROM reach p JOIN sym e ON e.src = p.r
-            )
-            SELECT node AS c_custkey, min(r) AS component
-            FROM reach GROUP BY node
-        """,
+        "cc_transitive": _CC_CLOSURE_SQL,
+        "cc_incremental": _CC_CLOSURE_SQL,
         "f9_levenshtein_argmin": """
             WITH q AS (
               SELECT p_partkey AS q_key, lower(p_name) AS q_name

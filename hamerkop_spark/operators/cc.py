@@ -173,16 +173,30 @@ def incremental_components(
 
     Labels stay the lexicographic min node id, so a component keeps its
     label unless a new edge merges it with a lexicographically smaller
-    one — exactly the stability checkpoint/resume needs."""
+    one — exactly the stability checkpoint/resume needs.
+
+    Every node of `prev` survives into the output even when nothing in
+    the new batch touches it: a singleton's (x, x) star edge is a
+    self-loop the closure filters out, so prev's node set is always
+    folded into `nodes`."""
     star = prev.select(
         F.col("node").alias("src"), F.col("component").alias("dst")
     )
     edges = star.unionByName(
         new_edges.select("src", "dst")
     )
+    # `nodes` is the OUTPUT UNIVERSE for connected_components, so it
+    # must contain every prev node (or singletons vanish — their (x, x)
+    # star edge is a self-loop the closure filters) AND every new-edge
+    # endpoint (or fresh nodes vanish), plus whatever the caller adds
+    all_nodes = prev.select("node").unionByName(
+        new_edges.select(F.col("src").alias("node"))
+    ).unionByName(new_edges.select(F.col("dst").alias("node")))
+    if nodes is not None:
+        all_nodes = all_nodes.unionByName(nodes.select("node"))
     return connected_components(
         edges,
-        nodes=nodes,
+        nodes=all_nodes,
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
     )

@@ -313,12 +313,14 @@ def kmeans_centroids(
 
     Convergence in a handful of iterations is typical for IVF coarse
     quantizers; `iterations` bounds the cost deterministically (no
-    data-dependent stopping, so reruns produce byte-identical
-    centroids)."""
+    data-dependent stopping; the means are rounded to 12 decimals so
+    shuffle merge order — float addition is non-associative — cannot
+    leak last-ulp differences into reruns)."""
+    # one scan of the (possibly expensive) corpus lineage, reused by
+    # every iteration — the same localCheckpoint pattern cc.py uses
     vecs = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).localCheckpoint(eager=True)
     cents = [
         (int(i), [float(x) for x in c])
         for i, c in enumerate(
@@ -328,22 +330,21 @@ def kmeans_centroids(
             .collect()
         )
     ]
-    dim = len(cents[0][1]) if cents else 0
 
     def nearest(v: Column) -> Column:
-        # argmax over literal centroids: least(sims...) would lose the
-        # INDEX, so fold a running (best_sim, best_id) struct — k is
-        # small (coarse quantizer), the expression stays in codegen
-        best = F.struct(
-            F.lit(-2.0).alias("s"), F.lit(-1).alias("c")
-        )
-        for cid, cvec in cents:
-            sim = cosine_native(v, F.array(*[F.lit(x) for x in cvec]))
-            best = F.when(
-                sim > best["s"],
-                F.struct(sim.alias("s"), F.lit(cid).alias("c")),
-            ).otherwise(best)
-        return best["c"]
+        # argmax over literal centroids as array_max over (sim, -cid)
+        # structs: a LINEAR expression tree. A when/otherwise fold that
+        # references the running best twice per step is a ~2^k tree to
+        # Catalyst and hangs planning beyond toy k. Negated cid makes
+        # equal-sim ties resolve to the SMALLEST centroid id.
+        sims = F.array(*[
+            F.struct(
+                cosine_native(v, F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                F.lit(-cid).alias("c"),
+            )
+            for cid, cvec in cents
+        ])
+        return -F.array_max(sims)["c"]
 
     for _ in range(iterations):
         assigned = vecs.withColumn("_c", nearest(F.col("_v")))
@@ -364,11 +365,11 @@ def kmeans_centroids(
         )
         updated = dict(cents)
         for r in means:
-            updated[r["_c"]] = [float(x) for x in r["_centroid"]]
+            updated[r["_c"]] = [round(float(x), 12) for x in r["_centroid"]]
         cents = sorted(updated.items())
 
     spark = corpus.sparkSession
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
-        f"centroid_id int, centroid array<double>",
+        "centroid_id int, centroid array<double>",
     )

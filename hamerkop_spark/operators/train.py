@@ -142,11 +142,12 @@ def tune_margin(
             )
         )
     row = top.agg(*aggs).collect()[0]
+    n_gold = row["n_gold"] or 0  # empty input aggregates to NULLs
     results = []
     for i, m in enumerate(margins):
-        dec, cor = row[f"d{i}"], row[f"c{i}"]
+        dec, cor = row[f"d{i}"] or 0, row[f"c{i}"] or 0
         p = cor / dec if dec else 0.0
-        r = cor / row["n_gold"] if row["n_gold"] else 0.0
+        r = cor / n_gold if n_gold else 0.0
         f1 = 2 * p * r / (p + r) if (p + r) else 0.0
         results.append(
             {"margin": float(m), "precision": p, "recall": r, "f1": f1,

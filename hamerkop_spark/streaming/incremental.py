@@ -429,8 +429,19 @@ def catalog_cluster_sink(catalog, table: str, edges_of,
                 for s in snaps
                 if prop in s.get("properties", {})
             ]
-            if marks and batch_id <= max(marks):
-                return  # replay of a committed batch
+            last = max(marks) if marks else None
+            if last is not None:
+                if batch_id == last:
+                    return  # replay of the already-committed batch
+                if batch_id < last:
+                    # same semantics as catalog_stream_sink: a reset
+                    # checkpoint must ERROR, not silently drop edges
+                    raise ValueError(
+                        f"catalog_cluster_sink[{stream_id}] on {table!r}: "
+                        f"batch {batch_id} < committed watermark {last} — "
+                        "the stream checkpoint was reset against an "
+                        "existing table; use a fresh stream_id or table"
+                    )
             prev = catalog.read(table)
         else:
             prev = None

@@ -90,13 +90,28 @@ def test_incremental_equals_full_closure(spark):
 
     batch1 = [("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")]
     batch2 = [("b", "c"), ("f", "g"), ("z", "z2")]  # bridge, grow, new
-    prev = connected_components(edges(batch1))
+    # prev includes a SINGLETON component ("s"): its star edge is a
+    # self-loop, and it must still survive the fold untouched
+    prev = connected_components(
+        edges(batch1),
+        nodes=spark.createDataFrame(
+            [(n,) for n in "abcdefxys"], "node string"
+        ),
+    )
     inc = incremental_components(prev, edges(batch2))
-    full = connected_components(edges(batch1 + batch2))
+    full = connected_components(
+        edges(batch1 + batch2),
+        nodes=spark.createDataFrame(
+            [(n,) for n in ["a", "b", "c", "d", "e", "f", "g", "x", "y",
+                            "s", "z", "z2"]],
+            "node string",
+        ),
+    )
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, full.collect())
     )
     got = {r["node"]: r["component"] for r in inc.collect()}
+    assert got["s"] == "s"  # singleton survives the fold
     assert got["d"] == "a"  # bridged a-b-c-d keeps min label
     assert got["g"] == "e"
     assert got["x"] == "x" and got["y"] == "x"  # untouched star stable
