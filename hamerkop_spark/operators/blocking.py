@@ -145,7 +145,11 @@ def build_ngram_postings(
     df_tbl = per_name.groupBy("type", "ngram").agg(
         F.sum("n_cnt").alias("df_cnt")
     )
-    postings = per_name.join(F.broadcast(df_tbl), ["type", "ngram"]).withColumn(
+    # No forced broadcast hint: the distinct-ngram table is usually tiny,
+    # but a large multilingual KB (CJK trigrams) can push it to millions
+    # of keys — let AQE pick broadcast vs shuffled join from the MEASURED
+    # size instead of bypassing the autoBroadcastJoinThreshold check.
+    postings = per_name.join(df_tbl, ["type", "ngram"]).withColumn(
         "idf", F.log1p(F.lit(float(num_unique)) / F.col("df_cnt"))
     )
     return postings, num_unique

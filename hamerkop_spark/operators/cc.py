@@ -127,13 +127,14 @@ def connected_components(
             break
         prev_fp = fp
 
-    # stable edge set = stars (node -> component min); add the roots
+    # stable edge set = stars (node -> component min); add the roots.
+    # The min-agg guarantees ONE label per node even if the loop exited
+    # via max_iterations before the fingerprint converged (a non-star
+    # edge set can carry a node with several neighbors).
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     labels = labels.unionByName(
-        labels.select(
-            F.col("component").alias("node"), F.col("component")
-        ).distinct()
-    )
+        labels.select(F.col("component").alias("node"), F.col("component"))
+    ).groupBy("node").agg(F.min("component").alias("component"))
 
     if nodes is not None:
         labels = (

@@ -237,6 +237,21 @@ class IcebergishCatalog:
             k: sum(dir_stats[d][k] for d in data_dirs)
             for k in ("rows", "files", "bytes")
         }
+        # Stream watermarks (`last_batch_id:<stream>`) are carried forward
+        # onto EVERY new snapshot: without this, a maintenance commit
+        # followed by expire_snapshots(keep_last=1) could erase the
+        # high-water mark and a replayed micro-batch would re-append as a
+        # duplicate. Per-key max over all retained prior snapshots, then
+        # explicit properties override.
+        inherited_props: dict = {}
+        if prior is not None:
+            for s in prior["snapshots"]:
+                for k, v in s.get("properties", {}).items():
+                    if k.startswith("last_batch_id:") and (
+                        k not in inherited_props
+                        or int(v) > int(inherited_props[k])
+                    ):
+                        inherited_props[k] = v
         snap = {
             "snapshot_id": snapshot_id,
             "timestamp_ms": int(time.time() * 1000),
@@ -244,7 +259,7 @@ class IcebergishCatalog:
             "data_dirs": data_dirs,
             "summary": summary,
             "added": dir_stats[rel_dir],
-            "properties": properties or {},
+            "properties": {**inherited_props, **(properties or {})},
         }
         meta = {
             "format_version": FORMAT_VERSION,

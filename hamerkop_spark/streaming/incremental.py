@@ -29,6 +29,8 @@ stateless ones lift directly onto streaming DataFrames:
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -237,12 +239,17 @@ def foreach_batch_dedup(
             .withColumn("batch_id", F.lit(batch_id))
             .cache()
         )
-        try:
+        # "No store yet" is detected by PATH ABSENCE only — a genuine
+        # read error (corrupt files, transient FS failure) must propagate
+        # so the batch retries instead of silently dropping every
+        # new-vs-old pair and then committing the under-emitted result.
+        _recover_band_store(state_dir)
+        if os.path.exists(state_dir):
             store = spark.read.parquet(state_dir).where(
                 F.col("batch_id") < batch_id
             )
-        except Exception:  # first batch: no store yet
-            store = None
+        else:
+            store = None  # first batch
         batch_counts = bands.groupBy("band", "bucket").agg(
             F.count("*").alias("bc")
         )
@@ -305,6 +312,28 @@ def foreach_batch_dedup(
     )
 
 
+def _recover_band_store(state_dir: str) -> None:
+    """Finish an interrupted compact_band_store swap, if one is pending.
+
+    The swap is write-aside (`.compact`) -> move(store, `.old`) ->
+    move(`.compact`, store) -> rmtree(`.old`). A crash between the moves
+    leaves the store dir absent with the finished `.compact` (and/or the
+    `.old` copy) on disk; completing the swap here makes the sequence
+    effectively atomic for any later reader. Called by foreach_batch_dedup
+    before every store read, so a crashed compaction can never be
+    mistaken for 'first batch' (which would silently drop every
+    new-vs-old pair)."""
+    tmp = state_dir.rstrip("/") + ".compact"
+    old = state_dir.rstrip("/") + ".old"
+    if not os.path.exists(state_dir):
+        if os.path.exists(tmp):
+            shutil.move(tmp, state_dir)  # swap had finished writing aside
+        elif os.path.exists(old):
+            shutil.move(old, state_dir)  # crashed before write-aside move
+    if os.path.exists(state_dir) and os.path.exists(old):
+        shutil.rmtree(old)  # crashed after the swap, before cleanup
+
+
 def compact_band_store(
     spark: SparkSession, state_dir: str, files_per_partition: int = 8
 ):
@@ -313,11 +342,16 @@ def compact_band_store(
     degrades the new-vs-old equi-join into a many-small-files scan.
     Fold every COMMITTED batch (batch_id < latest) into a single merged
     partition (batch_id = -1), hash-distributed on the (band, bucket)
-    join key, atomically (write aside, then swap). The LATEST partition
-    is kept as-is: it is the only batch foreachBatch can replay, and a
-    replay must still overwrite exactly its own partition."""
-    import shutil
+    join key. The LATEST partition is kept as-is: it is the only batch
+    foreachBatch can replay, and a replay must still overwrite exactly
+    its own partition.
 
+    Run with the stream STOPPED (or between triggers): the swap is
+    write-aside + two directory moves, and a crash at any point is
+    repaired by `_recover_band_store`, which foreach_batch_dedup invokes
+    before every store read — so a reader never observes the mid-swap
+    missing-dir state as an empty store."""
+    _recover_band_store(state_dir)
     store = spark.read.parquet(state_dir)
     latest = store.agg(F.max("batch_id")).first()[0]
     folded = store.where(F.col("batch_id") < latest).withColumn(

@@ -306,3 +306,27 @@ def test_tags_pin_snapshots_and_resolve_reads(spark, cat):
         cat.read("t", tag="blessed")
     with pytest.raises(SnapshotNotFound):
         cat.tag("t", "x", snapshot_id=99)
+
+
+def test_stream_watermark_survives_maintenance_and_expiry(spark, cat):
+    """ADVICE r2: last_batch_id:* properties are inherited by every new
+    snapshot, so a maintenance commit + expire_snapshots(keep_last=1)
+    cannot erase the stream high-water mark (which would make a replayed
+    micro-batch re-append as a duplicate)."""
+    cat.commit("t", _df(spark, [(1, "a")]), mode="append",
+               properties={"last_batch_id:s1": "7"})
+    # maintenance commit with no properties of its own
+    cat.commit("t", _df(spark, [(2, "b")]), mode="append")
+    cat.expire_snapshots("t", keep_last=1)
+    meta = cat._load_metadata("t")
+    vals = [
+        int(s["properties"]["last_batch_id:s1"])
+        for s in meta["snapshots"]
+        if "last_batch_id:s1" in s.get("properties", {})
+    ]
+    assert vals and max(vals) == 7
+    # explicit property still overrides the inherited one
+    cat.commit("t", _df(spark, [(3, "c")]), mode="append",
+               properties={"last_batch_id:s1": "9"})
+    cur = cat._snapshot(cat._load_metadata("t"), None)
+    assert cur["properties"]["last_batch_id:s1"] == "9"

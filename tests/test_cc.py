@@ -1,5 +1,7 @@
 """Connected components: chains, isolated nodes, determinism."""
 
+from pyspark.sql import functions as F
+
 from hamerkop_spark.operators.cc import cluster_mentions, connected_components
 
 
@@ -145,3 +147,16 @@ def test_incremental_chain_of_batches(spark):
     assert sorted(map(tuple, assign.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_one_label_per_node_even_without_convergence(spark):
+    """ADVICE r2: with max_iterations too low for the fingerprint to
+    converge, the final min-agg must still emit exactly one
+    (node, component) row per node."""
+    from hamerkop_spark.operators.cc import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    labels = connected_components(edges, max_iterations=1)
+    got = labels.groupBy("node").count().where(F.col("count") > 1).count()
+    assert got == 0

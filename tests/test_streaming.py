@@ -332,3 +332,38 @@ def test_catalog_cluster_sink_running_assignment(spark, tmp_path):
         b0.unionByName(b1)
     )
     assert {r["node"]: r["component"] for r in full.collect()} == got
+
+
+def test_recover_band_store_finishes_interrupted_swap(spark, tmp_path):
+    """ADVICE r2: a crash between compact_band_store's two directory
+    moves must not be read as 'first batch' — _recover_band_store
+    completes the swap from any crash point."""
+    import shutil
+
+    import hamerkop_spark.streaming.incremental as S
+
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(0, 1, "d1", 0), (0, 1, "d2", 1)],
+        "band int, bucket long, _id string, batch_id int",
+    )
+    df.write.partitionBy("batch_id").parquet(state)
+    expect = sorted(map(tuple, spark.read.parquet(state).collect()))
+
+    # crash point A: after move(state, .old), before move(.compact, state)
+    shutil.copytree(state, state + ".compact")
+    shutil.move(state, state + ".old")
+    S._recover_band_store(state)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == expect
+    assert not os.path.exists(state + ".old")
+    assert not os.path.exists(state + ".compact")
+
+    # crash point B: .old moved away but write-aside never finished
+    shutil.move(state, state + ".old")
+    S._recover_band_store(state)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == expect
+
+    # crash point C: swap done, cleanup of .old missed
+    shutil.copytree(state, state + ".old")
+    S._recover_band_store(state)
+    assert os.path.exists(state) and not os.path.exists(state + ".old")
