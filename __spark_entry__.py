@@ -368,11 +368,24 @@ def q_f7_shared_tokens(spark, sf):
         F.col("p_partkey").alias("c_key"),
         F.array_distinct(_tokens(F.lower("p_name"))).alias("c_toks"),
     )
+    # Blocked, not cartesian: a candidate with zero shared tokens always
+    # contributes ratio 0, so max-over-all == max-over-blocked (with a
+    # left-join + coalesce(0) restoring the zero-max q rows). The
+    # shared-token inverted index is the same shape as q_f9's blocking —
+    # the only pairs materialized are ones sharing a token.
+    qtok = q.select("q_key", F.explode("q_toks").alias("tok"))
+    ctok = c.select("c_key", F.explode("c_toks").alias("tok"))
+    blocked = qtok.join(ctok, "tok").select("q_key", "c_key").distinct()
+    pairs = blocked.join(q, "q_key").join(c, "c_key")
     ratio = F.size(F.array_intersect("q_toks", "c_toks")) / F.size("q_toks")
+    best = pairs.groupBy("q_key").agg(F.max(ratio).alias("mx"))
     return (
-        q.crossJoin(c)
-        .groupBy("q_key")
-        .agg(det_round(F.max(ratio), 4).alias("best_overlap"))
+        q.select("q_key")
+        .join(best, "q_key", "left")
+        .select(
+            "q_key",
+            det_round(F.coalesce("mx", F.lit(0.0)), 4).alias("best_overlap"),
+        )
     )
 
 
@@ -387,12 +400,18 @@ def q_f_token_jaccard(spark, sf):
         F.col("p_partkey").alias("c_key"),
         F.array_distinct(_tokens(F.lower("p_name"))).alias("c_toks"),
     )
+    # Blocked, not cartesian: jaccard >= 0.3 > 0 implies at least one
+    # shared token, so the shared-token inverted-index join is LOSSLESS
+    # for the thresholded output — only candidate pairs are materialized.
+    qtok = q.select("q_key", F.explode("q_toks").alias("tok"))
+    ctok = c.select("c_key", F.explode("c_toks").alias("tok"))
+    blocked = qtok.join(ctok, "tok").select("q_key", "c_key").distinct()
+    pairs = blocked.join(q, "q_key").join(c, "c_key")
     inter = F.size(F.array_intersect("q_toks", "c_toks")).cast("double")
     union = F.size(F.array_union("q_toks", "c_toks")).cast("double")
     j = F.when(union == 0, 0.0).otherwise(inter / union)
     return (
-        q.crossJoin(c)
-        .withColumn("jaccard", det_round(j, 4))
+        pairs.withColumn("jaccard", det_round(j, 4))
         .where(F.col("jaccard") >= 0.3)
         .select("q_key", "c_key", "jaccard")
     )
@@ -449,17 +468,44 @@ def q_f_token_jaccard_docs(spark, sf):
             F.split(F.lower("text"), "[ \\t\\n\\r\\f]+"), lambda t: t != ""
         )
     )
-    a = docs.select(F.col("doc_id").alias("src"), toks.alias("ta"))
-    b = docs.select(F.col("doc_id").alias("dst"), toks.alias("tb"))
+    # Blocked via PREFIX FILTERING (ppjoin), not cartesian. Naive
+    # shared-token blocking on web text is O(df^2) on stopwords; instead
+    # rank tokens by ascending global frequency and keep only each doc's
+    # |A| - ceil(t*|A|) + 1 RAREST tokens as blocking keys. Standard
+    # prefix-filter lemma: J(A,B) >= t implies the two prefixes share a
+    # token under a common total order, so the candidate set is a
+    # guaranteed superset of the thresholded output — and "the"-grade hot
+    # tokens almost never land in a prefix.
+    t = F.lit(0.1)
+    da = docs.select("doc_id", toks.alias("toks"))
+    tok = da.select("doc_id", F.explode("toks").alias("tok"))
+    df_tok = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        tok.join(df_tok, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(da.select("doc_id", F.size("toks").alias("s")), "doc_id")
+        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * t) + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("src"), "tok")
+        .join(pref.select(F.col("doc_id").alias("dst"), "tok"), "tok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pairs = cand.join(
+        da.select(F.col("doc_id").alias("src"), F.col("toks").alias("ta")), "src"
+    ).join(
+        da.select(F.col("doc_id").alias("dst"), F.col("toks").alias("tb")), "dst"
+    )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     # union==0 guard (both docs whitespace-only): ANSI divide-by-zero
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .where(F.col("src") < F.col("dst"))
-        .withColumn("jaccard", det_round(jac, 4))
+        pairs.withColumn("jaccard", det_round(jac, 4))
         .where(F.col("jaccard") >= 0.1)
         .select("src", "dst", "jaccard")
     )
@@ -1146,6 +1192,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Never-yet-driver-recorded queries FIRST: the round-2 sweep
+        # recorded only the first 50 registry entries, so anything new or
+        # previously-missed must not sit at the tail.
+        "b_phonetic_soundex": q_b_phonetic_soundex,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "flagship_pricing": q_flagship_pricing,
         "t1_remove_punct": q_t1_remove_punct,
         "t6_ngram_explode": q_t6_ngram_explode,
@@ -1197,9 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-derived variants (oracle-expressible hash primitives)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "b_phonetic_soundex": q_b_phonetic_soundex,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

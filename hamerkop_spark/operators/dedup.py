@@ -32,9 +32,14 @@ def exact_dedup(
     lower/strip-punct/collapse-space text). Keeps the min id per group as
     canonical; one shuffle on the fingerprint."""
     keyed = docs.withColumn("fp", fingerprint(F.col(text_col)))
-    w = Window.partitionBy("fp")
+    # groupBy+min+join-back, NOT Window.partitionBy("fp"): a window
+    # colocates an entire fingerprint group on one partition, and the
+    # exact case this operator exists for (thousands of byte-identical
+    # boilerplate pages) is a mega-group that would straggle it. The
+    # groupBy gets a map-side partial min before the exchange.
+    canon = keyed.groupBy("fp").agg(F.min(id_col).alias("dup_of"))
     return (
-        keyed.withColumn("dup_of", F.min(id_col).over(w))
+        keyed.join(canon, "fp")
         .withColumn("is_duplicate", (F.col("dup_of") != F.col(id_col)))
         .drop("fp")
     )
