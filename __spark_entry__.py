@@ -1185,6 +1185,430 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+# --- round-3 coverage rows: §2 IDs previously verified only by pytest ------
+
+
+def q_p15_tristate_cascade(spark, sf):
+    """P15 CascadeEntityFilter (io.py:525-537): tri-state keep/defer
+    cascade — first non-null filter verdict wins, all-null => drop.
+    Exercises every truth-table branch over synthesized origin /
+    external_link / country_code columns (sources/kb.cascade_filter)."""
+    from hamerkop_spark.sources.kb import (
+        cascade_filter, country_filter, link_filter, origin_filter,
+    )
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    ent = cust.select(
+        "c_custkey",
+        F.lower("c_mktsegment").alias("origin"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .when(k % 3 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("http://ex/"), k.cast("string")))
+        .alias("external_link"),
+        F.when(k % 5 < 2, F.lit("US"))
+        .when(k % 5 < 4, F.lit("FR"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("country_code"),
+    )
+    kept = cascade_filter(
+        [origin_filter("aut", "bui"), link_filter(), country_filter("us")]
+    )
+    return ent.select("c_custkey", kept.cast("int").alias("kept"))
+
+
+def q_p2_text_normalizer(spark, sf):
+    """P2 TextNormalizer (preprocessor.py:186-199): smart punct -> ASCII
+    then emoji strip, via the engine operator. Smart quotes/dash/ellipsis
+    and one pictograph are injected identically on both engines so the
+    normalization is observable on ASCII-only driver data."""
+    from hamerkop_spark.operators.preprocess import text_normalizer
+
+    docs = _t(spark, sf, "documents")
+    m = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("“Q—"),
+            F.substring("text", 1, 30),
+            F.lit("…’ \U0001F600"),
+        ).alias("string"),
+    )
+    return text_normalizer(m).select(
+        "doc_id", F.col("string").alias("normalized")
+    )
+
+
+def q_p4_fix_type(spark, sf):
+    """P4 FixType (preprocessor.py:216-227): lowercase-name -> type
+    override via broadcast join (operators/preprocess.fix_type)."""
+    from hamerkop_spark.operators.preprocess import fix_type
+
+    cust = _t(spark, sf, "customer")
+    m = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("string"),
+        F.lit("ORG").alias("type"),
+    )
+    out = fix_type({"building": "LOC", "automobile": "GPE"})(m)
+    return out.select("c_custkey", "type")
+
+
+def q_p8_name_projector(spark, sf):
+    """P8 NameProjector (preprocessor.py:278-299): store the projection in
+    a side column only when non-null and different from the string
+    (operators/preprocess.name_projector, projection = upper)."""
+    from hamerkop_spark.operators.preprocess import name_projector
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    m = cust.select(
+        "c_custkey",
+        F.when(k % 4 == 0, F.lower("c_name"))
+        .otherwise(F.upper("c_name"))
+        .alias("string"),
+        F.lit("eng").alias("lang"),
+    )
+    out = name_projector(lambda s, lang: F.upper(s))(m)
+    return out.select("c_custkey", "translit_string")
+
+
+def q_t7_dict_translator(spark, sf):
+    """T7 DictTranslator (string.py:92-102): CI full-string dictionary
+    translation into a side column (operators/preprocess.dict_translator)
+    over part-name first tokens."""
+    from hamerkop_spark.operators.preprocess import dict_translator
+
+    part = _t(spark, sf, "part")
+    m = part.select(
+        "p_partkey", F.element_at(F.split("p_name", " "), 1).alias("string")
+    )
+    out = dict_translator(
+        {"lemon": "limon", "navy": "marina", "metallic": "metalico"}
+    )(m)
+    return out.select("p_partkey", "translate_string")
+
+
+def q_t4_single_space(spark, sf):
+    """T4 single_space (string.py:61-64): collapse whitespace runs
+    (functions/strings.single_space). Driver docs carry no \\x0B, the one
+    char where Java and RE2 \\s disagree."""
+    from hamerkop_spark.functions.strings import single_space
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", single_space(F.col("text")).alias("squeezed")
+    )
+
+
+def q_b4_type_conflation(spark, sf):
+    """B4 TypeIgnoringIndex (kb.py:278-305): conflate {GPE, LOC} into one
+    blocking group on BOTH sides, equi-join on (type_group, block key)
+    (operators/blocking.with_type_groups)."""
+    from hamerkop_spark.operators.blocking import with_type_groups
+
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    chains = cust.select(
+        "c_custkey",
+        F.when(ck % 4 == 0, "GPE").when(ck % 4 == 1, "LOC")
+        .when(ck % 4 == 2, "PER").otherwise("ORG").alias("type"),
+        (ck % 25).alias("bkey"),
+    )
+    ents = supp.select(
+        "s_suppkey",
+        F.when(sk % 3 == 0, "LOC").when(sk % 3 == 1, "PER")
+        .otherwise("ORG").alias("type"),
+        (sk % 25).alias("bkey"),
+    )
+    gc = with_type_groups(chains, ["GPE", "LOC"])
+    ge = with_type_groups(ents, ["GPE", "LOC"])
+    return (
+        gc.join(ge, ["type_group", "bkey"])
+        .groupBy("type_group")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_f_bundle_native(spark, sf):
+    """F1-F4 + F6 + F8 in one row: origin / in-country / #names / #links /
+    exact-match / last-name features via operators/features.extract_features
+    with the native (no-UDF) subset of the STANDARD bundle, over blocked
+    customer x supplier analog pairs (reference features.py:69-188)."""
+    from hamerkop_spark.operators import features as FT
+
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    chains = cust.where(ck % 9 == 0).select(
+        F.lit("d").alias("doc_id"),
+        ck.alias("chain_id"),
+        (ck % 25).alias("bkey"),
+        F.array(
+            F.concat(F.lit("acct "), (ck % 50).cast("string")),
+            F.lower("c_name"),
+        ).alias("chain_all_strings"),
+        F.array(F.lower("c_name")).alias("chain_names"),
+    )
+    ents = supp.select(
+        sk.alias("entity_id"),
+        (sk % 25).alias("bkey"),
+        F.when(
+            sk % 5 == 0,
+            F.array(F.concat(F.lit("acct "), (sk % 50).cast("string"))),
+        ).otherwise(
+            F.array(
+                F.concat(F.lit("acct "), (sk % 50).cast("string")),
+                F.lower("s_name"),
+            )
+        ).alias("entity_names"),
+        F.when(
+            sk % 3 == 0, F.array(F.lit("http://en.wikipedia.org/wiki/x"))
+        ).otherwise(F.lit(None).cast("array<string>")).alias("entity_urls"),
+        F.when(sk % 2 == 0, F.lit("geonames")).otherwise(F.lit("web"))
+        .alias("origin"),
+        F.when(sk % 7 == 0, F.lit("US")).otherwise(F.lit(None).cast("string"))
+        .alias("per_location"),
+        F.lit(None).cast("string").alias("org_location"),
+        F.when(sk % 7 == 1, F.lit("GB")).otherwise(F.lit(None).cast("string"))
+        .alias("geo_country"),
+    )
+    pairs = chains.join(ents, "bkey")
+    feats = {
+        "f_origin": FT.origin_feature,
+        "f_in_country": lambda: FT.in_country_feature("US", "GB"),
+        "f_num_names": FT.number_of_names_feature,
+        "f_num_links": FT.number_of_links_feature,
+        "f_exact_match": FT.exact_match_feature,
+        "f_last_name": FT.last_name_feature,
+    }
+    out = FT.extract_features(pairs, features=feats)
+    return out.select(
+        "chain_id",
+        "entity_id",
+        det_round(F.col("f_origin"), 4).alias("f_origin"),
+        det_round(F.col("f_in_country"), 4).alias("f_in_country"),
+        det_round(F.col("f_num_names"), 4).alias("f_num_names"),
+        det_round(F.col("f_num_links"), 4).alias("f_num_links"),
+        det_round(F.col("f_exact_match"), 4).alias("f_exact_match"),
+        det_round(F.col("f_last_name"), 4).alias("f_last_name"),
+    )
+
+
+def q_r8_labeled_pairs(spark, sf):
+    """R8 FeatureRecorder (resolver.py:157-189): label candidate pairs 1
+    iff the entity is among the chain's gold links and the mention is a
+    link (not NIL) (operators/features.record_labeled_pairs)."""
+    from hamerkop_spark.operators.features import record_labeled_pairs
+
+    li = _t(spark, sf, "lineitem")
+    sp = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("chain_id"),
+        F.col("l_partkey").alias("entity_id"),
+    )
+    gold = (
+        li.groupBy(
+            F.col("l_orderkey").alias("doc_id"),
+            F.col("l_linenumber").alias("chain_id"),
+        )
+        .agg(F.array(F.min("l_partkey")).alias("gold_links"))
+        .withColumn(
+            "link_type",
+            F.when(F.col("doc_id") % 4 == 0, "NIL").otherwise("link"),
+        )
+    )
+    out = record_labeled_pairs(sp, gold)
+    return out.select("doc_id", "chain_id", "entity_id", "label")
+
+
+def q_s3_bio_chunker(spark, sf):
+    """S3 BIO chunker (DocumentPreparer.process): window + groupBy span
+    assembly over an events-derived tag stream — B starts a span, I
+    extends it until the first O, span type = first tag's suffix
+    (sources/conll.extract_mentions)."""
+    from hamerkop_spark.sources.conll import extract_mentions
+
+    ev = _t(spark, sf, "events")
+    e = F.col("event_id")
+    tag = (
+        F.when(e % 5 == 0, F.lit("B-PER"))
+        .when(e % 5 == 1, F.lit("I-PER"))
+        .when(e % 5 == 2, F.lit("O"))
+        .when(e % 5 == 3, F.lit("B-ORG"))
+        .otherwise(F.lit("I-ORG"))
+    )
+    conll = ev.select(
+        F.concat(F.lit("doc"), (F.col("user_id") % 20).cast("string"))
+        .alias("doc_id"),
+        F.col("event_type").alias("token"),
+        tag.alias("tag"),
+        e.alias("row_idx"),
+        (e * 10).cast("int").alias("start"),
+        (e * 10 + 5).cast("int").alias("stop"),
+    )
+    out = extract_mentions(conll)
+    return out.select(
+        "doc_id", "mention_id", "string", "type",
+        "char_start", "char_stop", "token_start", "token_stop",
+    )
+
+
+def q_b10_candidate_recall(spark, sf):
+    """B10 CandidatesScorer (candidates.py:54-75): per-type fraction of
+    linked gold mentions whose gold entity is in the candidate set
+    (operators/scoring.candidate_recall)."""
+    from hamerkop_spark.operators.scoring import candidate_recall
+
+    li = _t(spark, sf, "lineitem")
+    cands = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.lit(1).alias("chain_id"),
+        F.col("l_partkey").alias("entity_id"),
+    )
+    gold = (
+        li.groupBy(F.col("l_orderkey").alias("doc_id"))
+        .agg(
+            F.array(F.min("l_partkey") + (F.min("l_orderkey") % 2))
+            .alias("gold_links")
+        )
+        .withColumn("chain_id", F.lit(1))
+        .withColumn(
+            "entity_type",
+            F.when(F.col("doc_id") % 3 == 0, "PER")
+            .when(F.col("doc_id") % 3 == 1, "ORG")
+            .otherwise("GPE"),
+        )
+    )
+    return candidate_recall(cands, gold)
+
+
+def q_b11_kb_recall(spark, sf):
+    """B11 KBLoadingScorer (kb.py:59-81): fraction of gold entity ids
+    present in the loaded KB (operators/scoring.kb_loading_recall —
+    scalar Row, surfaced as a one-row DataFrame)."""
+    import math
+
+    from hamerkop_spark.operators.scoring import kb_loading_recall
+
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    kbe = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("entity_id")
+    )
+    gold = li.where(F.col("l_orderkey") % 97 == 0).select(
+        F.col("l_partkey").alias("entity_id")
+    )
+    row = kb_loading_recall(kbe, gold)
+    r6 = math.floor(row.recall * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame(
+        [(r6, row.total, row.missed)], "recall double, total long, missed long"
+    )
+
+
+def q_c7_muc_b3(spark, sf):
+    """C7 MUC + B³ coref scorers (CorefScorer.muc/.b3, coref.py:116-147):
+    both metrics over a synthetic pred-vs-gold clustering with controlled
+    disagreement (operators/scoring.muc / .b3 — scalar Rows surfaced as
+    one row)."""
+    import math
+
+    from hamerkop_spark.operators.scoring import b3, muc
+
+    cust = _t(spark, sf, "customer")
+    m = cust.select(F.col("c_custkey").alias("mention_key"))
+    pred = m.withColumn(
+        "cluster", (F.col("mention_key") % 40).cast("string")
+    )
+    gold = m.withColumn(
+        "cluster",
+        (
+            (
+                F.col("mention_key")
+                + F.when(F.col("mention_key") % 7 == 0, 1).otherwise(0)
+            )
+            % 40
+        ).cast("string"),
+    )
+    mr = muc(pred, gold)
+    br = b3(pred, gold)
+
+    def d6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return spark.createDataFrame(
+        [(d6(mr.precision), d6(mr.recall), d6(mr.f1),
+          d6(br.precision), d6(br.recall), d6(br.f1))],
+        "muc_p double, muc_r double, muc_f1 double, "
+        "b3_p double, b3_r double, b3_f1 double",
+    )
+
+
+def q_r7_type_gate(spark, sf):
+    """R7 TypeSpecificResolver (resolver.py:229-242): the linear resolver
+    runs only on PER-typed chains; others pass through undecided
+    (operators/resolve.type_specific + linear_resolver)."""
+    from hamerkop_spark.operators.resolve import linear_resolver, type_specific
+
+    li = _t(spark, sf, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("chain_id"),
+        F.col("l_partkey").alias("entity_id"),
+        F.when(F.col("l_orderkey") % 3 == 0, "PER").otherwise("ORG")
+        .alias("chain_type"),
+        (
+            F.col("l_quantity") * 2.0 + F.col("l_discount") * 100.0 - 50.0
+        ).alias("f_score"),
+    )
+    gated = type_specific(
+        linear_resolver({"f_score": 1.0}, bias=0.0, threshold=30.0), "PER"
+    )
+    decisions, _remaining = gated(pairs)
+    return decisions
+
+
+def q_c5_lang_gate(spark, sf):
+    """C5 LanguageSpecificStage (coref.py:237-247): the exact-match sieve
+    stage sees only eng-tagged mentions; merges never cross the gate
+    (operators/coref.language_specific + exact_match_stage)."""
+    from hamerkop_spark.operators.coref import (
+        exact_match_stage, language_specific,
+    )
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    mentions = cust.select(
+        (k % 20).cast("string").alias("doc_id"),
+        k.alias("chain_id"),
+        F.col("c_mktsegment").alias("string"),
+        F.lit("ORG").alias("type"),
+        F.when(k % 2 == 0, "eng").otherwise("rus").alias("lang"),
+    )
+    stage = language_specific(exact_match_stage, "eng")
+    return stage(mentions)
+
+
+def q_c6_type_gate(spark, sf):
+    """C6 TypeSpecificStage (coref.py:250-263): chain type = FIRST
+    mention's type in document order; the stage runs only over chains
+    typed PER (operators/coref.type_specific + exact_match_stage)."""
+    from hamerkop_spark.operators.coref import exact_match_stage, type_specific
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    mentions = cust.select(
+        (k % 10).cast("string").alias("doc_id"),
+        k.alias("mention_id"),
+        (k % 500).alias("chain_id"),
+        k.alias("char_start"),
+        F.col("c_mktsegment").alias("string"),
+        F.when(k % 3 == 0, "PER").otherwise("ORG").alias("type"),
+    )
+    stage = type_specific(exact_match_stage, "PER")
+    return stage(mentions)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -1198,6 +1622,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_phonetic_soundex": q_b_phonetic_soundex,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # round-3 coverage rows (new)
+        "p15_tristate_cascade": q_p15_tristate_cascade,
+        "p2_text_normalizer": q_p2_text_normalizer,
+        "p4_fix_type": q_p4_fix_type,
+        "p8_name_projector": q_p8_name_projector,
+        "t7_dict_translator": q_t7_dict_translator,
+        "t4_single_space": q_t4_single_space,
+        "b4_type_conflation": q_b4_type_conflation,
+        "f_bundle_native": q_f_bundle_native,
+        "r8_labeled_pairs": q_r8_labeled_pairs,
+        "s3_bio_chunker": q_s3_bio_chunker,
+        "b10_candidate_recall": q_b10_candidate_recall,
+        "b11_kb_recall": q_b11_kb_recall,
+        "c7_muc_b3": q_c7_muc_b3,
+        "r7_type_gate": q_r7_type_gate,
+        "c5_lang_gate": q_c5_lang_gate,
+        "c6_type_gate": q_c6_type_gate,
         "flagship_pricing": q_flagship_pricing,
         "t1_remove_punct": q_t1_remove_punct,
         "t6_ngram_explode": q_t6_ngram_explode,
@@ -1497,6 +1938,327 @@ def oracle_sql() -> dict[str, str]:
 
     punct = PUNCT_CLASS.replace("'", "''")
     return {
+        "p15_tristate_cascade": """
+            WITH ent AS (
+              SELECT c_custkey, lower(c_mktsegment) AS origin,
+                     CASE WHEN c_custkey % 3 = 0 THEN NULL
+                          WHEN c_custkey % 3 = 1 THEN ''
+                          ELSE 'http://ex/' || c_custkey END AS el,
+                     CASE WHEN c_custkey % 5 < 2 THEN 'US'
+                          WHEN c_custkey % 5 < 4 THEN 'FR'
+                          ELSE NULL END AS cc
+              FROM customer
+            )
+            SELECT c_custkey,
+                   COALESCE(
+                     CASE WHEN substr(origin, 1, 3) IN ('aut', 'bui')
+                          THEN 1 END,
+                     CASE WHEN el IS NOT NULL AND el <> '' THEN 1 END,
+                     CASE WHEN cc = 'US' THEN 1 END,
+                     0) AS kept
+            FROM ent
+        """,
+        "p2_text_normalizer": """
+            SELECT doc_id,
+                   regexp_replace(
+                     translate('“Q—' || substr(text, 1, 30) || '…’ 😀',
+                               '‘’“”—…', $$''""-.$$),
+                     '😀', '', 'g') AS normalized
+            FROM documents
+        """,
+        "p4_fix_type": """
+            SELECT c_custkey,
+                   CASE lower(c_mktsegment)
+                     WHEN 'building' THEN 'LOC'
+                     WHEN 'automobile' THEN 'GPE'
+                     ELSE 'ORG' END AS type
+            FROM customer
+        """,
+        "p8_name_projector": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 4 = 0 THEN upper(c_name)
+                        ELSE NULL END AS translit_string
+            FROM customer
+        """,
+        "t7_dict_translator": """
+            WITH m AS (
+              SELECT p_partkey, string_split(p_name, ' ')[1] AS s
+              FROM part
+            )
+            SELECT p_partkey,
+                   CASE lower(s)
+                     WHEN 'lemon' THEN 'limon'
+                     WHEN 'navy' THEN 'marina'
+                     WHEN 'metallic' THEN 'metalico'
+                     ELSE NULL END AS translate_string
+            FROM m
+        """,
+        "t4_single_space": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\s+', ' ', 'g') AS squeezed
+            FROM documents
+        """,
+        "b4_type_conflation": """
+            WITH gc AS (
+              SELECT c_custkey % 25 AS bkey,
+                     CASE WHEN (CASE WHEN c_custkey % 4 = 0 THEN 'GPE'
+                                     WHEN c_custkey % 4 = 1 THEN 'LOC'
+                                     WHEN c_custkey % 4 = 2 THEN 'PER'
+                                     ELSE 'ORG' END) IN ('GPE', 'LOC')
+                          THEN 'GPE|LOC'
+                          ELSE (CASE WHEN c_custkey % 4 = 2 THEN 'PER'
+                                     ELSE 'ORG' END) END AS type_group
+              FROM customer
+            ), ge AS (
+              SELECT s_suppkey % 25 AS bkey,
+                     CASE WHEN s_suppkey % 3 = 0 THEN 'GPE|LOC'
+                          WHEN s_suppkey % 3 = 1 THEN 'PER'
+                          ELSE 'ORG' END AS type_group
+              FROM supplier
+            )
+            SELECT type_group, count(*) AS n_pairs
+            FROM gc JOIN ge USING (type_group, bkey)
+            GROUP BY type_group
+        """,
+        "f_bundle_native": """
+            WITH c AS (
+              SELECT c_custkey AS chain_id, c_custkey % 25 AS bkey,
+                     c_custkey % 50 AS ck50
+              FROM customer WHERE c_custkey % 9 = 0
+            ), e AS (
+              SELECT s_suppkey AS entity_id, s_suppkey % 25 AS bkey,
+                     s_suppkey % 50 AS sk50,
+                     CASE WHEN s_suppkey % 5 = 0 THEN 1 ELSE 2 END AS n_names,
+                     CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END AS n_urls,
+                     CASE WHEN s_suppkey % 2 = 0 THEN 1.0 ELSE 0.0 END
+                       AS f_origin,
+                     CASE WHEN s_suppkey % 7 IN (0, 1) THEN 1.0 ELSE 0.0 END
+                       AS f_in_country
+              FROM supplier
+            )
+            SELECT chain_id, entity_id,
+                   f_origin,
+                   f_in_country,
+                   floor((1.0 - 1.0 / (1 + n_names)) * 10000.0 + 0.5)
+                     / 10000.0 AS f_num_names,
+                   floor((1.0 - 1.0 / (1 + n_urls)) * 10000.0 + 0.5)
+                     / 10000.0 AS f_num_links,
+                   CASE WHEN ck50 = sk50 THEN 1.0 ELSE 0.0 END
+                     AS f_exact_match,
+                   CASE WHEN ck50 = sk50 THEN 1.0 ELSE 0.0 END
+                     AS f_last_name
+            FROM c JOIN e USING (bkey)
+        """,
+        "r8_labeled_pairs": """
+            WITH g AS (
+              SELECT l_orderkey, l_linenumber, min(l_partkey) AS mn
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l.l_orderkey AS doc_id, l.l_linenumber AS chain_id,
+                   l.l_partkey AS entity_id,
+                   CASE WHEN l.l_orderkey % 4 <> 0 AND l.l_partkey = g.mn
+                        THEN 1 ELSE 0 END AS label
+            FROM lineitem l
+            JOIN g ON l.l_orderkey = g.l_orderkey
+                  AND l.l_linenumber = g.l_linenumber
+        """,
+        "s3_bio_chunker": """
+            WITH t AS (
+              SELECT 'doc' || (user_id % 20) AS doc_id,
+                     event_type AS token,
+                     CASE event_id % 5 WHEN 0 THEN 'B-PER'
+                                       WHEN 1 THEN 'I-PER'
+                                       WHEN 2 THEN 'O'
+                                       WHEN 3 THEN 'B-ORG'
+                                       ELSE 'I-ORG' END AS tag,
+                     event_id AS row_idx,
+                     (event_id * 10)::INT AS start,
+                     (event_id * 10 + 5)::INT AS stop
+              FROM events
+            ), w AS (
+              SELECT *,
+                     (tag LIKE 'B%') AS is_b, (tag LIKE 'I%') AS is_i,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY row_idx) - 1 AS token_idx,
+                     sum(CASE WHEN tag LIKE 'B%' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY row_idx) AS grp,
+                     CASE WHEN tag NOT LIKE 'B%' AND tag NOT LIKE 'I%'
+                          THEN 1 ELSE 0 END AS broken
+              FROM t
+            ), m AS (
+              SELECT *, sum(broken) OVER (PARTITION BY doc_id, grp
+                                          ORDER BY row_idx) AS bad_before
+              FROM w
+            ), mem AS (
+              SELECT * FROM m
+              WHERE grp > 0 AND (is_b OR (is_i AND bad_before = 0))
+            )
+            SELECT doc_id,
+                   doc_id || ':' || min(start) || '-' || max(stop)
+                     AS mention_id,
+                   string_agg(token, ' ' ORDER BY row_idx) AS string,
+                   arg_min(substr(tag, 3), row_idx) AS type,
+                   min(start) AS char_start, max(stop) AS char_stop,
+                   min(token_idx) AS token_start,
+                   max(token_idx) + 1 AS token_stop
+            FROM mem GROUP BY doc_id, grp
+        """,
+        "b10_candidate_recall": """
+            WITH g AS (
+              SELECT l_orderkey,
+                     min(l_partkey) + (l_orderkey % 2) AS tgt
+              FROM lineitem GROUP BY l_orderkey
+            ), h AS (
+              SELECT g.l_orderkey,
+                     max(CASE WHEN l.l_partkey = g.tgt THEN 1 ELSE 0 END)
+                       AS hit
+              FROM g JOIN lineitem l ON g.l_orderkey = l.l_orderkey
+              GROUP BY g.l_orderkey
+            )
+            SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'PER'
+                        WHEN l_orderkey % 3 = 1 THEN 'ORG'
+                        ELSE 'GPE' END AS entity_type,
+                   count(*) AS n_gold,
+                   sum(hit)::BIGINT AS n_hit,
+                   round(sum(hit)::DOUBLE / count(*), 6) AS recall
+            FROM h GROUP BY 1
+        """,
+        "b11_kb_recall": """
+            WITH gold AS (
+              SELECT DISTINCT l_partkey AS entity_id
+              FROM lineitem WHERE l_orderkey % 97 = 0
+            ), kb AS (
+              SELECT p_partkey AS entity_id FROM part
+              WHERE p_partkey % 2 = 0
+            ), s AS (
+              SELECT count(*) AS total,
+                     sum(CASE WHEN kb.entity_id IS NULL THEN 1 ELSE 0
+                         END)::BIGINT AS missed
+              FROM gold LEFT JOIN kb ON gold.entity_id = kb.entity_id
+            )
+            SELECT floor((total - missed)::DOUBLE / total * 1000000.0 + 0.5)
+                     / 1000000.0 AS recall,
+                   total, missed
+            FROM s
+        """,
+        "c7_muc_b3": """
+            WITH m AS (
+              SELECT c_custkey AS k,
+                     (c_custkey % 40)::VARCHAR AS pc,
+                     ((c_custkey + CASE WHEN c_custkey % 7 = 0 THEN 1
+                                        ELSE 0 END) % 40)::VARCHAR AS gc
+              FROM customer
+            ),
+            pp AS (SELECT pc, count(*) AS n,
+                          count(DISTINCT gc) AS linked FROM m GROUP BY pc),
+            gg AS (SELECT gc, count(*) AS n,
+                          count(DISTINCT pc) AS linked FROM m GROUP BY gc),
+            muc AS (
+              SELECT (SELECT sum(n - linked)::DOUBLE / sum(n - 1) FROM pp)
+                       AS p,
+                     (SELECT sum(n - linked)::DOUBLE / sum(n - 1) FROM gg)
+                       AS r
+            ),
+            bp AS (
+              SELECT sum(correct / n) AS num,
+                     (SELECT sum(n) FROM pp WHERE n > 1) AS den
+              FROM (
+                SELECT pc, max(nn) AS n, sum(cnt * cnt)::DOUBLE
+                         AS correct
+                FROM (
+                  SELECT m.pc, pp.n AS nn, m.gc, count(*) AS cnt
+                  FROM m JOIN pp ON m.pc = pp.pc WHERE pp.n > 1
+                  GROUP BY m.pc, pp.n, m.gc
+                ) GROUP BY pc
+              )
+            ),
+            br AS (
+              SELECT sum(correct / n) AS num,
+                     (SELECT sum(n) FROM gg WHERE n > 1) AS den
+              FROM (
+                SELECT gc, max(nn) AS n, sum(cnt * cnt)::DOUBLE
+                         AS correct
+                FROM (
+                  SELECT m.gc, gg.n AS nn, m.pc, count(*) AS cnt
+                  FROM m JOIN gg ON m.gc = gg.gc WHERE gg.n > 1
+                  GROUP BY m.gc, gg.n, m.pc
+                ) GROUP BY gc
+              )
+            ),
+            vals AS (
+              SELECT muc.p AS muc_p, muc.r AS muc_r,
+                     bp.num / bp.den AS b3_p, br.num / br.den AS b3_r
+              FROM muc, bp, br
+            )
+            SELECT floor(muc_p * 1e6 + 0.5) / 1e6 AS muc_p,
+                   floor(muc_r * 1e6 + 0.5) / 1e6 AS muc_r,
+                   floor((CASE WHEN muc_p + muc_r = 0 THEN 0
+                          ELSE 2 * muc_p * muc_r / (muc_p + muc_r) END)
+                         * 1e6 + 0.5) / 1e6 AS muc_f1,
+                   floor(b3_p * 1e6 + 0.5) / 1e6 AS b3_p,
+                   floor(b3_r * 1e6 + 0.5) / 1e6 AS b3_r,
+                   floor((CASE WHEN b3_p + b3_r = 0 THEN 0
+                          ELSE 2 * b3_p * b3_r / (b3_p + b3_r) END)
+                         * 1e6 + 0.5) / 1e6 AS b3_f1
+            FROM vals
+        """,
+        "r7_type_gate": """
+            WITH scored AS (
+              SELECT l_orderkey AS doc_id, l_linenumber AS chain_id,
+                     l_partkey AS entity_id,
+                     l_quantity * 2.0 + l_discount * 100.0 - 50.0 AS score
+              FROM lineitem WHERE l_orderkey % 3 = 0
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY doc_id, chain_id
+                          ORDER BY score DESC, entity_id) AS rn
+              FROM scored
+            )
+            SELECT doc_id, chain_id, entity_id
+            FROM ranked WHERE rn = 1 AND score >= 30.0
+        """,
+        "c5_lang_gate": """
+            WITH m AS (
+              SELECT (c_custkey % 20)::VARCHAR AS doc_id,
+                     c_custkey AS chain_id,
+                     'ORG' AS type, lower(c_mktsegment) AS xkey
+              FROM customer WHERE c_custkey % 2 = 0
+            ), g AS (
+              SELECT DISTINCT doc_id, type, xkey, chain_id FROM m
+            ), r AS (
+              SELECT *, min(chain_id) OVER (PARTITION BY doc_id, type, xkey)
+                       AS root
+              FROM g
+            )
+            SELECT DISTINCT chain_id AS src, root AS dst
+            FROM r WHERE chain_id <> root
+        """,
+        "c6_type_gate": """
+            WITH m AS (
+              SELECT (c_custkey % 10)::VARCHAR AS doc_id,
+                     c_custkey AS mention_id, c_custkey % 500 AS chain_id,
+                     c_custkey AS char_start, c_mktsegment AS string,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'PER' ELSE 'ORG' END
+                       AS type
+              FROM customer
+            ), ct AS (
+              SELECT chain_id,
+                     arg_min(type, char_start) AS chain_type
+              FROM m GROUP BY chain_id
+            ), kept AS (
+              SELECT m.* FROM m JOIN ct USING (chain_id)
+              WHERE ct.chain_type = 'PER'
+            ), g AS (
+              SELECT DISTINCT doc_id, type, lower(string) AS xkey, chain_id
+              FROM kept
+            ), r AS (
+              SELECT *, min(chain_id) OVER (PARTITION BY doc_id, type, xkey)
+                       AS root
+              FROM g
+            )
+            SELECT DISTINCT chain_id AS src, root AS dst
+            FROM r WHERE chain_id <> root
+        """,
         "flagship_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
