@@ -3,9 +3,11 @@
 Images/audio/video travel as opaque `binary` columns with typed metadata
 structs. The Spark-side plumbing — schemas, partition-preserving
 mapInPandas, Arrow batch shapes, deterministic outputs — is real and
-tested; the actual codec work is stubbed (the decode libraries are not in
-this container) behind `DecodeUnavailable` plus a deterministic fake
-decoder used by tests, clearly marked.
+tested. Decoding is REAL for PNG (stdlib zlib inflate + full filter
+unfiltering), binary PPM/PGM, and uncompressed BMP — no codec library
+needed; only JPEG pixel decode (an entropy codec) stays behind
+`DecodeUnavailable`. A deterministic fake feature extractor remains for
+payloads with no decodable container.
 """
 
 from __future__ import annotations
@@ -51,15 +53,229 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Real image/audio decoding needs codec libraries not present in this
-    environment. The fake decoder below keeps the distributed plumbing
-    testable; swap `decode_image` for a real implementation on a cluster
-    with the codecs installed."""
+    """Raised for formats whose decoding needs codec libraries not present
+    in this environment (JPEG entropy decode). PNG / PPM / PGM / BMP are
+    decoded for real below with zero external dependencies."""
+
+
+# --- real, dependency-free image decoders ---------------------------------
+#
+# PNG (zlib inflate + full filter-type 0-4 unfiltering, bit depth 8,
+# gray / RGB / palette / gray+alpha / RGBA, non-interlaced), binary
+# PPM/PGM, and uncompressed 24/32-bit BMP. JPEG stays DecodeUnavailable:
+# its entropy decode is a codec, not a container parse.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse PNG row filters (spec §9): Sub/Up/Average/Paeth. Sequential
+    per-byte recurrences, so plain Python — decode cost is per-image and
+    the operator parallelizes across images, not pixels."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise DecodeUnavailable(f"PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_png(p: bytes) -> "np.ndarray":
+    import zlib
+
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(p):
+        (length,) = struct.unpack(">I", p[pos : pos + 4])
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise DecodeUnavailable(
+            f"PNG depth={depth} interlace={interlace}: only 8-bit "
+            "non-interlaced supported"
+        )
+    if color not in _PNG_CHANNELS:
+        raise DecodeUnavailable(f"PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_unfilter(raw, height, stride, ch)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
+    if color == 3:  # palette -> RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+def _decode_pnm(p: bytes) -> "np.ndarray":
+    """Binary PPM (P6, RGB) / PGM (P5, gray), maxval <= 255."""
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(p):
+        while pos < len(p) and p[pos : pos + 1].isspace():
+            pos += 1
+        if p[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(p) and p[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(p) and not p[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(p[start:pos])
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise DecodeUnavailable("PNM maxval > 255 (16-bit) unsupported")
+    ch = 3 if p[:2] == b"P6" else 1
+    n = width * height * ch
+    return np.frombuffer(p[pos : pos + n], dtype=np.uint8).reshape(
+        height, width, ch
+    )
+
+
+def _decode_bmp(p: bytes) -> "np.ndarray":
+    (data_off,) = struct.unpack("<I", p[10:14])
+    width, height = struct.unpack("<ii", p[18:26])
+    planes, bits = struct.unpack("<HH", p[26:30])
+    (compression,) = struct.unpack("<I", p[30:34])
+    if compression != 0 or bits not in (24, 32):
+        raise DecodeUnavailable(
+            f"BMP bits={bits} compression={compression}: only uncompressed "
+            "24/32-bit supported"
+        )
+    ch = bits // 8
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = ((width * ch + 3) // 4) * 4  # rows pad to 4 bytes
+    rows = []
+    for y in range(height):
+        off = data_off + y * row_bytes
+        row = np.frombuffer(
+            p[off : off + width * ch], dtype=np.uint8
+        ).reshape(width, ch)
+        rows.append(row)
+    arr = np.stack(rows if top_down else rows[::-1])
+    # BGR(A) -> RGB(A)
+    if ch == 3:
+        return arr[:, :, ::-1]
+    return arr[:, :, [2, 1, 0, 3]]
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    raise DecodeUnavailable(
-        "install an image codec (pillow/opencv) and replace decode_image"
+    """Decode a PNG / binary PPM / PGM / uncompressed BMP payload to an
+    (H, W, C) uint8 array using only the stdlib + numpy. JPEG raises
+    DecodeUnavailable (entropy decode needs a real codec library)."""
+    p = bytes(payload or b"")
+    if p[:8] == _PNG_MAGIC:
+        return _decode_png(p)
+    if p[:2] in (b"P6", b"P5"):
+        return _decode_pnm(p)
+    if p[:2] == b"BM":
+        return _decode_bmp(p)
+    if p[:2] == b"\xff\xd8":
+        raise DecodeUnavailable("JPEG entropy decode needs a codec library")
+    raise DecodeUnavailable("unrecognized image container")
+
+
+def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (gray / gray+alpha / RGB / RGBA, 8-bit) used by
+    tests and synthetic corpora; can apply any spec filter uniformly so
+    decode tests exercise every unfilter branch."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros((w * ch,), dtype=np.int32)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            filtered = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filtered = row - left
+        elif filter_type == 2:
+            filtered = row - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filtered = row - ((left + prev) >> 1)
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            pth = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(pth - left), np.abs(pth - prev), np.abs(pth - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filtered = row - pred
+        else:
+            raise ValueError(f"filter {filter_type}")
+        raw.append(filter_type)
+        raw += (filtered & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -182,3 +398,81 @@ def image_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=IMAGE_HEADER_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+        T.StructField("px_checksum", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode over a binary column: per image, pixel-true
+    (width, height, channels, mean, checksum) from the full decoded
+    array — not just the container header. Partition-preserving
+    mapInPandas; a payload that can't be decoded yields a row with
+    `decode_error` set instead of failing the stage (one bad image must
+    not kill a 100 TB scan)."""
+
+    def one(mid, payload):
+        try:
+            arr = decode_image(payload)
+        except (DecodeUnavailable, ValueError, IndexError) as e:
+            return (mid, None, None, None, None, None, str(e)[:200])
+        h, w, ch = arr.shape
+        return (
+            mid, int(w), int(h), int(ch),
+            round(float(arr.mean()), 6),
+            int(np.int64(arr.sum())),
+            None,
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                one(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "px_mean", "px_checksum", "decode_error",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def make_synthetic_pngs(spark, n: int = 32) -> DataFrame:
+    """Deterministic seeded PNG corpus: gradient/checker patterns across
+    gray / gray+alpha / RGB / RGBA, every filter type 0-4 — real encoded
+    bytes in a binary column, so decode tests assert exact pixel
+    checksums."""
+    rows = []
+    for i in range(n):
+        ch = [1, 2, 3, 4][i % 4]
+        h, w = 8 + (i % 5) * 3, 6 + (i * 3) % 7
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 31 + xx * 17 + i * 101) % 256
+        arr = np.stack(
+            [(base + c * 29) % 256 for c in range(ch)], axis=2
+        ).astype(np.uint8)
+        payload = encode_png(arr, filter_type=i % 5)
+        rows.append(
+            (
+                f"png{i:04d}",
+                "image",
+                bytearray(payload),
+                "image/png",
+                (w, h, None, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

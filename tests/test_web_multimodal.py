@@ -54,13 +54,15 @@ def test_multimodal_features_deterministic(spark):
     assert all(n > 0 for n in nb.values())
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unrecognized_and_jpeg_raise():
     import pytest
 
     from hamerkop_spark.operators.multimodal import DecodeUnavailable, decode_image
 
     with pytest.raises(DecodeUnavailable):
         decode_image(b"xxxx")
+    with pytest.raises(DecodeUnavailable):
+        decode_image(b"\xff\xd8\xff\xe0rest-of-a-jpeg")
 
 
 def _png(w, h):
@@ -121,3 +123,77 @@ def test_image_headers_dataframe(spark):
         "j1": ("jpeg", 30, 40),
         "x1": (None, None, None),
     }
+
+
+def test_png_roundtrip_every_filter_and_colortype():
+    """Real PNG decode: encode seeded arrays with every spec filter type
+    (0-4) across gray/gray+alpha/RGB/RGBA and assert exact pixel
+    equality after decode."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import decode_image, encode_png
+
+    for ft in range(5):
+        for ch in (1, 2, 3, 4):
+            rng = np.random.RandomState(ft * 10 + ch)
+            arr = rng.randint(0, 256, size=(11, 7, ch)).astype(np.uint8)
+            out = decode_image(encode_png(arr, filter_type=ft))
+            assert out.shape == arr.shape, (ft, ch)
+            assert (out == arr).all(), (ft, ch)
+
+
+def test_pnm_and_bmp_decode():
+    import struct as st
+
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import decode_image
+
+    # P6 PPM with a comment line
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# c\n3 2\n255\n" + arr.tobytes()
+    assert (decode_image(ppm) == arr).all()
+    # P5 PGM
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    pgm = b"P5\n3 2\n255\n" + g.tobytes()
+    assert (decode_image(pgm) == g).all()
+    # 24-bit bottom-up BMP, rows padded to 4 bytes: 3px * 3B = 9 -> pad 12
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bgr_rows = []
+    for y in (1, 0):  # bottom-up storage
+        row = rgb[y][:, ::-1].tobytes()
+        bgr_rows.append(row + b"\x00" * (12 - len(row)))
+    header = (
+        b"BM" + st.pack("<I", 54 + 24) + b"\x00" * 4 + st.pack("<I", 54)
+        + st.pack("<I", 40) + st.pack("<ii", 3, 2) + st.pack("<HH", 1, 24)
+        + st.pack("<I", 0) + b"\x00" * 20
+    )
+    assert (decode_image(header + b"".join(bgr_rows)) == rgb).all()
+
+
+def test_decode_image_stats_dataframe(spark):
+    """The decode-stats operator returns pixel-true stats for the seeded
+    PNG corpus and a decode_error row (not a crash) for junk."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image, decode_image_stats, make_synthetic_pngs,
+    )
+
+    media = make_synthetic_pngs(spark, n=12)
+    got = {r["media_id"]: r for r in decode_image_stats(media).collect()}
+    for r in media.collect():
+        arr = decode_image(bytes(r["payload"]))
+        s = got[r["media_id"]]
+        assert s["decode_error"] is None
+        assert (s["width"], s["height"]) == (arr.shape[1], arr.shape[0])
+        assert s["channels"] == arr.shape[2]
+        assert s["px_checksum"] == int(np.int64(arr.sum()))
+        assert abs(s["px_mean"] - float(arr.mean())) < 1e-5
+    junk = spark.createDataFrame(
+        [("bad0", "image", bytearray(b"not an image"), "image/jpeg",
+          (None, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = decode_image_stats(junk).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None
