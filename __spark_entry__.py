@@ -2944,7 +2944,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT qa.query_id, ca.neighbor_id,
                      floor((list_dot_product(qa.qv, ca.v)
                        / (sqrt(list_dot_product(qa.qv, qa.qv))
-                          * sqrt(list_dot_product(ca.v, ca.v)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+                          * sqrt(list_dot_product(ca.v, ca.v)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
               FROM qa JOIN ca USING (centroid_id)
             )
             SELECT query_id, neighbor_id, cosine, rank FROM (

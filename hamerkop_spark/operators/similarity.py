@@ -223,6 +223,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train_iterations: int = 0,
+    probe_margin: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every corpus vector to its nearest
     coarse centroid (inverted lists), route each query to its `n_probe`
@@ -232,6 +233,17 @@ def ivf_topk(
     `kmeans_centroids` Lloyd-trained ones (better-balanced lists,
     higher recall at the same n_probe); 0 keeps the zero-training
     oracle-derivable draw.
+
+    `probe_margin` enables ADAPTIVE multi-probe: a query probes every
+    list whose centroid similarity is within `probe_margin` of its best
+    list (still capped at `n_probe`). Queries that land decisively in
+    one cluster probe few lists; boundary queries probe more — recall
+    concentrates probe cost where routing is genuinely ambiguous. On
+    weakly-clustered corpora centroid sims flatten and the margin
+    degrades to the n_probe cap (measured on the near-uniform sf0.1
+    synthetic embeddings: recall tracks probe fraction ~linearly, see
+    BASELINE.md; on clustered corpora the margin wins, see
+    test_similarity.test_ivf_clustered_*).
 
     Scale shape: the centroid table is broadcast (k_clusters rows), so
     both assignment fan-outs are bounded broadcast crossJoins x
@@ -248,18 +260,24 @@ def ivf_topk(
     else:
         cents = ivf_centroids(corpus, k_clusters, id_col, vec_col)
 
-    def assign(df: DataFrame, side_id: str, keep: int) -> DataFrame:
+    def assign(df: DataFrame, side_id: str, keep: int,
+               margin: float | None = None) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
             "_sim", cosine_native(F.col("_v"), F.col("centroid"))
         )
         w = Window.partitionBy(side_id).orderBy(
             F.desc("_sim"), F.col("centroid_id")
         )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= keep)
-            .drop("_sim", "_rn", "centroid")
+        out = scored.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= keep
         )
+        if margin is not None:
+            out = out.withColumn(
+                "_best", F.max("_sim").over(Window.partitionBy(side_id))
+            ).where(
+                F.col("_sim") >= F.col("_best") - F.lit(float(margin))
+            ).drop("_best")
+        return out.drop("_sim", "_rn", "centroid")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -270,14 +288,16 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    probes = assign(q, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+    probes = assign(
+        q, "query_id", n_probe, margin=probe_margin
+    ).withColumnRenamed("_v", "_qv")
     # self-pairs are KEPT, matching brute_force_topk/lsh_topk: when the
     # query table is drawn from the corpus, the identical vector ranks
     # first on every path, so recall comparisons across the three
     # variants stay like-for-like; callers exclude self if unwanted
     cands = probes.join(lists.withColumnRenamed("_v", "_cv"), "centroid_id")
     scored = cands.withColumn(
-        "cosine", det_round(cosine_native(F.col("_qv"), F.col("_cv")), 4)
+        "cosine", det_round(cosine_native(F.col("_qv"), F.col("_cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")

@@ -194,3 +194,62 @@ def test_ivf_trained_recall_not_worse(spark):
     )
     assert r_trained >= r_untrained - 1e-9
     assert r_trained >= 0.8
+
+
+def _clustered_vecs(n=1000, k=16, dim=32, seed=7):
+    """Deterministic well-clustered corpus: k separated centers + small
+    noise — the realistic embedding shape (the sf tables are near-uniform
+    random, where recall necessarily tracks probe fraction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0, 1, size=(k, dim)) * 4.0
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = centers[c] + rng.normal(0, 0.15, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_ivf_clustered_high_recall_at_low_probe_fraction(spark):
+    """On clustered data, trained IVF reaches ~exact recall probing only
+    2/16 lists (12.5% of the corpus) — routing works when the data has
+    structure; see BASELINE.md for the near-uniform sf0.1 curve."""
+    from hamerkop_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        _clustered_vecs(), "vec_id long, embedding array<double>"
+    )
+    q = emb.where(F.col("vec_id") < 50).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, q, k=10, k_clusters=16, n_probe=2, train_iterations=3
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    assert hit / n_exact >= 0.95, hit / n_exact
+
+
+def test_ivf_probe_margin_adapts_on_clustered_data(spark):
+    """Adaptive multi-probe: with a margin, decisive queries keep their
+    few within-margin lists and recall stays high even though the
+    n_probe CAP is generous — the margin, not the cap, sets the cost."""
+    from hamerkop_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        _clustered_vecs(), "vec_id long, embedding array<double>"
+    )
+    q = emb.where(F.col("vec_id") < 50).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, q, k=10, k_clusters=16, n_probe=8, train_iterations=3,
+        probe_margin=0.1,
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    assert hit / n_exact >= 0.95, hit / n_exact
