@@ -114,3 +114,159 @@ def test_iso_map_matches_reference():
     assert ours.pop("zh-cn") == ref["zh"]
     assert ours.pop("zh-tw") == ref["zh"]
     assert ours == ref
+
+
+HELD_OUT_SENTENCES = {
+    "eng": [
+        "The committee announced that the results would be published next week.",
+        "She walked slowly through the old town, looking at the shop windows.",
+        "Scientists have discovered a new species of frog in the rainforest.",
+        "It was the best decision he had ever made in his entire career.",
+    ],
+    "fra": [
+        "Le gouvernement a annoncé de nouvelles mesures pour protéger l'environnement.",
+        "Elle habite dans une petite maison près de la rivière depuis dix ans.",
+        "Les enfants jouaient dans le jardin pendant que leurs parents préparaient le dîner.",
+        "Il faut beaucoup de patience pour apprendre une langue étrangère.",
+    ],
+    "spa": [
+        "El presidente habló sobre la situación económica durante la conferencia.",
+        "Los estudiantes terminaron sus exámenes antes de las vacaciones de verano.",
+        "Me gustaría viajar por toda América Latina el próximo año.",
+        "La ciudad estaba llena de turistas que visitaban los museos.",
+    ],
+    "deu": [
+        "Die Regierung hat neue Maßnahmen zum Schutz der Umwelt angekündigt.",
+        "Er wohnt seit vielen Jahren in einer kleinen Stadt am Rhein.",
+        "Die Kinder spielten im Garten, während ihre Eltern das Abendessen kochten.",
+        "Man braucht viel Geduld, um eine fremde Sprache zu lernen.",
+    ],
+    "por": [
+        "O governo anunciou novas medidas para proteger o meio ambiente.",
+        "Ela mora numa pequena casa perto do rio há muitos anos.",
+        "As crianças brincavam no jardim enquanto os pais preparavam o jantar.",
+        "É preciso muita paciência para aprender uma língua estrangeira.",
+    ],
+    "ita": [
+        "Il governo ha annunciato nuove misure per proteggere l'ambiente.",
+        "Lei abita in una piccola casa vicino al fiume da molti anni.",
+        "I bambini giocavano in giardino mentre i genitori preparavano la cena.",
+        "Ci vuole molta pazienza per imparare una lingua straniera.",
+    ],
+    "nld": [
+        "De regering heeft nieuwe maatregelen aangekondigd om het milieu te beschermen.",
+        "Hij woont al jaren in een klein huis aan de rivier.",
+        "De kinderen speelden in de tuin terwijl hun ouders het eten kookten.",
+        "Je hebt veel geduld nodig om een vreemde taal te leren.",
+    ],
+    "pol": [
+        "Rząd ogłosił nowe środki ochrony środowiska naturalnego.",
+        "Ona mieszka w małym domu nad rzeką od wielu lat.",
+        "Dzieci bawiły się w ogrodzie, podczas gdy rodzice gotowali obiad.",
+        "Potrzeba dużo cierpliwości, żeby nauczyć się obcego języka.",
+    ],
+    "tur": [
+        "Hükümet çevreyi korumak için yeni önlemler açıkladı.",
+        "Uzun yıllardır nehir kenarındaki küçük bir evde yaşıyor.",
+        "Çocuklar bahçede oynarken anneleri akşam yemeği hazırlıyordu.",
+        "Yabancı bir dil öğrenmek için çok sabır gerekiyor.",
+    ],
+    "vie": [
+        "Chính phủ đã công bố các biện pháp mới để bảo vệ môi trường.",
+        "Cô ấy sống trong một ngôi nhà nhỏ gần sông từ nhiều năm nay.",
+        "Trẻ em chơi trong vườn trong khi cha mẹ chuẩn bị bữa tối.",
+        "Cần rất nhiều kiên nhẫn để học một ngôn ngữ nước ngoài.",
+    ],
+    "ind": [
+        "Pemerintah mengumumkan langkah-langkah baru untuk melindungi lingkungan.",
+        "Dia tinggal di rumah kecil dekat sungai selama bertahun-tahun.",
+        "Anak-anak bermain di taman sementara orang tua menyiapkan makan malam.",
+        "Dibutuhkan banyak kesabaran untuk belajar bahasa asing.",
+    ],
+    "swa": [
+        "Serikali imetangaza hatua mpya za kulinda mazingira.",
+        "Anaishi katika nyumba ndogo karibu na mto kwa miaka mingi.",
+        "Watoto walicheza bustanini wakati wazazi wakiandaa chakula cha jioni.",
+        "Inahitaji subira nyingi kujifunza lugha ya kigeni.",
+    ],
+    "ces": [
+        "Vláda oznámila nová opatření na ochranu životního prostředí.",
+        "Bydlí v malém domě u řeky už mnoho let.",
+        "Děti si hrály na zahradě, zatímco rodiče připravovali večeři.",
+        "Je potřeba hodně trpělivosti, aby se člověk naučil cizí jazyk.",
+    ],
+    "ron": [
+        "Guvernul a anunțat noi măsuri pentru protejarea mediului.",
+        "Ea locuiește într-o casă mică lângă râu de mulți ani.",
+        "Copiii se jucau în grădină în timp ce părinții pregăteau cina.",
+        "Este nevoie de multă răbdare pentru a învăța o limbă străină.",
+    ],
+    "hun": [
+        "A kormány új intézkedéseket jelentett be a környezet védelmére.",
+        "Sok éve él egy kis házban a folyó mellett.",
+        "A gyerekek a kertben játszottak, míg a szülők a vacsorát készítették.",
+        "Sok türelem kell ahhoz, hogy megtanuljunk egy idegen nyelvet.",
+    ],
+    "swe": [
+        "Regeringen har tillkännagivit nya åtgärder för att skydda miljön.",
+        "Hon har bott i ett litet hus vid floden i många år.",
+        "Barnen lekte i trädgården medan föräldrarna lagade middag.",
+        "Det krävs mycket tålamod för att lära sig ett främmande språk.",
+    ],
+    "dan": [
+        "Regeringen har annonceret nye tiltag for at beskytte miljøet.",
+        "Hun har boet i et lille hus ved floden i mange år.",
+        "Børnene legede i haven, mens forældrene lavede aftensmad.",
+        "Det kræver meget tålmodighed at lære et fremmed sprog.",
+    ],
+    "fin": [
+        "Hallitus on ilmoittanut uusista toimista ympäristön suojelemiseksi.",
+        "Hän on asunut pienessä talossa joen varrella monta vuotta.",
+        "Lapset leikkivät puutarhassa, kun vanhemmat valmistivat illallista.",
+        "Vieraan kielen oppiminen vaatii paljon kärsivällisyyttä.",
+    ],
+}
+
+
+def test_trigram_nb_beats_stopword_voting_on_held_out(spark):
+    """T17 quality gate: the trained trigram NB must be langdetect-class
+    (>= 0.95 accuracy) on held-out natural sentences across all 18
+    Latin-script languages, and at least as good as the stopword vote."""
+    from hamerkop_spark.functions.langid import detect_lang
+    from hamerkop_spark.functions.langid_nb import detect_lang_nb
+
+    rows = [
+        (lang, s) for lang, sents in HELD_OUT_SENTENCES.items() for s in sents
+    ]
+    df = spark.createDataFrame(rows, "gold string, text string")
+    out = detect_lang_nb(df, "text", "nb").withColumn(
+        "heur", detect_lang(F.col("text"))
+    )
+    got = out.select("gold", "nb", "heur").collect()
+    n = len(got)
+    acc_nb = sum(r["nb"] == r["gold"] for r in got) / n
+    acc_heur = sum(r["heur"] == r["gold"] for r in got) / n
+    assert acc_nb >= 0.95, (
+        acc_nb,
+        [(r["gold"], r["nb"]) for r in got if r["nb"] != r["gold"]],
+    )
+    assert acc_nb >= acc_heur, (acc_nb, acc_heur)
+
+
+def test_nb_nonlatin_scripts_still_win(spark):
+    """The script-profile branch still outranks the NB Latin branch."""
+    from hamerkop_spark.functions.langid_nb import detect_lang_nb
+
+    rows = [
+        ("rus", "Это предложение написано на русском языке."),
+        ("ukr", "Це речення написане українською мовою із літерами ї та є."),
+        ("zho", "这个句子是用中文写的，完全没有拉丁字母。"),
+        ("jpn", "この文は日本語で書かれています。"),
+        ("ara", "هذه الجملة مكتوبة باللغة العربية."),
+        ("ell", "Αυτή η πρόταση είναι γραμμένη στα ελληνικά."),
+        ("tha", "ประโยคนี้เขียนเป็นภาษาไทย"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, text string")
+    got = detect_lang_nb(df, "text", "nb").collect()
+    for r in got:
+        assert r["nb"] == r["gold"], (r["gold"], r["nb"], r["text"])
