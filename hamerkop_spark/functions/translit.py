@@ -131,8 +131,68 @@ BENGALI_CONS = {
     "য": "j", "র": "r", "ল": "l", "শ": "sh", "ষ": "sh",
     "স": "s", "হ": "h", "ৰ": "r", "ৱ": "w", "য়": "y",
 }
+TAMIL_CONS = {
+    "க": "k", "ங": "ng", "ச": "ch", "ஜ": "j", "ஞ": "ny",
+    "ட": "t", "ண": "n", "த": "t", "ந": "n", "ன": "n",
+    "ப": "p", "ம": "m", "ய": "y", "ர": "r", "ற": "r",
+    "ல": "l", "ள": "l", "ழ": "zh", "வ": "v", "ஶ": "sh",
+    "ஷ": "sh", "ஸ": "s", "ஹ": "h",
+}
+TELUGU_CONS = {
+    "క": "k", "ఖ": "kh", "గ": "g", "ఘ": "gh", "ఙ": "ng",
+    "చ": "ch", "ఛ": "chh", "జ": "j", "ఝ": "jh", "ఞ": "ny",
+    "ట": "t", "ఠ": "th", "డ": "d", "ఢ": "dh", "ణ": "n",
+    "త": "t", "థ": "th", "ద": "d", "ధ": "dh", "న": "n",
+    "ప": "p", "ఫ": "ph", "బ": "b", "భ": "bh", "మ": "m",
+    "య": "y", "ర": "r", "ల": "l", "వ": "v", "శ": "sh",
+    "ష": "sh", "స": "s", "హ": "h", "ళ": "l", "ఱ": "r",
+}
+KANNADA_CONS = {
+    "ಕ": "k", "ಖ": "kh", "ಗ": "g", "ಘ": "gh", "ಙ": "ng",
+    "ಚ": "ch", "ಛ": "chh", "ಜ": "j", "ಝ": "jh", "ಞ": "ny",
+    "ಟ": "t", "ಠ": "th", "ಡ": "d", "ಢ": "dh", "ಣ": "n",
+    "ತ": "t", "ಥ": "th", "ದ": "d", "ಧ": "dh", "ನ": "n",
+    "ಪ": "p", "ಫ": "ph", "ಬ": "b", "ಭ": "bh", "ಮ": "m",
+    "ಯ": "y", "ರ": "r", "ಲ": "l", "ವ": "v", "ಶ": "sh",
+    "ಷ": "sh", "ಸ": "s", "ಹ": "h", "ಳ": "l",
+}
+MALAYALAM_CONS = {
+    "ക": "k", "ഖ": "kh", "ഗ": "g", "ഘ": "gh", "ങ": "ng",
+    "ച": "ch", "ഛ": "chh", "ജ": "j", "ഝ": "jh", "ഞ": "ny",
+    "ട": "t", "ഠ": "th", "ഡ": "d", "ഢ": "dh", "ണ": "n",
+    "ത": "t", "ഥ": "th", "ദ": "d", "ധ": "dh", "ന": "n",
+    "പ": "p", "ഫ": "ph", "ബ": "b", "ഭ": "bh", "മ": "m",
+    "യ": "y", "ര": "r", "ല": "l", "വ": "v", "ശ": "sh",
+    "ഷ": "sh", "സ": "s", "ഹ": "h", "ള": "l", "ഴ": "zh", "റ": "r",
+}
+# Khmer: coeng (U+17D2) prefixes a subscript consonant — structurally the
+# virama slot in this loop: C1+coeng kills C1's inherent vowel and C2
+# carries the syllable. First-series vowel values (a-series), best-effort.
+KHMER_CONS = {
+    "ក": "k", "ខ": "kh", "គ": "k", "ឃ": "kh", "ង": "ng",
+    "ច": "ch", "ឆ": "chh", "ជ": "ch", "ឈ": "chh", "ញ": "nh",
+    "ដ": "d", "ឋ": "th", "ឌ": "d", "ឍ": "th", "ណ": "n",
+    "ត": "t", "ថ": "th", "ទ": "t", "ធ": "th", "ន": "n",
+    "ប": "b", "ផ": "ph", "ព": "p", "ភ": "ph", "ម": "m",
+    "យ": "y", "រ": "r", "ល": "l", "វ": "v", "ស": "s",
+    "ហ": "h", "ឡ": "l", "អ": "a",
+}
+# Myanmar: inherent-vowel abugida; asat (U+103A) kills the vowel and the
+# stacker (U+1039) forms conjuncts — both sit in VIRAMA. The medials
+# ya/ra/wa/ha (U+103B-103E) replace the inherent vowel with glide+a.
+MYANMAR_CONS = {
+    "က": "k", "ခ": "kh", "ဂ": "g", "ဃ": "gh", "င": "ng",
+    "စ": "s", "ဆ": "hs", "ဇ": "z", "ဈ": "z", "ဉ": "ny", "ည": "ny",
+    "ဋ": "t", "ဌ": "ht", "ဍ": "d", "ဎ": "d", "ဏ": "n",
+    "တ": "t", "ထ": "ht", "ဒ": "d", "ဓ": "d", "န": "n",
+    "ပ": "p", "ဖ": "hp", "ဗ": "b", "ဘ": "b", "မ": "m",
+    "ယ": "y", "ရ": "r", "လ": "l", "ဝ": "w", "သ": "th",
+    "ဟ": "h", "ဠ": "l", "အ": "a",
+}
 _ABUGIDA_CONS = {
     **SINHALA_CONS, **ORIYA_CONS, **DEVANAGARI_CONS, **BENGALI_CONS,
+    **TAMIL_CONS, **TELUGU_CONS, **KANNADA_CONS, **MALAYALAM_CONS,
+    **KHMER_CONS, **MYANMAR_CONS,
 }
 # Dependent vowel signs: only these may replace a consonant's inherent
 # 'a'. Independent vowels open their own syllable and live in
@@ -151,6 +211,32 @@ DEP_SIGNS = {
     # Bengali
     "া": "a", "ি": "i", "ী": "i", "ু": "u", "ূ": "u", "ৃ": "ri",
     "ে": "e", "ৈ": "ai", "ো": "o", "ৌ": "au",
+    # Tamil
+    "ா": "a", "ி": "i", "ீ": "i", "ு": "u", "ூ": "u",
+    "ெ": "e", "ே": "e", "ை": "ai", "ொ": "o", "ோ": "o", "ௌ": "au",
+    # Telugu
+    "ా": "a", "ి": "i", "ీ": "i", "ు": "u", "ూ": "u", "ృ": "ru",
+    "ె": "e", "ే": "e", "ై": "ai", "ొ": "o", "ో": "o", "ౌ": "au",
+    # Kannada
+    "ಾ": "a", "ಿ": "i", "ೀ": "i", "ು": "u", "ೂ": "u", "ೃ": "ru",
+    "ೆ": "e", "ೇ": "e", "ೈ": "ai", "ೊ": "o", "ೋ": "o", "ೌ": "au",
+    # Malayalam
+    "ാ": "a", "ി": "i", "ീ": "i", "ു": "u", "ൂ": "u", "ൃ": "ru",
+    "െ": "e", "േ": "e", "ൈ": "ai", "ൊ": "o", "ോ": "o", "ൌ": "au",
+    # Khmer
+    "ា": "a", "ិ": "i", "ី": "i", "ឹ": "oe", "ឺ": "eu", "ុ": "u",
+    "ូ": "u", "ួ": "uo", "ើ": "ae", "ឿ": "oea", "ៀ": "ie",
+    "េ": "e", "ែ": "ae", "ៃ": "ai", "ោ": "o", "ៅ": "au",
+    # Myanmar vowel signs + medials (glide + inherent a)
+    "ာ": "a", "ါ": "a", "ိ": "i", "ီ": "i", "ု": "u", "ူ": "u",
+    "ေ": "e", "ဲ": "e", "ျ": "ya", "ြ": "ra", "ွ": "wa", "ှ": "ha",
+    # Thai dependent (combining) vowels — consulted by the standalone
+    # DEP_SIGNS branch, since Thai consonants carry no inherent vowel
+    "ั": "a", "ิ": "i", "ี": "i", "ึ": "ue", "ื": "ue",
+    "ุ": "u", "ู": "u",
+    # Lao dependent vowels + signs
+    "ັ": "a", "ິ": "i", "ີ": "i", "ຶ": "ue", "ື": "ue",
+    "ຸ": "u", "ູ": "u", "ົ": "o", "ໍ": "o", "ຼ": "l",
 }
 STANDALONE = {
     # Sinhala independent vowels
@@ -166,6 +252,49 @@ STANDALONE = {
     # Bengali independent vowels
     "অ": "a", "আ": "a", "ই": "i", "ঈ": "i", "উ": "u", "ঊ": "u",
     "ঋ": "ri", "এ": "e", "ঐ": "ai", "ও": "o", "ঔ": "au",
+    # Tamil independent vowels
+    "அ": "a", "ஆ": "a", "இ": "i", "ஈ": "i", "உ": "u", "ஊ": "u",
+    "எ": "e", "ஏ": "e", "ஐ": "ai", "ஒ": "o", "ஓ": "o", "ஔ": "au",
+    # Telugu independent vowels
+    "అ": "a", "ఆ": "a", "ఇ": "i", "ఈ": "i", "ఉ": "u", "ఊ": "u",
+    "ఋ": "ru", "ఎ": "e", "ఏ": "e", "ఐ": "ai", "ఒ": "o", "ఓ": "o",
+    "ఔ": "au",
+    # Kannada independent vowels
+    "ಅ": "a", "ಆ": "a", "ಇ": "i", "ಈ": "i", "ಉ": "u", "ಊ": "u",
+    "ಋ": "ru", "ಎ": "e", "ಏ": "e", "ಐ": "ai", "ಒ": "o", "ಓ": "o",
+    "ಔ": "au",
+    # Malayalam independent vowels + chillu letters (vowelless finals)
+    "അ": "a", "ആ": "a", "ഇ": "i", "ഈ": "i", "ഉ": "u", "ഊ": "u",
+    "ഋ": "ru", "എ": "e", "ഏ": "e", "ഐ": "ai", "ഒ": "o", "ഓ": "o",
+    "ഔ": "au",
+    "ൺ": "n", "ൻ": "n", "ർ": "r", "ൽ": "l", "ൾ": "l", "ൿ": "k",
+    # Khmer independent vowels
+    "ឥ": "i", "ឦ": "i", "ឧ": "u", "ឩ": "u", "ឪ": "au", "ឫ": "ru",
+    "ឭ": "lu", "ឯ": "e", "ឱ": "o", "ឳ": "au",
+    # Myanmar independent vowels
+    "ဣ": "i", "ဤ": "i", "ဥ": "u", "ဦ": "u", "ဧ": "e", "ဩ": "o",
+    "ဪ": "au",
+    # Thai consonants (no inherent-vowel inference — uroman-style
+    # best-effort letter mapping; tone marks are combining and drop) +
+    # spacing vowels
+    "ก": "k", "ข": "kh", "ฃ": "kh", "ค": "kh", "ฅ": "kh", "ฆ": "kh",
+    "ง": "ng", "จ": "ch", "ฉ": "ch", "ช": "ch", "ซ": "s", "ฌ": "ch",
+    "ญ": "y", "ฎ": "d", "ฏ": "t", "ฐ": "th", "ฑ": "th", "ฒ": "th",
+    "ณ": "n", "ด": "d", "ต": "t", "ถ": "th", "ท": "th", "ธ": "th",
+    "น": "n", "บ": "b", "ป": "p", "ผ": "ph", "ฝ": "f", "พ": "ph",
+    "ฟ": "f", "ภ": "ph", "ม": "m", "ย": "y", "ร": "r", "ฤ": "rue",
+    "ล": "l", "ฦ": "lue", "ว": "w", "ศ": "s", "ษ": "s", "ส": "s",
+    "ห": "h", "ฬ": "l", "อ": "o", "ฮ": "h",
+    "ะ": "a", "า": "a", "ำ": "am", "เ": "e", "แ": "ae", "โ": "o",
+    "ใ": "ai", "ไ": "ai",
+    # Lao consonants + spacing vowels
+    "ກ": "k", "ຂ": "kh", "ຄ": "kh", "ງ": "ng", "ຈ": "ch", "ສ": "s",
+    "ຊ": "s", "ຍ": "ny", "ດ": "d", "ຕ": "t", "ຖ": "th", "ທ": "th",
+    "ນ": "n", "ບ": "b", "ປ": "p", "ຜ": "ph", "ຝ": "f", "ພ": "ph",
+    "ຟ": "f", "ມ": "m", "ຢ": "y", "ຣ": "r", "ລ": "l", "ວ": "v",
+    "ຫ": "h", "ອ": "o", "ຮ": "h",
+    "ະ": "a", "າ": "a", "ຳ": "am", "ເ": "e", "ແ": "ae", "ໂ": "o",
+    "ໃ": "ai", "ໄ": "ai", "ຽ": "ia",
 }
 # anusvara / visarga / candrabindu by EXPLICIT codepoint: the glyphs are
 # cross-script lookalikes (Sinhala U+0D82 renders like Bengali U+0982),
@@ -175,9 +304,21 @@ for _cp, _v in [
     (0x0B01, "n"), (0x0B02, "n"), (0x0B03, "h"),  # Odia
     (0x0901, "n"), (0x0902, "n"), (0x0903, "h"),  # Devanagari
     (0x0981, "n"), (0x0982, "n"), (0x0983, "h"),  # Bengali
+    (0x0B82, "n"), (0x0B83, "h"),  # Tamil
+    (0x0C02, "n"), (0x0C03, "h"),  # Telugu
+    (0x0C82, "n"), (0x0C83, "h"),  # Kannada
+    (0x0D02, "m"), (0x0D03, "h"),  # Malayalam (anusvara reads m)
+    (0x17C6, "m"),  # Khmer nikahit
+    (0x1036, "n"),  # Myanmar anusvara
 ]:
     STANDALONE[chr(_cp)] = _v
-VIRAMA = {"්", "୍", "्", "্"}
+# virama / pulli / coeng / asat+stacker: the inherent-vowel killers
+VIRAMA = {
+    "්", "୍", "्", "্",  # Sinhala, Odia, Devanagari, Bengali
+    "்", "్", "್", "്",  # Tamil, Telugu, Kannada, Malayalam
+    "្",  # Khmer coeng
+    "္", "်",  # Myanmar stacker + asat
+}
 
 # --- Kana (hiragana table; katakana folds onto it by the 0x60 offset).
 # Hepburn-ish: digraphs (きゃ -> kya, しゃ -> sha), sokuon gemination

@@ -185,3 +185,62 @@ def test_type_group_blocking(spark):
     ).drop("type").withColumnRenamed("type_group", "type")
     hits = exact_match_candidates(chains, kb_names).collect()
     assert [(r["chain_id"], r["entity_id"]) for r in hits] == [("c1", "E1")]
+
+
+def test_romanize_py_southeast_dravidian_scripts():
+    """Round-3 script extension: Tamil/Telugu/Kannada/Malayalam abugidas,
+    Khmer (coeng-as-virama), Myanmar (asat), Thai/Lao letter maps —
+    every script langid detects now romanizes (reference string.py:135-155
+    romanizes everything via uroman)."""
+    cases = {
+        "தமிழ்": "tamizh",
+        "சென்னை": "chennai",
+        "తెలుగు": "telugu",
+        "హైదరాబాదు": "haidarabadu",
+        "కృష్ణ": "krushna",
+        "ಕನ್ನಡ": "kannada",
+        "ಬೆಂಗಳೂರು": "bengaluru",
+        "മലയാളം": "malayalam",
+        "കേരളം": "keralam",
+        "ខ្មែរ": "khmaera",
+        "မြန်မာ": "mranma",
+        "ရန်ကုန်": "rankun",
+        "ลาว": "law",
+    }
+    for src, want in cases.items():
+        assert romanize_py(src) == want, (src, romanize_py(src))
+    # no unmapped source chars may survive for these scripts
+    for src in ["กรุงเทพมหานคร", "ភ្នំពេញ", "திருவனந்தபுரம்", "ວຽງຈັນ"]:
+        out = romanize_py(src)
+        assert out.isascii(), (src, out)
+
+
+def test_translit_blocking_thai_tamil_e2e(spark):
+    """B6 drive on Thai- and Tamil-script corpora: every mention links to
+    its KB entity through the exact_translit generator (KB carries the
+    romanized surface as an alt-name), F1 = 1.0 — the same E2E contract
+    as the Arabic test, over the newly-covered scripts."""
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+
+    surfaces = [
+        "กรุงเทพ", "เชียงใหม่", "ภูเก็ต",  # Thai
+        "சென்னை", "மதுரை", "திருச்சி",  # Tamil
+        "ಬೆಂಗಳೂರು", "മലയാളം",  # Kannada, Malayalam
+    ]
+    chains = spark.createDataFrame(
+        [("d", f"c{i}", "GPE", s, romanize_py(s))
+         for i, s in enumerate(surfaces)],
+        "doc_id string, chain_id string, type string, name string, "
+        "translit_name string",
+    )
+    kb_names = spark.createDataFrame(
+        [(f"E{i}", "GPE", romanize_py(s), 0, romanize_py(s).lower())
+         for i, s in enumerate(surfaces)],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    hits = exact_match_candidates(
+        chains, kb_names, name_col="translit_name", source="exact_translit"
+    ).collect()
+    linked = {(r["chain_id"], r["entity_id"]) for r in hits}
+    assert linked == {(f"c{i}", f"E{i}") for i in range(len(surfaces))}
