@@ -35,6 +35,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
     checkpoint_dir: str | None = None,
+    round_walls: list | None = None,
 ) -> DataFrame:
     """Compute connected components.
 
@@ -45,6 +46,10 @@ def connected_components(
     :param checkpoint_dir: when set, per-iteration state uses RELIABLE
         checkpoints (survives executor loss — the cluster setting);
         default localCheckpoint is faster and fine on local[N].
+    :param round_walls: optional list the per-round wall seconds are
+        appended to — the skew telemetry for the scale ladder (a round
+        over ~2x the median indicates a hot component in the star
+        phases).
     :return: DataFrame (node: string, component: string) where component is
         the min node id in the component.
     """
@@ -118,10 +123,15 @@ def connected_components(
         )
         return out.where(F.col("u") != F.col("v")).distinct()
 
+    import time as _time
+
     prev_fp = _fingerprint(e)
     for _ in range(max_iterations):
+        t0 = _time.time()
         e_new = _persist(small_star(large_star(e)).repartition("u"))
         fp = _fingerprint(e_new)
+        if round_walls is not None:
+            round_walls.append(round(_time.time() - t0, 3))
         e = e_new
         if fp == prev_fp:
             break

@@ -379,6 +379,50 @@ class IcebergishCatalog:
             shutil.rmtree(os.path.join(self._table_path(table), d), ignore_errors=True)
         return expired
 
+    def compact(
+        self, table: str, target_file_mb: int = 64
+    ) -> dict:
+        """Rewrite the CURRENT snapshot's data — accumulated across
+        O(snapshots) append dirs by a long-running stream sink — into one
+        fresh data dir with ~`target_file_mb` files, committed as a new
+        snapshot. Pure addition to the snapshot list: older snapshots
+        stay time-travelable (and keep their dirs) until
+        expire_snapshots; stream watermark properties are inherited onto
+        the compaction commit like any other, so a replayed micro-batch
+        is still detected afterwards.
+
+        Returns {"before": {...}, "after": {...}} file/dir/row metrics.
+        """
+        before = self.table_metrics(table)
+        meta = self._load_metadata(table)
+        df = self.read(table)
+        n_files = max(
+            1, -(-before["bytes"] // (target_file_mb * 1024 * 1024))
+        )
+        self.commit(
+            table,
+            df.coalesce(int(n_files)),
+            mode="overwrite",
+            partition_by=meta.get("partition_spec") or None,
+        )
+        after = self.table_metrics(table)
+        return {"before": before, "after": after}
+
+    def table_metrics(self, table: str) -> dict:
+        """Files-per-table health row for the CURRENT snapshot: data
+        dirs referenced, parquet files, bytes, rows — all from metadata
+        (no data scan)."""
+        meta = self._load_metadata(table)
+        snap = self._snapshot(meta, None)
+        return {
+            "table": table,
+            "snapshot_id": snap["snapshot_id"],
+            "dirs": len(snap["data_dirs"]),
+            "files": snap["summary"]["files"],
+            "bytes": snap["summary"]["bytes"],
+            "rows": snap["summary"]["rows"],
+        }
+
     def cleanup_orphans(self, table: str) -> list[str]:
         """Delete data dirs referenced by NO snapshot — the debris of
         crashed writers and CommitConflict losers (their per-attempt
