@@ -1609,6 +1609,179 @@ def q_c6_type_gate(spark, sf):
     return stage(mentions)
 
 
+def q_t3_emoji_strip(spark, sf):
+    """T3 remove_emojis (string.py:56-59): emoji ranges stripped; two
+    pictographs injected identically on both engines (driver text is
+    ASCII)."""
+    from hamerkop_spark.functions.strings import remove_emojis
+
+    docs = _t(spark, sf, "documents")
+    m = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\U0001F680 go "),
+            F.substring("text", 1, 25),
+            F.lit(" \U0001F600!"),
+        ).alias("string"),
+    )
+    return m.select(
+        "doc_id", remove_emojis(F.col("string")).alias("no_emoji")
+    )
+
+
+def q_r9_resolver_report(spark, sf):
+    """R9 ResolverScorer (resolver.py:106-137): per-type
+    selected/recallable/correct/false-alarm counts over decisions,
+    candidate sets, and gold links (operators/scoring.resolver_report)."""
+    from hamerkop_spark.operators.scoring import resolver_report
+
+    li = _t(spark, sf, "lineitem")
+    cands = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.lit(1).alias("chain_id"),
+        F.col("l_partkey").alias("entity_id"),
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.min("l_partkey").alias("mn")
+    )
+    decisions = per_order.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit(1).alias("chain_id"),
+        (F.col("mn") + F.col("doc_id") % 3).alias("entity_id"),
+    )
+    gold = per_order.select(
+        "doc_id",
+        F.lit(1).alias("chain_id"),
+        F.array(F.col("mn")).alias("gold_links"),
+        F.when(F.col("doc_id") % 5 == 0, "NIL").otherwise("link")
+        .alias("link_type"),
+        F.when(F.col("doc_id") % 3 == 0, "PER")
+        .when(F.col("doc_id") % 3 == 1, "ORG")
+        .otherwise("GPE").alias("entity_type"),
+    )
+    return resolver_report(decisions, cands, gold)
+
+
+def q_p16_script_filter(spark, sf):
+    """P16 ScriptBasedNameFilter (io.py:604-637): keep pure-ASCII names
+    always, keep allowed-script (Arabic) names, drop the rest — over a
+    modulo-chosen pool of Arabic/Greek/ASCII/Ge'ez surfaces. The oracle
+    hardcodes the pool's known truth, so the engine's script regexes are
+    genuinely differentially checked."""
+    from hamerkop_spark.sources.kb import script_name_filter
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 4 == 0, F.lit("محمد"))
+        .when(k % 4 == 1, F.lit("Αθήνα"))
+        .when(k % 4 == 2, F.lit("london"))
+        .otherwise(F.lit("ሀገር"))
+    )
+    keep = script_name_filter("arabic")(name)
+    return cust.select("c_custkey", keep.cast("int").alias("keep"))
+
+
+def q_p17_language_name_filter(spark, sf):
+    """P17 LanguageBasedNameFilter (io.py:640-672): geonames alternateNames
+    assign each lowercased name a language, FIRST-WINS except en/target
+    take priority; names labeled another language drop, en/target/
+    unlabeled pass (sources/kb.language_name_filter, target=fr). The
+    geonames side carries duplicate names with conflicting langs to
+    exercise the priority rule."""
+    from hamerkop_spark.sources.kb import language_name_filter
+
+    nat = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    nk = F.col("n_nationkey")
+    g1 = nat.select(
+        nk.cast("long").alias("row_idx"),
+        F.when(nk % 3 == 0, "en").when(nk % 3 == 1, "fr").otherwise("de")
+        .alias("lang"),
+        F.col("n_name").alias("name"),
+    )
+    g2 = nat.select(
+        (nk + 100).cast("long").alias("row_idx"),
+        F.lit("de").alias("lang"),
+        F.col("n_name").alias("name"),
+    )
+    geonames = g1.unionByName(g2)
+    names = cust.join(
+        nat.select("n_nationkey", "n_name"),
+        cust.c_nationkey == nat.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("name"))
+    out = language_name_filter(geonames, "fr")(names, "name")
+    return out.select("c_custkey", "name")
+
+
+def q_f11_feature_vector(spark, sf):
+    """F11 EntityFeatureExtractor / FeatureVector assembly
+    (features.py:58-66): the per-feature columns are assembled into one
+    `features` array, emitted as a comma-joined string so both engines
+    hash identically (operators/features.extract_features)."""
+    from hamerkop_spark.operators import features as FT
+
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    chains = cust.where(ck % 9 == 0).select(
+        F.lit("d").alias("doc_id"),
+        ck.alias("chain_id"),
+        (ck % 25).alias("bkey"),
+        F.array(
+            F.concat(F.lit("acct "), (ck % 50).cast("string"))
+        ).alias("chain_all_strings"),
+        F.array().cast("array<string>").alias("chain_names"),
+    )
+    ents = supp.select(
+        sk.alias("entity_id"),
+        (sk % 25).alias("bkey"),
+        F.array(
+            F.concat(F.lit("acct "), (sk % 50).cast("string"))
+        ).alias("entity_names"),
+        F.when(
+            sk % 3 == 0, F.array(F.lit("http://en.wikipedia.org/wiki/x"))
+        ).otherwise(F.lit(None).cast("array<string>")).alias("entity_urls"),
+        F.when(sk % 2 == 0, F.lit("geonames")).otherwise(F.lit("web"))
+        .alias("origin"),
+    )
+    pairs = chains.join(ents, "bkey")
+    feats = {
+        "f_origin": FT.origin_feature,
+        "f_num_names": FT.number_of_names_feature,
+        "f_num_links": FT.number_of_links_feature,
+        "f_exact_match": FT.exact_match_feature,
+    }
+    out = FT.extract_features(pairs, features=feats)
+    vec = F.concat_ws(
+        ",",
+        F.transform(
+            "features", lambda x: det_round(x, 4).cast("string")
+        ),
+    )
+    return out.select("chain_id", "entity_id", vec.alias("feature_vector"))
+
+
+def q_c1_cascade_coref(spark, sf):
+    """C1 CascadeCoref (coref.py:197-211): singleton init + one
+    exact-match sieve stage + connected-components relabel — the full
+    cascade loop (operators/coref.cascade_coref). With one stage the
+    closure is exactly the key group, so the oracle is a window min
+    over (doc, type, lower(string))."""
+    from hamerkop_spark.operators.coref import cascade_coref, exact_match_stage
+
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    mentions = cust.select(
+        (k % 20).cast("string").alias("doc_id"),
+        k.cast("string").alias("mention_id"),
+        F.col("c_mktsegment").alias("string"),
+        F.when(k % 3 == 0, "PER").otherwise("ORG").alias("type"),
+    )
+    out = cascade_coref(mentions, [exact_match_stage])
+    return out.select("doc_id", "mention_id", "chain_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -1639,6 +1812,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_type_gate": q_r7_type_gate,
         "c5_lang_gate": q_c5_lang_gate,
         "c6_type_gate": q_c6_type_gate,
+        "t3_emoji_strip": q_t3_emoji_strip,
+        "r9_resolver_report": q_r9_resolver_report,
+        "p16_script_filter": q_p16_script_filter,
+        "p17_language_name_filter": q_p17_language_name_filter,
+        "f11_feature_vector": q_f11_feature_vector,
+        "c1_cascade_coref": q_c1_cascade_coref,
         "flagship_pricing": q_flagship_pricing,
         "t1_remove_punct": q_t1_remove_punct,
         "t6_ngram_explode": q_t6_ngram_explode,
@@ -2232,6 +2411,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT chain_id AS src, root AS dst
             FROM r WHERE chain_id <> root
+        """,
+        "t3_emoji_strip": """
+            SELECT doc_id,
+                   replace(replace('🚀 go ' || substr(text, 1, 25) || ' 😀!',
+                                   '🚀', ''), '😀', '') AS no_emoji
+            FROM documents
+        """,
+        "r9_resolver_report": """
+            WITH per AS (
+              SELECT l_orderkey AS doc_id, min(l_partkey) AS mn
+              FROM lineitem GROUP BY 1
+            ), g AS (
+              SELECT doc_id, mn,
+                     CASE WHEN doc_id % 5 = 0 THEN 'NIL' ELSE 'link' END
+                       AS link_type,
+                     CASE WHEN doc_id % 3 = 0 THEN 'PER'
+                          WHEN doc_id % 3 = 1 THEN 'ORG'
+                          ELSE 'GPE' END AS entity_type,
+                     CASE WHEN doc_id % 2 = 0 THEN mn + doc_id % 3 END
+                       AS sel
+              FROM per
+            )
+            SELECT entity_type,
+                   sum(CASE WHEN sel IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_selected,
+                   sum(CASE WHEN link_type = 'link' THEN 1 ELSE 0
+                       END)::BIGINT AS n_recallable,
+                   sum(CASE WHEN link_type = 'link' AND sel = mn THEN 1
+                       ELSE 0 END)::BIGINT AS n_correct,
+                   sum(CASE WHEN link_type = 'NIL' AND sel IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_false_alarm
+            FROM g GROUP BY 1
+        """,
+        "p16_script_filter": """
+            SELECT c_custkey,
+                   CASE c_custkey % 4 WHEN 0 THEN 1  -- Arabic: allowed
+                                      WHEN 1 THEN 0  -- Greek: dropped
+                                      WHEN 2 THEN 1  -- ASCII: always kept
+                                      ELSE 0 END AS keep  -- Ge'ez: dropped
+            FROM customer
+        """,
+        "p17_language_name_filter": """
+            SELECT c_custkey, n_name AS name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_nationkey % 3 IN (0, 1)
+        """,
+        "f11_feature_vector": """
+            WITH c AS (
+              SELECT c_custkey AS chain_id, c_custkey % 25 AS bkey,
+                     c_custkey % 50 AS ck50
+              FROM customer WHERE c_custkey % 9 = 0
+            ), e AS (
+              SELECT s_suppkey AS entity_id, s_suppkey % 25 AS bkey,
+                     s_suppkey % 50 AS sk50,
+                     CASE WHEN s_suppkey % 2 = 0 THEN '1.0' ELSE '0.0' END
+                       AS f_origin,
+                     CASE WHEN s_suppkey % 3 = 0 THEN '0.5' ELSE '0.0' END
+                       AS f_links
+              FROM supplier
+            )
+            SELECT chain_id, entity_id,
+                   f_origin || ',0.5,' || f_links || ',' ||
+                     (CASE WHEN ck50 = sk50 THEN '1.0' ELSE '0.0' END)
+                     AS feature_vector
+            FROM c JOIN e USING (bkey)
+        """,
+        "c1_cascade_coref": """
+            WITH m AS (
+              SELECT (c_custkey % 20)::VARCHAR AS doc_id,
+                     c_custkey::VARCHAR AS mention_id,
+                     c_mktsegment AS string,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'PER' ELSE 'ORG' END
+                       AS type
+              FROM customer
+            )
+            SELECT doc_id, mention_id,
+                   min(mention_id) OVER (
+                     PARTITION BY doc_id, type, lower(string)) AS chain_id
+            FROM m
         """,
         "c6_type_gate": """
             WITH m AS (
