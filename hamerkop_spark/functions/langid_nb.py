@@ -51,7 +51,9 @@ LEXICON = {
         lo como más pero sus le ha me sin sobre este ya entre cuando todo
         esta ser son dos también fue había era muy hasta desde está mi
         porque qué sólo han yo hay vez puede todos así nos ni parte tiene
-        él uno donde bien tiempo mismo ese ahora cada vida otro después""",
+        él uno donde bien tiempo mismo ese ahora cada vida otro después
+        estaban trabajaba pasaban llegaban cantaba ciudades aquí allí
+        estos estas aquella ningún alguien quizás entonces luego""",
     "deu": """der die und in den von zu das mit sich des auf für ist im
         dem nicht ein eine als auch es an werden aus er hat dass sie nach
         wird bei einer um am sind noch wie einem über einen so zum war
@@ -74,7 +76,10 @@ LEXICON = {
         om ook als dan maar bij of uit naar door over ze nog worden wordt
         heeft onder tegen deze meer wel tussen tot hij moet werd al zich
         hun naar die twee heel had kunnen geen toch zal eerste jaar werd
-        onze na mijn hem haar alleen andere alle veel toen werden wat""",
+        onze na mijn hem haar alleen andere alle veel toen werden wat
+        kind tijd tijdens mensen leven wereld stad land water maken
+        zeggen zegt gaan gaat komen komt binnen buiten zonder omdat
+        nieuw nieuws altijd nooit""",
     "pol": """w i z na do nie się że jest to o jak po co za od a ale przez
         tak ma być jego tym ich tylko już może przy bardzo dla przed
         jednak przede wszystkim kiedy także nawet gdzie czy żeby która
@@ -106,7 +111,10 @@ LEXICON = {
         při nebo jen podle však které který která bylo byl být jsou jsem
         jsme jste má mít ze jeho její jejich tak tam kde kdy co čí aby
         pak ještě také může mezi před bez proti není byla byly let roku
-        dnes velmi první další každý všech nich tím než si svou svého""",
+        dnes velmi první další každý všech nich tím než si svou svého
+        příliš přece například tři čtyři říká řekl město města dělat
+        dělá věc věci několik můžeme půl dům domů vždy většina člověk
+        lidé práce vláda život svět potřebuje přitom zřejmě dobře""",
     "ron": """și de a în la cu pe care este pentru au din sau mai dar nu
         se ce s-a fost sunt fi o un una unei unui după prin între dacă
         când cum fără până asupra această acest aceste acestor lor său
@@ -121,12 +129,19 @@ LEXICON = {
         om ett han men var jag sig från vi så kan man när år under också
         efter upp vid mot ska skulle kommer eller sin där bara blir
         mycket nu få se få alla sedan över än något någon några vad
-        hade finns får sina dessa detta denna vilket här våra sverige""",
+        hade finns får sina dessa detta denna vilket här våra sverige
+        många gånger människor länge staden svenska tidigare bodde
+        fortfarande hennes berättade tillsammans ytterligare redan
+        mellan genom utan eftersom medan bättre bäst största""",
     "dan": """og i at det er en til på de med han af for ikke der var mig
         sig men et har om vi min havde ham hun nu over da fra du ud sin
         dem os op man hans hvor eller hvad skal selv her alle vil blev
         kunne ind når være dog noget ville jo deres efter ned skulle
-        denne kom mod år også under mange siger blive hele lige meget""",
+        denne kom mod år også under mange siger blive hele lige meget
+        anden tredje næsten måske sådan børn øjeblik arbejde gennem
+        tilbage omkring hinanden altid aldrig både uden inden blevet
+        præsenteret interesseret væsentlig færdig søndag løbet boede
+        mindre derfor desuden hvilket netop allerede bagefter""",
     "fin": """ja on ei se että oli hän mutta ovat kun niin myös jo tai
         mukaan vain sen sitä kuin ole vuonna hänen jotka joka jossa mitä
         tämä nämä näin ollut olla olen olet olemme siinä siitä vielä
@@ -135,7 +150,72 @@ LEXICON = {
         sitten koska hyvin paljon kuitenkin esimerkiksi erityisesti
         jonka joiden kanssa välillä ensimmäinen viimeinen seuraava
         useita monta asiasta paikasta ihmisistä vuosista taloissa""",
+    # round-3 extension toward langdetect's Latin coverage
+    "cat": """el la els les de que i a en un una per amb no es més si
+        dels al són com també però tot hi ha fer molt anys quan ara fins
+        on aquest aquesta això entre sense cap seva seu nosaltres ciutat
+        país món vida temps dia després abans perquè encara havia està
+        estat aquesta qualsevol altres molts totes catalunya govern""",
+    "hrv": """je u i na se da za su s od koji koja koje ali kao što ili
+        nije bio bila bilo biti će smo ste sam ovo ova ovaj taj ta to iz
+        zbog nakon prije između također već još samo kada gdje kako
+        zašto jer njegov njezin njihov hrvatska godine dana grad zemlja
+        svijet život vrijeme čovjek ljudi rad posao vlada rekao kaže
+        može mogu moraju treba bez protiv prema tijekom""",
+    "slk": """je a v na sa že za s od do ako aj ale už len čo keď by bol
+        bola bolo byť sú sme ste som tento táto toto ten tá to z pre pri
+        o podľa medzi bez proti ešte tiež iba kde prečo pretože jeho jej
+        ich slovensko roku dňa veľmi mesto krajina svet život čas
+        človek ľudia práca vláda povedal hovorí môže musí treba ktorý
+        ktorá ktoré niečo všetko nič každý iný ďalší prvý vôbec teraz
+        potom dobré ťažké päť deväť desať mesiac týždeň hodina
+        škola dieťa rodina otázka odpoveď riešenie možnosť robiť
+        hovoriť vidieť myslieť chcieť vedieť musieť najprv naozaj
+        práve stále nikdy vždy dnes zajtra včera ráno večer rodič
+        žena muž bývať bývajú rieka jazyk jazyky učenie čítanie
+        šťastie zdravie vzdelanie cudzinec nového starého dobrého""",
+    "nor": """og i det er en til på som av for med at de han hun den om
+        et ikke der var men seg fra du ut sin dem oss opp hans hvor
+        eller hva skal selv her alle vil ble kunne inn når være også
+        etter ved mot år norge dag mange sier bli hele mye noen noe
+        vært går gikk fikk får tok sammen gjennom mellom uten fordi
+        denne dette disse andre første siste store norske regjeringen
+        litt lite elv elva huset landet byen året tiden folk
+        mennesker arbeid livet verden gjorde gjør fått sett ganske
+        veldig kanskje likevel innenfor utenfor påvirket""",
+    "est": """ja on ei see et oli ta kui ka siis aga oma mis mida need
+        nii veel juba kus sest üle ilma pärast enne vahel kõik kaks
+        aasta päev inimene maa elu töö ütles tuleb võib peab alles
+        eesti palju väga linn riik maailm aeg inimesed valitsus ütleb
+        saab teha olla olen oled oleme olid olnud selle seda sellest
+        nende nendest esimene viimane järgmine suur väike uus vana""",
+    "lit": """ir yra į kad su iš apie bet kaip tai jis ji jie jos buvo
+        bus būti nėra tik dar jau kur kada kodėl nes savo jo jų lietuva
+        metai diena žmogus gyvenimas darbas labai daug miestas šalis
+        pasaulis laikas žmonės vyriausybė sakė sako gali turi reikia
+        kuris kuri kurie kažkas viskas niekas kiekvienas kitas pirmas
+        paskutinis didelis mažas naujas senas per po prieš tarp be""",
+    "lav": """un ir uz ka ar no par bet kā tas tā tie tās bija būs būt
+        nav tikai vēl jau kur kad kāpēc jo savu viņa viņš viņu latvija
+        gads diena cilvēks dzīve darbs ļoti daudz pilsēta valsts
+        pasaule laiks cilvēki valdība teica saka var vajag kurš kura
+        kuri kaut kas viss nekas katrs cits pirmais pēdējais liels mazs
+        jauns vecs pēc pirms starp bez pret caur gada dienas""",
+    "tgl": """ang ng sa na at mga ay hindi ako siya ito iyon kung para
+        may wala dahil pero lang din rin naman kasi niya nila natin
+        namin ka ikaw tayo kami sila ano sino saan kailan bakit paano
+        pilipinas araw taon tao buhay trabaho lungsod bansa mundo oras
+        pamahalaan sinabi sabi maaari dapat kailangan lahat bawat iba
+        isa dalawa malaki maliit bago luma pagkatapos bago sa pagitan""",
 }
+
+#: the full NB language set: the 18 stopword-vote languages (shared
+#: order with detect_lang's Latin branch) + the round-3 extension.
+#: detect_lang / text_langid keep the original 18 — their oracle
+#: replicates the stopword vote in SQL and must stay stable.
+NB_LANGS = LATIN_ORDER + [
+    "cat", "hrv", "slk", "nor", "est", "lit", "lav", "tgl",
+]
 
 #: langdetect-style output granularity on held-out text (measured by
 #: tests/test_quality_langid.py); chosen |weights| per language.
@@ -205,7 +285,7 @@ def nb_lang_scores(c: Column, langs: list[str] | None = None) -> list[Column]:
     """One native score column per language: the text's trigram array
     folded through that language's literal weight map (absent trigram =>
     0, the background). No UDF, no shuffle — pure codegen."""
-    langs = langs or LATIN_ORDER
+    langs = langs or NB_LANGS
     weights = train_trigram_nb()
     tri = _text_trigrams(c)
     def folder(m):
@@ -227,7 +307,7 @@ def detect_latin_lang_nb(c: Column, langs: list[str] | None = None) -> Column:
     array_max over (score, -idx) structs — each score subtree appears
     exactly once (a running-best when-chain re-inlines the comparison
     subtree per step; see the kmeans nearest() note)."""
-    langs = langs or LATIN_ORDER
+    langs = langs or NB_LANGS
     scores = nb_lang_scores(c, langs)
     arr = F.array(
         *[
@@ -243,7 +323,8 @@ def detect_latin_lang_nb(c: Column, langs: list[str] | None = None) -> Column:
 
 
 def detect_lang_nb(
-    df: DataFrame, text_col: str = "text", out_col: str = "lang"
+    df: DataFrame, text_col: str = "text", out_col: str = "lang",
+    langs: list[str] | None = None,
 ) -> DataFrame:
     """T17 upgraded: script-profile detection for non-Latin scripts (the
     25 script classes + ukr/urd/fas refinements from detect_lang), with
@@ -255,7 +336,7 @@ def detect_lang_nb(
     )
 
     c = F.col(text_col)
-    expr = detect_latin_lang_nb(c)
+    expr = detect_latin_lang_nb(c, langs)
     lowered = F.lower(c)
     total = F.greatest(F.length(c), F.lit(1))
     for name, cls, iso, tenths in reversed(SCRIPT_CLASSES):
