@@ -120,3 +120,74 @@ def test_embedding_neardup(spark):
         ).collect()
     }
     assert bf == {("v1", "v2")}
+
+
+def test_prefix_filter_blocking_is_lossless_vs_brute_force(spark):
+    """ppjoin prefix-filter lemma check: the q_f_token_jaccard_docs
+    blocking (per-doc rarest |A| - ceil(t|A|) + 1 tokens under a global
+    frequency order) must produce EXACTLY the brute-force thresholded
+    pair set on a randomized corpus — the filter may only drop pairs
+    below the threshold, never above."""
+    import itertools
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    # skewed frequencies: low-index words are stopword-hot
+    docs = []
+    for i in range(120):
+        n = rng.randrange(3, 14)
+        toks = {
+            vocab[min(rng.randrange(60), rng.randrange(60))]
+            for _ in range(n)
+        }
+        docs.append((i, sorted(toks)))
+    t = 0.1
+
+    def jac(a, b):
+        a, b = set(a), set(b)
+        u = len(a | b)
+        return len(a & b) / u if u else 0.0
+
+    want = {
+        (i, j)
+        for (i, ta), (j, tb) in itertools.combinations(docs, 2)
+        if jac(ta, tb) >= t
+    }
+
+    da = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    tok = da.select("doc_id", F.explode("toks").alias("tok"))
+    df_tok = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        tok.join(df_tok, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(da.select("doc_id", F.size("toks").alias("s")), "doc_id")
+        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * F.lit(t)) + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("src"), "tok")
+        .join(pref.select(F.col("doc_id").alias("dst"), "tok"), "tok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pairs = cand.join(
+        da.select(F.col("doc_id").alias("src"), F.col("toks").alias("ta")),
+        "src",
+    ).join(
+        da.select(F.col("doc_id").alias("dst"), F.col("toks").alias("tb")),
+        "dst",
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    jc = F.when(union == 0, 0.0).otherwise(inter / union)
+    got = {
+        (r["src"], r["dst"])
+        for r in pairs.where(jc >= t).select("src", "dst").collect()
+    }
+    assert got == want, (len(got), len(want), got ^ want)
