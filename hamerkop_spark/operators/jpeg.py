@@ -1,0 +1,527 @@
+"""Baseline JPEG codec, dependency-free (numpy + stdlib).
+
+Completes the multimodal decode family (operators/multimodal.py): the
+round-2 engine marked JPEG `DecodeUnavailable` because its entropy
+decode is a real codec, not a container parse — this module implements
+that codec from the public JPEG specification (ITU-T T.81): baseline
+sequential DCT, Huffman entropy coding with the Annex-K standard
+tables, 8-bit samples, grayscale / 4:4:4 / 4:2:0 YCbCr, restart
+markers. Progressive (SOF2), arithmetic coding, and 12-bit precision
+raise `NotImplementedError` — the caller (multimodal.decode_image)
+surfaces that as DecodeUnavailable per its contract.
+
+Throughput note: entropy decode is a sequential per-bit loop in Python
+— fine for the per-image granularity the mapInPandas operators
+parallelize over (images decode independently across partitions), not
+a pixel-parallel kernel. The DCT/IDCT and color transforms are
+vectorized numpy over whole block grids.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1/K.2 quantization tables (quality 50 base)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag scan order (index i of the scan -> position in the 8x8 block)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8x8 DCT-II matrix: dct = M @ block @ M.T ; idct = M.T @ coef @ M
+_M = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _M[_k, _n] = (
+            np.sqrt((1 if _k else 0.5) / 4.0)
+            * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+        )
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table (public libjpeg formula)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]):
+    """(code, length) per symbol in canonical order (spec C.2)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) of a DC diff / AC value (spec F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, subsampling: str = "4:4:4"
+) -> bytes:
+    """Baseline JFIF encoder: (H, W) grayscale or (H, W, 3) RGB uint8,
+    4:4:4 or 4:2:0 chroma sampling, standard Huffman tables."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg: 1 or 3 channels")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    sub = subsampling == "4:2:0" and ncomp == 3
+    qy = _scaled_quant(_QY, quality)
+    qc = _scaled_quant(_QC, quality)
+    if ncomp == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        if sub:
+            # pad to even, then 2x2 box-average the chroma planes
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        quants = [qy, qc, qc]
+        sampling = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    else:
+        planes = [arr[..., 0].astype(np.float64)]
+        quants = [qy]
+        sampling = [(1, 1)]
+
+    dc_tabs = [_canonical_codes(*_STD_DC_LUM)] + (
+        [_canonical_codes(*_STD_DC_CHR)] * 2 if ncomp == 3 else []
+    )
+    ac_tabs = [_canonical_codes(*_STD_AC_LUM)] + (
+        [_canonical_codes(*_STD_AC_CHR)] * 2 if ncomp == 3 else []
+    )
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, sampling):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
+        padded.append(pp)
+
+    def emit_block(ci: int, block: np.ndarray) -> None:
+        coef = _M @ (block - 128.0) @ _M.T
+        q = np.round(coef / quants[ci].reshape(8, 8)).astype(np.int64)
+        zz = q.reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - dc_prev[ci]
+        dc_prev[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_tabs[ci][size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tabs[ci][0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_tabs[ci][(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+        if run:
+            code, length = ac_tabs[ci][0x00]  # EOB
+            writer.write(code, length)
+
+    writer = _BitWriter()
+    dc_prev = [0] * ncomp
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci, (sh, sv) in enumerate(sampling):
+                for v in range(sv):
+                    for hh in range(sh):
+                        py = (by * sv + v) * 8
+                        px = (bx * sh + hh) * 8
+                        emit_block(
+                            ci,
+                            padded[ci][py : py + 8, px : px + 8],
+                        )
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy.reshape(64)[_ZIGZAG]))
+    if ncomp == 3:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(int(x) for x in qc.reshape(64)[_ZIGZAG])
+        )
+    comps = b""
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        comps += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    for cls, tid, (bits, vals) in (
+        [(0, 0, _STD_DC_LUM), (1, 0, _STD_AC_LUM)]
+        + ([(0, 1, _STD_DC_CHR), (1, 1, _STD_AC_CHR)] if ncomp == 3 else [])
+    ):
+        out += seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, surfaces RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker mid-entropy (RSTn handled at MCU boundaries by
+                # sync_restart; anything else here is a corrupt stream)
+                raise ValueError("unexpected marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def sync_restart(self) -> None:
+        """Discard partial bits and consume the RSTn at the boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _decode_huffman(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        if (code, length) in table:
+            return table[(code, length)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(p: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder. Returns (H, W, C) uint8 with
+    C = 1 (grayscale) or 3 (RGB). Raises NotImplementedError for
+    progressive/arithmetic/12-bit streams."""
+    pos = 2  # past SOI
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(p):
+        if p[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = p[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", p[pos + 2 : pos + 4])
+        data = p[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = np.frombuffer(
+                    data[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                quant[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                huff[(cls, tid)] = {
+                    (code, length): sym
+                    for sym, (code, length) in codes.items()
+                }
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = data[1 + si * 2 : 3 + si * 2]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append(
+                    {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            return _decode_scan(
+                p, pos + 2 + seg_len, frame, scan, quant, huff,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("no scan found")
+
+
+def _decode_scan(p, start, frame, scan, quant, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["comp"]["h"] for c in scan)
+    vmax = max(c["comp"]["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for s in scan:
+        c = s["comp"]
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+    reader = _BitReader(p, start)
+    dc_prev = {s["comp"]["id"]: 0 for s in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # spec: RSTn between MCUs, byte-aligned, DC preds reset
+                reader.sync_restart()
+                dc_prev = {k: 0 for k in dc_prev}
+            _decode_mcu(
+                reader, scan, quant, huff, dc_prev, planes, mx, my
+            )
+            mcu_count += 1
+
+    comps = frame["comps"]
+    out_planes = []
+    for c in comps:
+        plane = planes[c["id"]]
+        # upsample to full resolution (nearest / pixel replication)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0] + 128.0, 0, 255)
+        return g.astype(np.uint8)[:, :, None]
+    y, cb, cr = (pl + 128.0 for pl in out_planes)
+    cb -= 128.0
+    cr -= 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_mcu(reader, scan, quant, huff, dc_prev, planes, mx, my):
+    for s in scan:
+        c = s["comp"]
+        for v in range(c["v"]):
+            for hh in range(c["h"]):
+                zz = np.zeros(64, dtype=np.int64)
+                sym = _decode_huffman(reader, huff[(0, s["dc"])])
+                diff = _extend(reader.bits(sym), sym) if sym else 0
+                dc_prev[c["id"]] += diff
+                zz[0] = dc_prev[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = _decode_huffman(reader, huff[(1, s["ac"])])
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflow")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = zz
+                coef = block.reshape(8, 8) * quant[c["tq"]]
+                pix = _M.T @ coef @ _M
+                py = (my * c["v"] + v) * 8
+                px = (mx * c["h"] + hh) * 8
+                planes[c["id"]][py : py + 8, px : px + 8] = pix

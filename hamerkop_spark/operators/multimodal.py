@@ -203,9 +203,10 @@ def _decode_bmp(p: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode a PNG / binary PPM / PGM / uncompressed BMP payload to an
-    (H, W, C) uint8 array using only the stdlib + numpy. JPEG raises
-    DecodeUnavailable (entropy decode needs a real codec library)."""
+    """Decode a PNG / binary PPM / PGM / uncompressed BMP / baseline
+    JPEG payload to an (H, W, C) uint8 array using only the stdlib +
+    numpy (JPEG via operators/jpeg.py — baseline sequential Huffman;
+    progressive/arithmetic streams surface as DecodeUnavailable)."""
     p = bytes(payload or b"")
     if p[:8] == _PNG_MAGIC:
         return _decode_png(p)
@@ -214,7 +215,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if p[:2] == b"BM":
         return _decode_bmp(p)
     if p[:2] == b"\xff\xd8":
-        raise DecodeUnavailable("JPEG entropy decode needs a codec library")
+        from hamerkop_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(p)
+        except NotImplementedError as e:
+            raise DecodeUnavailable(str(e)) from e
     raise DecodeUnavailable("unrecognized image container")
 
 

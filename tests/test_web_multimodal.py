@@ -54,15 +54,21 @@ def test_multimodal_features_deterministic(spark):
     assert all(n > 0 for n in nb.values())
 
 
-def test_multimodal_decode_unrecognized_and_jpeg_raise():
+def test_multimodal_decode_unrecognized_and_progressive_raise():
     import pytest
 
     from hamerkop_spark.operators.multimodal import DecodeUnavailable, decode_image
 
     with pytest.raises(DecodeUnavailable):
         decode_image(b"xxxx")
+    # progressive JPEG (SOF2) is honestly out of scope for the baseline
+    # codec and must surface as DecodeUnavailable, not a crash
+    import struct as st
+
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(DecodeUnavailable):
-        decode_image(b"\xff\xd8\xff\xe0rest-of-a-jpeg")
+        decode_image(sof2)
 
 
 def _png(w, h):
@@ -197,3 +203,38 @@ def test_decode_image_stats_dataframe(spark):
     )
     rows = decode_image_stats(junk).collect()
     assert len(rows) == 1 and rows[0]["decode_error"] is not None
+
+
+def test_jpeg_roundtrip_psnr():
+    """Baseline JPEG codec (operators/jpeg.py): encode seeded images,
+    decode, assert fidelity (PSNR) across grayscale / RGB 4:4:4 /
+    RGB 4:2:0 / odd dimensions / restart-friendly sizes."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hamerkop_spark.operators.multimodal import decode_image
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    yy, xx = np.mgrid[0:41, 0:55]
+    rgb = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    noise = np.random.RandomState(3).randint(
+        0, 256, size=(17, 23, 3)
+    ).astype(np.uint8)
+
+    cases = [
+        (encode_jpeg(rgb, quality=90), rgb, 45.0),
+        (encode_jpeg(rgb, quality=90, subsampling="4:2:0"), rgb, 40.0),
+        (encode_jpeg(gray, quality=90), gray[:, :, None], 40.0),
+        (encode_jpeg(noise, quality=95), noise, 30.0),
+    ]
+    for enc, want, floor in cases:
+        # both the direct codec and the multimodal dispatch path
+        for dec in (decode_jpeg(enc), decode_image(enc)):
+            assert dec.shape == want.shape
+            assert psnr(want, dec) >= floor
