@@ -253,3 +253,20 @@ def test_ivf_probe_margin_adapts_on_clustered_data(spark):
     n_exact = exact.count()
     hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
     assert hit / n_exact >= 0.95, hit / n_exact
+
+
+def test_ivf_precomputed_centroids_match_trained_path(spark):
+    """`centroids=` amortizes training: passing kmeans_centroids output
+    must produce exactly the per-call train_iterations result."""
+    from hamerkop_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.createDataFrame(
+        _clustered_vecs(n=400, k=8), "vec_id long, embedding array<double>"
+    )
+    q = emb.where(F.col("vec_id") < 20).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 8, 2)
+    a = ivf_topk(emb, q, k=5, k_clusters=8, n_probe=2, centroids=cents)
+    b = ivf_topk(emb, q, k=5, k_clusters=8, n_probe=2, train_iterations=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
