@@ -205,27 +205,85 @@ def incremental_components(
     one — exactly the stability checkpoint/resume needs.
 
     Every node of `prev` survives into the output even when nothing in
-    the new batch touches it: a singleton's (x, x) star edge is a
-    self-loop the closure filters out, so prev's node set is always
-    folded into `nodes`."""
-    star = prev.select(
-        F.col("node").alias("src"), F.col("component").alias("dst")
-    )
-    edges = star.unionByName(
+    the new batch touches it.
+
+    Scale shape (round-3 rewrite): the closure runs on the COMPONENT
+    graph, not the node graph. New-edge endpoints map to their prior
+    labels (one equi-join per side), the distinct (label, label) pairs
+    close — a graph whose node count is the number of prior components
+    plus genuinely-new nodes, orders of magnitude below the corpus —
+    and the result relabels `prev` through one label->label join whose
+    build side is bounded by the component count. Measured at 11M base
+    edges + 1M new: the previous stars+new full closure took the same
+    wall as recomputing from scratch (~130 s); the component-graph fold
+    is join-bound (BASELINE.md). Labels stay the lexicographic min node
+    id: a component's id IS its min node, so the min over merged
+    component ids is the global min — byte-identical to full CC over
+    (original + new), which tests/test_cc.py and the `cc_incremental`
+    oracle row assert."""
+    plab = prev.select("node", "component")
+    e = (
         new_edges.select("src", "dst")
+        .join(
+            plab.select(
+                F.col("node").alias("src"), F.col("component").alias("src_c")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            plab.select(
+                F.col("node").alias("dst"), F.col("component").alias("dst_c")
+            ),
+            "dst",
+            "left",
+        )
     )
-    # `nodes` is the OUTPUT UNIVERSE for connected_components, so it
-    # must contain every prev node (or singletons vanish — their (x, x)
-    # star edge is a self-loop the closure filters) AND every new-edge
-    # endpoint (or fresh nodes vanish), plus whatever the caller adds
-    all_nodes = prev.select("node").unionByName(
+    # endpoints unseen by prev enter as their own (singleton) labels
+    comp_edges = (
+        e.select(
+            F.coalesce("src_c", F.col("src")).alias("src"),
+            F.coalesce("dst_c", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    new_nodes = (
         new_edges.select(F.col("src").alias("node"))
-    ).unionByName(new_edges.select(F.col("dst").alias("node")))
-    if nodes is not None:
-        all_nodes = all_nodes.unionByName(nodes.select("node"))
-    return connected_components(
-        edges,
-        nodes=all_nodes,
+        .unionByName(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    unseen = new_nodes.join(plab.select("node"), "node", "left_anti")
+    comp_nodes = (
+        prev.select(F.col("component").alias("node"))
+        .distinct()
+        .unionByName(unseen)
+    )
+    relab = connected_components(
+        comp_edges,
+        nodes=comp_nodes,
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
     )
+    mapping = relab.select(
+        F.col("node").alias("old_c"), F.col("component").alias("new_c")
+    )
+    out = prev.join(
+        mapping, prev["component"] == mapping["old_c"], "left"
+    ).select(
+        "node", F.coalesce("new_c", F.col("component")).alias("component")
+    )
+    out = out.unionByName(
+        unseen.join(mapping, unseen["node"] == mapping["old_c"]).select(
+            "node", F.col("new_c").alias("component")
+        )
+    )
+    if nodes is not None:
+        extra = (
+            nodes.select("node")
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        out = out.unionByName(extra)
+    return out
