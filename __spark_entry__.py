@@ -476,7 +476,11 @@ def q_f_token_jaccard_docs(spark, sf):
     # token under a common total order, so the candidate set is a
     # guaranteed superset of the thresholded output — and "the"-grade hot
     # tokens almost never land in a prefix.
-    t = F.lit(0.1)
+    # emission keeps det_round(J, 4) >= 0.1, i.e. true J >= 0.09995 —
+    # so the BLOCKING threshold must sit strictly below that boundary
+    # (prefix lengths computed at the emission threshold would be
+    # allowed to miss a pair whose true J rounds UP across it)
+    t_block = F.lit(0.0999)
     da = docs.select("doc_id", toks.alias("toks"))
     tok = da.select("doc_id", F.explode("toks").alias("tok"))
     df_tok = tok.groupBy("tok").agg(F.count("*").alias("df"))
@@ -485,7 +489,7 @@ def q_f_token_jaccard_docs(spark, sf):
         tok.join(df_tok, "tok")
         .withColumn("rn", F.row_number().over(w))
         .join(da.select("doc_id", F.size("toks").alias("s")), "doc_id")
-        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * t) + 1)
+        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * t_block) + 1)
         .select("doc_id", "tok")
     )
     cand = (

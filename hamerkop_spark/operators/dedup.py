@@ -37,9 +37,16 @@ def exact_dedup(
     # exact case this operator exists for (thousands of byte-identical
     # boilerplate pages) is a mega-group that would straggle it. The
     # groupBy gets a map-side partial min before the exchange.
+    #
+    # NULL fingerprints (null text): each row stays its OWN canonical —
+    # the left join misses the null key and dup_of falls back to the
+    # row's id. Deliberate: "no content" is not "identical content"
+    # (a null-grouping window would have merged every null-text doc
+    # into one bogus duplicate cluster).
     canon = keyed.groupBy("fp").agg(F.min(id_col).alias("dup_of"))
     return (
-        keyed.join(canon, "fp")
+        keyed.join(canon, "fp", "left")
+        .withColumn("dup_of", F.coalesce("dup_of", F.col(id_col)))
         .withColumn("is_duplicate", (F.col("dup_of") != F.col(id_col)))
         .drop("fp")
     )

@@ -482,7 +482,7 @@ def _decode_scan(p, start, frame, scan, quant, huff, restart_interval):
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
-        g = np.clip(out_planes[0] + 128.0, 0, 255)
+        g = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
         return g.astype(np.uint8)[:, :, None]
     y, cb, cr = (pl + 128.0 for pl in out_planes)
     cb -= 128.0

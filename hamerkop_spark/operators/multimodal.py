@@ -430,8 +430,13 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     def one(mid, payload):
         try:
             arr = decode_image(payload)
-        except (DecodeUnavailable, ValueError, IndexError) as e:
-            return (mid, None, None, None, None, None, str(e)[:200])
+        # broad by design: junk bytes inside a recognized container can
+        # surface as zlib.error, struct.error, KeyError, RuntimeError...
+        # — ANY decode failure must become a decode_error row, never a
+        # stage failure
+        except Exception as e:  # noqa: BLE001
+            return (mid, None, None, None, None, None,
+                    f"{type(e).__name__}: {e}"[:200])
         h, w, ch = arr.shape
         return (
             mid, int(w), int(h), int(ch),

@@ -243,8 +243,13 @@ def foreach_batch_dedup(
         # read error (corrupt files, transient FS failure) must propagate
         # so the batch retries instead of silently dropping every
         # new-vs-old pair and then committing the under-emitted result.
-        _recover_band_store(state_dir)
-        if os.path.exists(state_dir):
+        # Existence goes through the Hadoop FileSystem API so remote
+        # stores (hdfs://, s3a://) are checked for real — os.path.exists
+        # would be constant-False there and every batch would look like
+        # the first.
+        if _is_local_path(state_dir):
+            _recover_band_store(state_dir)
+        if _fs_exists(spark, state_dir):
             store = spark.read.parquet(state_dir).where(
                 F.col("batch_id") < batch_id
             )
@@ -312,6 +317,23 @@ def foreach_batch_dedup(
     )
 
 
+def _is_local_path(path: str) -> bool:
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme in ("", "file")
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence via the session's Hadoop FileSystem — correct for
+    hdfs:// / s3a:// / file:// alike (os.path.exists is silently False
+    for any non-local store)."""
+    if _is_local_path(path):
+        return os.path.exists(path.removeprefix("file://"))
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
 def _recover_band_store(state_dir: str) -> None:
     """Finish an interrupted compact_band_store swap, if one is pending.
 
@@ -350,7 +372,16 @@ def compact_band_store(
     write-aside + two directory moves, and a crash at any point is
     repaired by `_recover_band_store`, which foreach_batch_dedup invokes
     before every store read — so a reader never observes the mid-swap
-    missing-dir state as an empty store."""
+    missing-dir state as an empty store.
+
+    Local filesystems only (the swap/recovery use directory renames):
+    on hdfs://s3a:// stores, compact by rewriting to a NEW state_dir and
+    repointing the stream instead."""
+    if not _is_local_path(state_dir):
+        raise NotImplementedError(
+            "compact_band_store swaps directories locally; for a remote "
+            "store, rewrite into a new state_dir and repoint the stream"
+        )
     _recover_band_store(state_dir)
     store = spark.read.parquet(state_dir)
     latest = store.agg(F.max("batch_id")).first()[0]

@@ -191,3 +191,20 @@ def test_prefix_filter_blocking_is_lossless_vs_brute_force(spark):
         for r in pairs.where(jc >= t).select("src", "dst").collect()
     }
     assert got == want, (len(got), len(want), got ^ want)
+
+
+def test_exact_dedup_null_text_rows_survive_as_singletons(spark):
+    """Review fix: NULL-text rows must not vanish through the fp
+    equi-join (and must NOT merge with each other — no content is not
+    identical content)."""
+    from hamerkop_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "same text"), ("c", "same text"), ("d", None)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["dup_of"], r["is_duplicate"])
+           for r in exact_dedup(df).collect()}
+    assert got["a"] == ("a", False)
+    assert got["d"] == ("d", False)
+    assert got["b"] == ("b", False) and got["c"] == ("b", True)

@@ -367,3 +367,20 @@ def test_recover_band_store_finishes_interrupted_swap(spark, tmp_path):
     shutil.copytree(state, state + ".old")
     S._recover_band_store(state)
     assert os.path.exists(state) and not os.path.exists(state + ".old")
+
+
+def test_fs_exists_and_remote_compact_guard(spark, tmp_path):
+    """Review fix: store existence goes through the Hadoop FS API (so
+    remote stores resolve truthfully); directory-rename compaction
+    refuses non-local stores instead of silently misbehaving."""
+    import pytest
+
+    import hamerkop_spark.streaming.incremental as S
+
+    p = str(tmp_path / "x")
+    assert not S._fs_exists(spark, p)
+    os.makedirs(p)
+    assert S._fs_exists(spark, p)
+    assert S._fs_exists(spark, "file://" + p)
+    with pytest.raises(NotImplementedError):
+        S.compact_band_store(spark, "hdfs://nn/some/store")

@@ -238,3 +238,32 @@ def test_jpeg_roundtrip_psnr():
         for dec in (decode_jpeg(enc), decode_image(enc)):
             assert dec.shape == want.shape
             assert psnr(want, dec) >= floor
+
+
+def test_decode_image_stats_survives_corrupt_recognized_containers(spark):
+    """Review fix: corrupt payloads inside RECOGNIZED containers
+    (truncated BMP header -> struct.error, corrupt PNG IDAT ->
+    zlib.error) must yield decode_error rows, never a stage failure."""
+    from hamerkop_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image_stats,
+    )
+
+    bad_bmp = b"BM" + b"\x00" * 18  # truncated: struct.error in header
+    bad_png = (b"\x89PNG\r\n\x1a\n"
+               + b"\x00\x00\x00\x0dIHDR"
+               + b"\x00\x00\x00\x04\x00\x00\x00\x04\x08\x02\x00\x00\x00"
+               + b"\x00\x00\x00\x00"
+               + b"\x00\x00\x00\x04IDAT" + b"junk" + b"\x00\x00\x00\x00")
+    media = spark.createDataFrame(
+        [
+            ("bmp0", "image", bytearray(bad_bmp), "image/bmp",
+             (None, None, None, None)),
+            ("png0", "image", bytearray(bad_png), "image/png",
+             (None, None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_image_stats(media).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r["decode_error"] is not None and r["width"] is None
