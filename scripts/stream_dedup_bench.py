@@ -1,0 +1,72 @@
+"""Streaming incremental-dedup throughput: 10 micro-batches x 2,000
+docs, near-dups planted ACROSS batches (so every hit needs the
+accumulated band store), availableNow trigger."""
+import random, sys, time, shutil, os
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from hamerkop_spark.session import get_spark
+import hamerkop_spark.streaming.incremental as S
+
+rng = random.Random(21)
+VOCAB = [f"tok{i:03d}" for i in range(800)]
+base = "/tmp/hk_stream_bench"
+shutil.rmtree(base, ignore_errors=True)
+os.makedirs(f"{base}/in")
+
+spark = get_spark(cores=16, shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+def make_doc(n=60):
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+def perturb(t):
+    ws = t.split()
+    for _ in range(2):
+        ws[rng.randrange(len(ws))] = rng.choice(VOCAB)
+    return " ".join(ws)
+
+n_batches, per_batch = 10, 2000
+texts = {}
+truth = set()
+for b in range(n_batches):
+    rows = []
+    for i in range(per_batch):
+        did = f"b{b:02d}d{i:05d}"
+        if b > 0 and i < 100:  # 100 near-dups of PREVIOUS-batch docs
+            src = f"b{b-1:02d}d{i:05d}"
+            rows.append((did, perturb(texts[src])))
+            truth.add((src, did))
+        else:
+            rows.append((did, make_doc()))
+        texts[did] = rows[-1][1]
+    spark.createDataFrame(rows, "url string, text string").coalesce(1) \
+         .write.mode("overwrite").parquet(f"{base}/in/batch={b:02d}")
+
+stream = (spark.readStream.schema("url string, text string")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(f"{base}/in/batch=*"))
+t0 = time.time()
+q = S.foreach_batch_dedup(
+    stream, f"{base}/state", f"{base}/sink", f"{base}/ckpt",
+    num_hashes=32, num_bands=8,
+).start()
+q.awaitTermination(600)
+wall = time.time() - t0
+pairs = {tuple(sorted((r["src"], r["dst"])))
+         for r in spark.read.parquet(f"{base}/sink").collect()}
+truth_sorted = {tuple(sorted(t)) for t in truth}
+tp = len(pairs & truth_sorted)
+total = n_batches * per_batch
+
+def lineage(did):
+    # near-dup lineages share the doc index i (i < 100): bXXd000NN
+    b, i = int(did[1:3]), int(did[4:])
+    return i if i < 100 else None
+
+same_lineage = sum(
+    1 for a, b2 in pairs
+    if lineage(a) is not None and lineage(a) == lineage(b2)
+)
+print(f"docs={total} batches={n_batches} wall={wall:.1f}s docs_per_sec={total/wall:.0f} "
+      f"adjacent_recall={tp/len(truth_sorted):.3f} found={len(pairs)} "
+      f"lineage_precision={same_lineage/len(pairs) if pairs else 0:.3f}")
