@@ -22,8 +22,13 @@ from pyspark.sql.types import DoubleType
 
 
 def levenshtein_norm(a: Column, b: Column) -> Column:
-    """Normalized edit distance d/max(len) (features.py:201), native."""
-    return F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    """Normalized edit distance d/max(len) (features.py:201), native.
+    Two empty strings are identical -> 0.0 (the greatest(...,1) floor
+    also keeps ANSI mode — Spark 4 default — from raising
+    DIVIDE_BY_ZERO on that pair)."""
+    return F.levenshtein(a, b) / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    )
 
 
 def token_jaccard(a: Column, b: Column) -> Column:

@@ -9,9 +9,12 @@ Persian/Urdu letters), Ge'ez (generated syllabary), the Brahmic
 abugidas Sinhala/Odia/Devanagari/Bengali (inherent vowel + virama +
 dependent signs), kana (digraphs/sokuon/chouon), and arithmetic Hangul
 decomposition; characters without a mapping pass through. Executed as
-an Arrow-batched pandas UDF with the ASCII short-circuit applied BEFORE
-the UDF (a `when` guard keeps ASCII rows out of Python entirely —
-SURVEY.md §4 'ASCII short-circuit').
+an Arrow-batched pandas UDF. The ASCII/English short-circuit exists at
+two levels: the `when` guard in `romanize` fixes the OUTPUT (NULL) for
+those rows, and `add_romanized` (DataFrame split-union) or the UDF's
+internal isascii() fast path keep the WORK off them — a bare when()
+cannot, because ExtractPythonUDFs evaluates python UDFs hoisted out of
+conditionals.
 """
 
 from __future__ import annotations
@@ -489,14 +492,51 @@ def romanize_py(s: str) -> str:
 
 @F.pandas_udf(StringType())
 def romanize_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: romanize_py(x) if x is not None else None)
+    # ASCII fast path INSIDE the UDF: Catalyst's ExtractPythonUDFs
+    # evaluates python UDFs unconditionally — even inside the otherwise()
+    # of a when() guard — so ASCII rows DO cross Arrow into this worker.
+    # str.isascii() is a C-speed byte scan, so the crossing costs
+    # serialization only, never the romanization table walk. (The when()
+    # guard in romanize() decides the SEMANTICS — ASCII rows still come
+    # out NULL — it just cannot prevent the evaluation.)
+    return s.map(
+        lambda x: None if x is None else (x if x.isascii() else romanize_py(x))
+    )
 
 
 def romanize(string_col: Column, lang_col: Column) -> Column:
     """The T9 projector function for preprocess.name_projector: None for
-    English docs and pure-ASCII strings (string.py:145-150) — the guard
-    is a native `when`, so those rows never reach the pandas UDF."""
+    English docs and pure-ASCII strings (string.py:145-150).
+
+    The native `when` guard fixes the OUTPUT for those rows; it does
+    NOT skip the Python crossing — ExtractPythonUDFs hoists the UDF out
+    of the conditional and evaluates it per row regardless (verified),
+    so the UDF itself carries an isascii() fast path and a fully-Latin
+    corpus pays Arrow serialization but no romanization work. To avoid
+    the crossing entirely on mostly-ASCII corpora, use
+    `add_romanized`, which routes only non-ASCII rows through the
+    UDF."""
     is_ascii = string_col.rlike(r"^[\x00-\x7F]*$")
     return F.when(
         (lang_col == "eng") | is_ascii, F.lit(None).cast("string")
     ).otherwise(romanize_udf(string_col))
+
+
+def add_romanized(
+    df, string_col: str, lang_col: str, out_col: str = "translit_string"
+):
+    """DataFrame-level T9 with a REAL ASCII short-circuit: split the
+    frame on the ASCII/English guard, run the pandas UDF only on the
+    non-ASCII partition, union back. Unlike the expression form
+    (`romanize`), guarded rows genuinely never cross Arrow — the shape
+    to use when most of the corpus is Latin-script."""
+    guard = (F.col(lang_col) == "eng") | F.col(string_col).rlike(
+        r"^[\x00-\x7F]*$"
+    )
+    skip = df.where(guard).withColumn(
+        out_col, F.lit(None).cast("string")
+    )
+    roman = df.where(~guard).withColumn(
+        out_col, romanize_udf(F.col(string_col))
+    )
+    return skip.unionByName(roman)

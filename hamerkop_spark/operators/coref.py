@@ -122,7 +122,11 @@ def single_token_match_stage(index: int) -> EdgeGen:
     `index` (0 = first, -1 = last), CI, same doc + type. The reference
     merges the single chain with ALL matches at once, so transitive
     semantics are already its semantics."""
-    element = 1 if index == 0 else index if index > 0 else -1
+    # 0-based `index` -> 1-based element_at position; negatives pass
+    # through (element_at and python share tail semantics). index+1, not
+    # index: mapping positive indexes straight through made index=1
+    # fetch the FIRST token (review fix)
+    element = index + 1 if index >= 0 else index
 
     def run(mentions: DataFrame) -> DataFrame:
         chains = _chains_view(mentions)
@@ -265,6 +269,12 @@ def chains_table(mentions_with_chains: DataFrame) -> DataFrame:
             )
         ).alias("all_strings"),
         F.count("*").alias("n_mentions"),
-        F.first("lang").alias("lang"),
-        F.first("doc_type").alias("doc_type"),
+        # document-order first, NOT F.first (non-deterministic across
+        # partitionings) — lang can vary per mention in multilingual
+        # docs and chains feed checkpointed tables + language routing,
+        # so byte-stable determinism requires an ordered pick
+        F.min_by("lang", F.struct("char_start", "mention_id")).alias("lang"),
+        F.min_by(
+            "doc_type", F.struct("char_start", "mention_id")
+        ).alias("doc_type"),
     )

@@ -206,7 +206,11 @@ def _simhash64(tokens: list) -> int:
     for b in range(64):
         if votes[b] > 0:
             out |= 1 << b
-    return out - (1 << 63)  # signed 64-bit for Spark LongType
+    # two's-complement reinterpretation into a signed 64-bit long (NOT
+    # an unconditional bit-63 flip — that stored a value that is not
+    # the computed SimHash and broke parity with any external
+    # implementation; review fix). Pairwise hamming is unaffected.
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def hash_token(t: str) -> int:

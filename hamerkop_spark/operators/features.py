@@ -285,11 +285,18 @@ def last_name_feature() -> Column:
 def levenshtein_feature() -> Column:
     """F9 LevenshteinFeature (features.py:191-204): min over name pairs of
     editdistance/max(len), lowercased. Native F.levenshtein inside nested
-    higher-order aggregate (JVM, no UDF)."""
+    higher-order aggregate (JVM, no UDF).
+
+    Guards: an EMPTY name array on either side yields 1.0 (max
+    distance) instead of the +Infinity the aggregate's inf seed would
+    leak — build_pairs explicitly admits names=[] KB rows, and one
+    Infinity in a feature vector poisons the linear score and NaNs
+    logistic training. The greatest(...,1) divisor floor keeps a pair
+    of empty STRINGS (distance 0) from raising ANSI DIVIDE_BY_ZERO."""
     xs = F.col("chain_lower")
     ys = F.col("entity_lower")
     inf = F.lit(float("inf"))
-    return F.aggregate(
+    agg = F.aggregate(
         xs,
         inf,
         lambda acc, x: F.least(
@@ -300,11 +307,16 @@ def levenshtein_feature() -> Column:
                 lambda acc2, y: F.least(
                     acc2,
                     F.levenshtein(x, y).cast("double")
-                    / F.greatest(F.length(x), F.length(y)).cast("double"),
+                    / F.greatest(
+                        F.length(x), F.length(y), F.lit(1)
+                    ).cast("double"),
                 ),
             ),
         ),
     )
+    return F.when(
+        (F.size(xs) == 0) | (F.size(ys) == 0), F.lit(1.0)
+    ).otherwise(agg)
 
 
 def jaro_winkler_feature() -> Column:

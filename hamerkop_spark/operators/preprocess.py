@@ -218,7 +218,10 @@ def twitter_username_replacer(username_map: Mapping[str, str]) -> MentionOp:
 
 
 def twitter_hashtag_processor(df: DataFrame) -> DataFrame:
-    """P11 TwitterHashtagProcessor (preprocessor.py:348-368):
+    """P11 TwitterHashtagProcessor — NOT gated on doc_type, matching the
+    reference exactly (preprocessor.py:347-368 processes every
+    '#'-prefixed mention in every document type; only the username
+    replacer checks for tweets) (preprocessor.py:348-368):
     '#CamelCase' -> 'Camel Case' via the reference's [A-Z]*[a-z]* findall.
     Parity: digits are dropped (the reference's own TODO); empty result
     keeps the de-hashed string."""

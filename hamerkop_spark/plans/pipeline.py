@@ -242,7 +242,8 @@ def default_preprocessors() -> list:
         P.garbage_remover,
         P.too_long_mention_remover(6),
         P.twitter_hashtag_processor,
-        # T9 romanizer: native ASCII/English short-circuit keeps Latin
+        # T9 romanizer: ASCII/English rows come out NULL; the UDF's
+        # isascii() fast path keeps the table walk off Latin
         # corpora out of the pandas UDF entirely
         P.name_projector(romanize),
     ]

@@ -126,22 +126,35 @@ class IcebergishCatalog:
             raise SnapshotNotFound(f"table {table!r} does not exist")
         path = os.path.join(self._meta_dir(table), f"v{version}.metadata.json")
         with open(path) as fh:
-            return json.load(fh)
+            meta = json.load(fh)
+        # CAS token for load-modify-write callers: _write_metadata targets
+        # exactly loaded_version + 1, so a commit built from a stale read
+        # CONFLICTS instead of silently erasing an interleaved commit
+        meta["_loaded_version"] = version
+        return meta
 
     def _write_metadata(self, table: str, meta: dict) -> int:
-        """Write vN+1.metadata.json then atomically flip the hint.
+        """Write v(loaded+1).metadata.json then atomically flip the hint.
 
         The data files and the metadata json are invisible until the
         ``os.replace`` — a writer that dies before it leaves only
         unreferenced garbage, never a half-committed table. The
-        exclusive create (``"x"``) is the optimistic-concurrency check:
-        two racing writers both target vN+1, exactly one wins, the
-        other raises CommitConflict (and must re-read + retry), the
+        exclusive create (``"x"``) is the optimistic-concurrency check,
+        COMPARE-AND-SWAP against the version this writer's metadata was
+        READ at (not the current hint — recomputing from the hint would
+        let a writer racing an already-finished commit win with a stale
+        snapshot list and silently drop the other writer's snapshot):
+        of two writers that loaded the same version, exactly one wins,
+        the other raises CommitConflict (and must re-read + retry), the
         same protocol as Iceberg's rename-without-overwrite commit.
         """
+        meta = dict(meta)
+        loaded = meta.pop("_loaded_version", None)
+        if loaded is None:
+            loaded = self._current_version(table) or 0  # fresh table create
         meta_dir = self._meta_dir(table)
         os.makedirs(meta_dir, exist_ok=True)
-        version = (self._current_version(table) or 0) + 1
+        version = loaded + 1
         meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
         try:
             with open(meta_path, "x") as fh:
@@ -271,6 +284,10 @@ class IcebergishCatalog:
             "dir_stats": dir_stats,
             "refs": dict(prior.get("refs", {})) if prior else {},
             "snapshots": (prior["snapshots"] if prior else []) + [snap],
+            # CAS against the version `prior` was READ at (see
+            # _write_metadata) — a commit built from a stale prior must
+            # conflict, not clobber an interleaved commit
+            "_loaded_version": prior["_loaded_version"] if prior else 0,
         }
         self._write_metadata(table, meta)
         return snapshot_id

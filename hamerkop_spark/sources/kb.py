@@ -71,7 +71,13 @@ def cascade_filter(filters: Sequence[EntityFilter]) -> Column:
 def script_name_filter(*scripts: str) -> Callable[[Column], Column]:
     """P16 ScriptBasedNameFilter (io.py:604-637): strip unicode+ascii punct
     (to spaces); keep pure-ASCII names always; keep names fully in an
-    allowed script range."""
+    allowed script range.
+
+    Reference parity note: the regexes exclude the space character, so
+    MULTI-WORD native-script names fail the full-match and are dropped —
+    the reference behaves identically (io.py:622-627 re.match of
+    ^[class]+$ over the space-joined string), so this is preserved, not
+    fixed."""
     ranges = {
         "ge'ez": r"^[ሀ-፿]+$",
         "arabic": r"^[؀-ۿ]+$",

@@ -122,11 +122,18 @@ def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         ts_ns = pdf["ts"].astype("int64").sort_values()
         for t in ts_ns:
             t = int(t)
+            # session_id = session START in epoch millis: unique per
+            # (user, session) BY CONSTRUCTION even across state-timeout
+            # flushes — a per-state counter restarted at 1 after the
+            # timeout removed the state, so a user's later sessions
+            # reused already-emitted (user_id, session_id) keys
+            # (review fix); start-derived ids are also deterministic
+            # under replay.
             if last is None:
-                sid, n, start, last = sid + 1, 1, t, t
+                sid, n, start, last = t // 1_000_000, 1, t, t
             elif t - last > gap_ns:
                 closed.append((sid, n, start, last))
-                sid, n, start, last = sid + 1, 1, t, t
+                sid, n, start, last = t // 1_000_000, 1, t, t
             else:
                 n += 1
                 last = max(last, t)

@@ -360,3 +360,20 @@ def test_compact_after_many_stream_batches(spark, cat):
     # expiry reclaims the small dirs
     cat.expire_snapshots("t", keep_last=1)
     assert cat.table_metrics("t")["dirs"] == 1
+
+
+def test_commit_from_stale_prior_conflicts_instead_of_clobbering(spark, cat):
+    """Review fix: the commit CAS targets the version the writer's prior
+    metadata was READ at — a writer racing an already-finished commit
+    must get CommitConflict, not silently erase the other snapshot."""
+    from hamerkop_spark.sources.catalog import CommitConflict
+
+    cat.commit("t", _df(spark, [(1, "a")]))
+    # simulate two writers loading the same prior: writer A commits...
+    meta_before = cat._load_metadata("t")
+    cat.commit("t", _df(spark, [(2, "b")]), mode="append")
+    # ...writer B (stale prior from before A) must conflict
+    with pytest.raises(CommitConflict):
+        cat._write_metadata("t", meta_before)
+    # and A's snapshot survives
+    assert rows(cat.read("t")) == [(1, "a"), (2, "b")]

@@ -244,3 +244,25 @@ def test_translit_blocking_thai_tamil_e2e(spark):
     ).collect()
     linked = {(r["chain_id"], r["entity_id"]) for r in hits}
     assert linked == {(f"c{i}", f"E{i}") for i in range(len(surfaces))}
+
+
+def test_add_romanized_real_short_circuit(spark):
+    """Review fix: add_romanized routes ONLY non-ASCII rows through the
+    pandas UDF (real short-circuit) and matches the expression-form
+    romanize() semantics: NULL for eng/ASCII, romanized otherwise."""
+    from hamerkop_spark.functions.translit import add_romanized
+
+    df = spark.createDataFrame(
+        [
+            ("a", "London", "eng"),
+            ("b", "plain ascii", "rus"),
+            ("c", "Москва", "rus"),
+            ("d", "القاهرة", "ara"),
+        ],
+        "id string, name string, lang string",
+    )
+    got = {r["id"]: r["translit_string"]
+           for r in add_romanized(df, "name", "lang").collect()}
+    assert got["a"] is None and got["b"] is None
+    assert got["c"] == "Moskva"
+    assert got["d"] == romanize_py("القاهرة")
