@@ -309,11 +309,18 @@ def detect_latin_lang_nb(c: Column, langs: list[str] | None = None) -> Column:
     subtree per step; see the kmeans nearest() note)."""
     langs = langs or NB_LANGS
     scores = nb_lang_scores(c, langs)
+    # Sentinel (score 0.0, i=1): every NB score is a sum of non-negative
+    # weights, so 'no trigram matched any model' (incl. empty/whitespace
+    # text) leaves all scores at 0.0. The sentinel wins that tie (struct
+    # compare: equal s, then i=1 > -idx), maps to index -1 — absent from
+    # the lang map — and the verdict is NULL instead of a fake
+    # 'confident langs[0]'. One array_max; no duplicated score subtrees.
     arr = F.array(
+        F.struct(F.lit(0.0).alias("s"), F.lit(1).alias("i")),
         *[
             F.struct(s.alias("s"), F.lit(-i).alias("i"))
             for i, s in enumerate(scores)
-        ]
+        ],
     )
     best_idx = -F.array_max(arr)["i"]
     m = F.create_map(

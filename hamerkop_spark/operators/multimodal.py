@@ -58,6 +58,14 @@ class DecodeUnavailable(NotImplementedError):
     decoded for real below with zero external dependencies."""
 
 
+class DecodeError(ValueError):
+    """Raised when a payload IS a recognized, supported container but
+    fails to parse — truncated BMP header, corrupt PNG IDAT, damaged
+    JPEG entropy data. Distinct from DecodeUnavailable (format this
+    environment cannot decode at all), so callers can separate
+    'unsupported' from 'corrupt' without a broad except."""
+
+
 # --- real, dependency-free image decoders ---------------------------------
 #
 # PNG (zlib inflate + full filter-type 0-4 unfiltering, bit depth 8,
@@ -209,19 +217,26 @@ def decode_image(payload: bytes) -> "np.ndarray":
     progressive/arithmetic streams surface as DecodeUnavailable)."""
     p = bytes(payload or b"")
     if p[:8] == _PNG_MAGIC:
-        return _decode_png(p)
-    if p[:2] in (b"P6", b"P5"):
-        return _decode_pnm(p)
-    if p[:2] == b"BM":
-        return _decode_bmp(p)
-    if p[:2] == b"\xff\xd8":
+        decoder, fmt = _decode_png, "PNG"
+    elif p[:2] in (b"P6", b"P5"):
+        decoder, fmt = _decode_pnm, "PNM"
+    elif p[:2] == b"BM":
+        decoder, fmt = _decode_bmp, "BMP"
+    elif p[:2] == b"\xff\xd8":
         from hamerkop_spark.operators.jpeg import decode_jpeg
 
-        try:
-            return decode_jpeg(p)
-        except NotImplementedError as e:
-            raise DecodeUnavailable(str(e)) from e
-    raise DecodeUnavailable("unrecognized image container")
+        decoder, fmt = decode_jpeg, "JPEG"
+    else:
+        raise DecodeUnavailable("unrecognized image container")
+    try:
+        return decoder(p)
+    except NotImplementedError as e:  # includes DecodeUnavailable
+        raise DecodeUnavailable(str(e)) from e
+    except Exception as e:
+        # recognized container, corrupt payload: truncated BMP header
+        # (struct.error), bad IDAT (zlib.error), truncated JPEG entropy
+        # data (IndexError) — surface as ONE typed error
+        raise DecodeError(f"corrupt {fmt} payload: {e}") from e
 
 
 def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:

@@ -213,6 +213,89 @@ def ivf_centroids(
     )
 
 
+def _resolve_centroids(
+    corpus: DataFrame,
+    k_clusters: int,
+    train_iterations: int,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    if centroids is not None:
+        return centroids
+    if train_iterations > 0:
+        return kmeans_centroids(
+            corpus, k_clusters, train_iterations, id_col, vec_col
+        )
+    return ivf_centroids(corpus, k_clusters, id_col, vec_col)
+
+
+def _ivf_assign(df: DataFrame, cents: DataFrame, side_id: str, keep: int,
+                margin: float | None = None) -> DataFrame:
+    """Route each row to its `keep` nearest centroids (bounded broadcast
+    crossJoin x k_clusters); with `margin`, keep only centroids within
+    `margin` of the row's best similarity (adaptive multi-probe)."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine_native(F.col("_v"), F.col("centroid"))
+    )
+    w = Window.partitionBy(side_id).orderBy(
+        F.desc("_sim"), F.col("centroid_id")
+    )
+    out = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= keep
+    )
+    if margin is not None:
+        out = out.withColumn(
+            "_best", F.max("_sim").over(Window.partitionBy(side_id))
+        ).where(
+            F.col("_sim") >= F.col("_best") - F.lit(float(margin))
+        ).drop("_best")
+    return out.drop("_sim", "_rn", "centroid")
+
+
+def ivf_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_iterations: int = 0,
+    probe_margin: float | None = None,
+    centroids: DataFrame | None = None,
+) -> int:
+    """MEASURED probe cost for an equivalent `ivf_topk` call: the exact
+    number of candidate pairs its probes-to-lists equi-join scores
+    (sum over probed (query, centroid) of that centroid's list size).
+    With `probe_margin` set this is strictly below the static
+    n_probe/k_clusters cap — telemetry for scripts/ivf_recall.py, so
+    BASELINE.md records a measurement, not a configured ceiling."""
+    cents = _resolve_centroids(
+        corpus, k_clusters, train_iterations, centroids, id_col, vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    list_sizes = (
+        _ivf_assign(c, cents, "neighbor_id", 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    probes = _ivf_assign(q, cents, "query_id", n_probe, margin=probe_margin)
+    total = (
+        probes.join(F.broadcast(list_sizes), "centroid_id")
+        .agg(F.sum("_n"))
+        .first()[0]
+    )
+    return int(total or 0)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -260,33 +343,13 @@ def ivf_topk(
     once per corpus snapshot (checkpoint it), every query batch reuses
     it (measured at 50k vectors: train-once turns a 61 s call into a
     ~13 s query-only call at the same 0.997 recall — BASELINE.md)."""
-    if centroids is not None:
-        cents = centroids
-    elif train_iterations > 0:
-        cents = kmeans_centroids(
-            corpus, k_clusters, train_iterations, id_col, vec_col
-        )
-    else:
-        cents = ivf_centroids(corpus, k_clusters, id_col, vec_col)
+    cents = _resolve_centroids(
+        corpus, k_clusters, train_iterations, centroids, id_col, vec_col
+    )
 
     def assign(df: DataFrame, side_id: str, keep: int,
                margin: float | None = None) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "_sim", cosine_native(F.col("_v"), F.col("centroid"))
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.desc("_sim"), F.col("centroid_id")
-        )
-        out = scored.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= keep
-        )
-        if margin is not None:
-            out = out.withColumn(
-                "_best", F.max("_sim").over(Window.partitionBy(side_id))
-            ).where(
-                F.col("_sim") >= F.col("_best") - F.lit(float(margin))
-            ).drop("_best")
-        return out.drop("_sim", "_rn", "centroid")
+        return _ivf_assign(df, cents, side_id, keep, margin)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

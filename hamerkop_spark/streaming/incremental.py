@@ -352,6 +352,9 @@ def _recover_band_store(state_dir: str) -> None:
     before every store read, so a crashed compaction can never be
     mistaken for 'first batch' (which would silently drop every
     new-vs-old pair)."""
+    # os.path/shutil need the bare local path — a file:// URI (accepted
+    # by _is_local_path) would make every exists() here silently False
+    state_dir = state_dir.removeprefix("file://")
     tmp = state_dir.rstrip("/") + ".compact"
     old = state_dir.rstrip("/") + ".old"
     if not os.path.exists(state_dir):
@@ -389,6 +392,7 @@ def compact_band_store(
             "compact_band_store swaps directories locally; for a remote "
             "store, rewrite into a new state_dir and repoint the stream"
         )
+    state_dir = state_dir.removeprefix("file://")  # bare path for shutil
     _recover_band_store(state_dir)
     store = spark.read.parquet(state_dir)
     latest = store.agg(F.max("batch_id")).first()[0]

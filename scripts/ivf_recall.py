@@ -14,7 +14,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hamerkop_spark.session import get_spark  # noqa: E402
 from hamerkop_spark.operators.similarity import (  # noqa: E402
-    brute_force_topk, ivf_topk,
+    brute_force_topk, ivf_probe_candidates, ivf_topk,
 )
 
 
@@ -48,13 +48,18 @@ def main():
             "query_id", "neighbor_id"
         )
         hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
-        # probe cost: probed-list sizes summed == candidates scored
-        probe_frac = cfg["n_probe"] / cfg["k_clusters"]
+        # MEASURED probe cost: candidates actually scored by the
+        # probes-to-lists join / brute-force pairs (n_corpus * n_q);
+        # the static n_probe/k_clusters cap is printed alongside
+        cands = ivf_probe_candidates(emb, q, **cfg)
+        probe_frac = cands / (n_corpus * n_q)
+        cap_frac = cfg["n_probe"] / cfg["k_clusters"]
         print(
             f"k={cfg['k_clusters']:3d} n_probe={cfg['n_probe']:3d} "
             f"margin={cfg.get('probe_margin')} "
             f"recall@10={hit / n_exact:.4f} "
-            f"max_probe_frac={probe_frac:.3f} corpus={n_corpus}"
+            f"measured_probe_frac={probe_frac:.4f} "
+            f"cap_frac={cap_frac:.3f} corpus={n_corpus}"
         )
 
 

@@ -338,3 +338,23 @@ def test_nb_nonlatin_scripts_still_win(spark):
     got = detect_lang_nb(df, "text", "nb").collect()
     for r in got:
         assert r["nb"] == r["gold"], (r["gold"], r["nb"], r["text"])
+
+
+def test_nb_no_signal_text_is_null_not_english(spark):
+    """Advice r3: null/empty/whitespace/digit-only text has every NB
+    score at 0.0 — that must surface as NULL, not a confident 'eng'
+    (index-0 artifact). Real English must still be detected."""
+    from hamerkop_spark.functions.langid_nb import detect_lang_nb
+
+    rows = [
+        ("null", None), ("empty", ""), ("ws", "   \t\n "),
+        ("digits", "12345 67890 +-*/"),
+        ("eng", "the quick brown fox jumps over the lazy dog and that"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r["nb"] for r in detect_lang_nb(df, "text", "nb").collect()}
+    assert got["null"] is None
+    assert got["empty"] is None
+    assert got["ws"] is None
+    assert got["digits"] is None
+    assert got["eng"] == "eng"

@@ -270,3 +270,34 @@ def test_ivf_precomputed_centroids_match_trained_path(spark):
     a = ivf_topk(emb, q, k=5, k_clusters=8, n_probe=2, centroids=cents)
     b = ivf_topk(emb, q, k=5, k_clusters=8, n_probe=2, train_iterations=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_probe_candidates_measures_join_size(spark):
+    """Advice r3: ivf_probe_candidates reports the MEASURED candidate
+    count of the probes-to-lists join — equal to the full corpus per
+    query at full probe, at or under the static cap at partial probe,
+    and strictly lower again once probe_margin prunes lists."""
+    from hamerkop_spark.operators.similarity import ivf_probe_candidates
+
+    emb = spark.createDataFrame(
+        _clustered_vecs(n=400, k=8), "vec_id long, embedding array<double>"
+    )
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 20).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    n_q = q.count()
+
+    full = ivf_probe_candidates(emb, q, k_clusters=8, n_probe=8)
+    assert full == n * n_q  # probing every list == brute force
+
+    cap = ivf_probe_candidates(emb, q, k_clusters=8, n_probe=2,
+                               train_iterations=3)
+    assert 0 < cap <= n * n_q * (2 / 8) * 2  # within 2x of the cap
+    # (lists are not perfectly balanced, hence the slack)
+
+    margin = ivf_probe_candidates(emb, q, k_clusters=8, n_probe=8,
+                                  train_iterations=3, probe_margin=0.1)
+    # clustered data routes decisively: margin must prune well below
+    # the generous n_probe=8 (== full) cap
+    assert margin < full

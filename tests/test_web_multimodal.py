@@ -267,3 +267,14 @@ def test_decode_image_stats_survives_corrupt_recognized_containers(spark):
     assert len(rows) == 2
     for r in rows.values():
         assert r["decode_error"] is not None and r["width"] is None
+
+    # direct decode_image callers get ONE typed error for corrupt
+    # recognized containers (advice r3): DecodeError, never a raw
+    # struct.error / zlib.error / IndexError
+    import pytest
+
+    from hamerkop_spark.operators.multimodal import DecodeError, decode_image
+
+    for payload in (bad_bmp, bad_png, b"\xff\xd8\xff\xdb\x00\x02"):
+        with pytest.raises(DecodeError):
+            decode_image(payload)
