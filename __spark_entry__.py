@@ -1793,13 +1793,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-yet-driver-recorded queries FIRST: the round-2 sweep
-        # recorded only the first 50 registry entries, so anything new or
-        # previously-missed must not sit at the tail.
+        # Rotation (round 4): the driver records the FIRST 50 registry
+        # entries per round. Round 3 recorded the 50 below the marker;
+        # these 25 were last recorded in round 2 and must not go
+        # >1 round unrecorded (VERDICT r3 #3), so they lead this round.
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "kb_altname_attach": q_kb_altname_attach,
+        "s6_extents_parse": q_s6_extents_parse,
+        "c3_acronym_key": q_c3_acronym_key,
+        "chains_agg": q_chains_agg,
+        "f5_wikipedia_link": q_f5_wikipedia_link,
+        "p7_acronym_replace": q_p7_acronym_replace,
+        "p9_name_stemmer": q_p9_name_stemmer,
+        "p10_twitter_username": q_p10_twitter_username,
+        "p11_hashtag_split": q_p11_hashtag_split,
+        "c4_single_token_merge": q_c4_single_token_merge,
+        "b7_combine_candidates": q_b7_combine_candidates,
+        "b8_cascade_candidates": q_b8_cascade_candidates,
+        "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
+        "r6_cascade_resolver": q_r6_cascade_resolver,
+        "t14_doc_type": q_t14_doc_type,
+        "t15_entity_origin": q_t15_entity_origin,
+        "t5_remove_double_letter": q_t5_remove_double_letter,
+        "t2_unicode_punct": q_t2_unicode_punct,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        # --- recorded in round 3; tail 25 of these age one round ---
         "b_phonetic_soundex": q_b_phonetic_soundex,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # round-3 coverage rows (new)
         "p15_tristate_cascade": q_p15_tristate_cascade,
         "p2_text_normalizer": q_p2_text_normalizer,
         "p4_fix_type": q_p4_fix_type,
@@ -1847,32 +1873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_search": q_ann_cosine_search,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "kb_altname_attach": q_kb_altname_attach,
-        "s6_extents_parse": q_s6_extents_parse,
-        "c3_acronym_key": q_c3_acronym_key,
-        "chains_agg": q_chains_agg,
-        "f5_wikipedia_link": q_f5_wikipedia_link,
-        "p7_acronym_replace": q_p7_acronym_replace,
-        "p9_name_stemmer": q_p9_name_stemmer,
-        "p10_twitter_username": q_p10_twitter_username,
-        "p11_hashtag_split": q_p11_hashtag_split,
-        "c4_single_token_merge": q_c4_single_token_merge,
-        "b7_combine_candidates": q_b7_combine_candidates,
-        "b8_cascade_candidates": q_b8_cascade_candidates,
-        "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
-        "r6_cascade_resolver": q_r6_cascade_resolver,
-        "t14_doc_type": q_t14_doc_type,
-        "t15_entity_origin": q_t15_entity_origin,
-        "t5_remove_double_letter": q_t5_remove_double_letter,
-        "t2_unicode_punct": q_t2_unicode_punct,
-        # md5-derived variants (oracle-expressible hash primitives)
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
     }
 
 

@@ -6,10 +6,25 @@ fed by FeatureRecorder rows, resolver.py:157-189).
 Training data = the R8 FeatureRecorder output (features.
 record_labeled_pairs): one row per (chain, candidate) with feature
 columns and label 1 iff the candidate is a gold link. The model is a
-plain logistic regression fit driver-side with numpy gradient descent —
-labeled supervision is tiny relative to the corpus (sample if not), so
-collecting it is the right boundary; scoring stays a native column
-expression (no model object shipped to executors).
+plain logistic regression; two equivalent fit paths share one
+update rule:
+
+  * `fit_logistic` — numpy full-batch gradient descent after a driver
+    collect; right when labeled supervision is small (the reference's
+    sklearn fit is equally in-memory, resolver.py:337-343);
+  * `fit_logistic_distributed` — the SAME full-batch updates with the
+    per-iteration gradient computed as ONE Spark aggregation
+    (sum((p - y) * x_i) is a map-side-combinable agg over the cached
+    feature table): no row ever reaches the driver, so a labeled-pair
+    table that grows with the corpus (R8 emits one row per candidate
+    pair with gold) trains at any scale. Everything stays JVM-side —
+    the sigmoid/standardization are codegen'd column expressions, not
+    UDFs; the driver holds only (d+1) floats per iteration.
+
+`fit_logistic` auto-delegates to the distributed path above
+`driver_collect_limit` rows, so no caller can accidentally
+`toPandas()` a 10M-row table. Scoring stays a native column
+expression either way (no model object shipped to executors).
 """
 
 from __future__ import annotations
@@ -26,12 +41,19 @@ def fit_logistic(
     lr: float = 0.5,
     l2: float = 1e-3,
     seed: int = 7,
+    driver_collect_limit: int = 1_000_000,
 ) -> dict:
     """Fit w, b on (feature_cols..., label) rows; returns
     {"weights": {col: w}, "bias": b, "n": rows, "train_accuracy": acc}.
 
-    Deterministic: fixed init, full-batch gradient descent.
-    """
+    Deterministic: fixed init, full-batch gradient descent. Inputs
+    larger than `driver_collect_limit` rows take the distributed
+    gradient path instead of collecting (same updates, same answer to
+    float-noise tolerance)."""
+    if labeled.count() > driver_collect_limit:
+        return fit_logistic_distributed(
+            labeled, feature_cols, iterations, lr, l2, seed
+        )
     pdf = labeled.select(*feature_cols, "label").toPandas()
     X = pdf[feature_cols].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
@@ -61,6 +83,94 @@ def fit_logistic(
         "n": int(n),
         "train_accuracy": acc,
     }
+
+
+def fit_logistic_distributed(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    iterations: int = 400,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    seed: int = 7,
+) -> dict:
+    """`fit_logistic` without the driver collect: identical full-batch
+    updates, each iteration's gradient computed by one Spark job.
+
+    Per iteration, with current (w, b) injected as literals:
+
+        z   = sum_i w_i * (x_i - mu_i) / sd_i + b      (codegen'd)
+        p   = sigmoid(clip(z, ±30))
+        agg = [ sum((p-y) * xs_i) for i ] + [ sum(p-y), sum(correct) ]
+
+    — (d + 2) map-side-combinable sums over the cached projection, so
+    shuffle volume per iteration is (d + 2) doubles per task, never
+    rows. Standardization (mu, sd) is the pandas path's two-pass
+    population std, computed as two aggregations up front. 400
+    iterations = 400 small jobs over a cached table: latency-bound on
+    a quiet cluster, and the honest scale shape — gradients have no
+    sufficient statistics to shortcut."""
+    proj = labeled.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col("label").cast("double").alias("label"),
+    ).persist()
+    try:
+        n = proj.count()
+        d = len(feature_cols)
+        stats = proj.agg(
+            *[F.avg(c).alias(f"mu{i}") for i, c in enumerate(feature_cols)]
+        ).first()
+        mu = np.array([stats[f"mu{i}"] for i in range(d)])
+        var = proj.agg(
+            *[
+                F.avg(F.pow(F.col(c) - F.lit(float(mu[i])), 2)).alias(f"v{i}")
+                for i, c in enumerate(feature_cols)
+            ]
+        ).first()
+        sd = np.sqrt(np.array([var[f"v{i}"] for i in range(d)]))
+        sd[sd == 0] = 1.0
+
+        xs = [
+            (F.col(c) - F.lit(float(mu[i]))) / F.lit(float(sd[i]))
+            for i, c in enumerate(feature_cols)
+        ]
+        rng = np.random.RandomState(seed)
+        w = rng.normal(0, 0.01, d)
+        b = 0.0
+
+        def z_expr():
+            z = F.lit(float(b))
+            for i in range(d):
+                z = z + F.lit(float(w[i])) * xs[i]
+            return z
+
+        def p_expr():
+            zc = F.greatest(F.least(z_expr(), F.lit(30.0)), F.lit(-30.0))
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+        for _ in range(iterations):
+            g = p_expr() - F.col("label")
+            row = proj.agg(
+                *[F.sum(g * xs[i]).alias(f"g{i}") for i in range(d)],
+                F.sum(g).alias("gb"),
+            ).first()
+            grad = np.array([row[f"g{i}"] for i in range(d)]) / n
+            w = w - lr * (grad + l2 * w)
+            b = b - lr * (row["gb"] / n)
+
+        correct = (
+            (z_expr() > 0).cast("double") == (F.col("label") > 0.5).cast("double")
+        )
+        acc_row = proj.agg(F.avg(correct.cast("double")).alias("acc")).first()
+        w_raw = w / sd
+        b_raw = float(b - np.sum(w * mu / sd))
+        return {
+            "weights": {c: float(wi) for c, wi in zip(feature_cols, w_raw)},
+            "bias": b_raw,
+            "n": int(n),
+            "train_accuracy": float(acc_row["acc"]),
+        }
+    finally:
+        proj.unpersist()
 
 
 def training_rows_from_gold(

@@ -233,6 +233,13 @@ def default_coref_stages() -> list:
     ]
 
 
+def _dict_fingerprint(d: dict) -> str:
+    import hashlib
+
+    payload = json.dumps(sorted(d.items()), ensure_ascii=False)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def default_preprocessors() -> list:
     from hamerkop_spark.functions.translit import romanize
 
@@ -262,13 +269,28 @@ def run_pipeline(
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
     ngram_max_df: int | None = None,
+    broadcast_postings: bool | str = "auto",
+    broadcast_postings_limit: int = 2_000_000,
+    translation_map: dict | None = None,
     catalog=None,
 ) -> dict:
     """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
     kb_alt_names (DataFrames). Returns dict with every stage DataFrame
     plus the metrics list. Pass `catalog=IcebergishCatalog(...)` to
     checkpoint stages as snapshot-versioned tables instead of plain
-    parquet dirs."""
+    parquet dirs.
+
+    `broadcast_postings`: join strategy for the ngram retrieval.
+    True forces the map-side broadcast hash join (postings must fit in
+    executor memory); False forces the shuffled join (AQE picks the
+    physical strategy and handles hot-ngram skew); "auto" (default)
+    estimates the postings size from ONE cheap scan of kb_names — total
+    formatted-name characters bound the posting rows (one ngram start
+    per char) — and broadcasts only under `broadcast_postings_limit`.
+    The reference's full KB (~23M names, io.py:577) lands far above any
+    sane broadcast, so auto keeps the flagship alive at that scale;
+    the physical join choice never enters the checkpoint fingerprint
+    because both paths produce identical rows."""
     runner = StageRunner(spark, workdir, resume=resume, catalog=catalog)
 
     # 1. ingest + extraction invariant
@@ -284,11 +306,29 @@ def run_pipeline(
         m = extract_mentions(tables["conll"])
         langs = documents.select(F.col("url").alias("doc_id"), "lang")
         m = m.join(langs, "doc_id", "left")
-        for op in default_preprocessors():
+        ops = default_preprocessors()
+        if translation_map:
+            # T7/B6 translate path (reference DictTranslator,
+            # string.py:92-102 feeding TranslatedIndexBasedGenerator,
+            # candidates.py:206-222): populate translate_string so the
+            # exact_translate / ngram_translate generators below have a
+            # probe key
+            ops.append(P.dict_translator(translation_map))
+        for op in ops:
             m = op(m)
         return m
 
-    mentions = runner.run("mentions", mk_mentions, deps=("documents",))
+    mentions = runner.run(
+        "mentions", mk_mentions, deps=("documents",),
+        # translation dict enters the fingerprint only when set (same
+        # rule as ngram_max_df: default must not invalidate existing
+        # checkpoints); the content hash, not the dict, keeps the
+        # params row small
+        params=(
+            {"translation_fp": _dict_fingerprint(translation_map)}
+            if translation_map else None
+        ),
+    )
 
     # 3. KB
     kb_entities = runner.run(
@@ -307,6 +347,23 @@ def run_pipeline(
 
     # 5. blocking cascade (B8): precise key families first, fuzzy ones
     #    fill remaining candidate slots
+    # ngram postings are shared by the ngram and ngram_translit
+    # generators: build once, decide broadcast-vs-shuffled once
+    _postings_state: dict = {}
+
+    def get_postings():
+        if not _postings_state:
+            postings, _ = B.build_ngram_postings(kb_names)
+            if broadcast_postings == "auto":
+                est = (
+                    kb_names.agg(F.sum(F.length("name"))).first()[0] or 0
+                )
+                bc = int(est) <= int(broadcast_postings_limit)
+            else:
+                bc = bool(broadcast_postings)
+            _postings_state.update(postings=postings, broadcast=bc)
+        return _postings_state["postings"], _postings_state["broadcast"]
+
     def mk_candidates():
         sets = []
         for gen in generators:
@@ -318,11 +375,11 @@ def run_pipeline(
                 # retrieval wall 30-70% for <1% candidate loss
                 # (BASELINE.md); None (default) scores every gram like
                 # the reference does
-                postings, _ = B.build_ngram_postings(kb_names)
+                postings, bc = get_postings()
                 sets.append(
                     B.ngram_candidates(
                         chains, postings, limit=candidate_limit,
-                        broadcast_postings=True, max_df=ngram_max_df,
+                        broadcast_postings=bc, max_df=ngram_max_df,
                     )
                 )
             elif gen == "phonetic":
@@ -355,12 +412,32 @@ def run_pipeline(
                     )
                 )
             elif gen == "ngram_translit":
-                postings, _ = B.build_ngram_postings(kb_names)
+                postings, bc = get_postings()
                 sets.append(
                     B.ngram_candidates(
                         chains, postings, name_col="translit_name",
-                        limit=candidate_limit, broadcast_postings=True,
+                        limit=candidate_limit, broadcast_postings=bc,
                         source="ngram_translit",
+                    )
+                )
+            elif gen == "exact_translate":
+                # B6 TranslatedIndexBasedGenerator, exact key
+                # (candidates.py:206-222): blocking join on the chain's
+                # dictionary-translated name (dict_translator output,
+                # requires translation_map)
+                sets.append(
+                    B.exact_match_candidates(
+                        chains, kb_names, name_col="translate_name",
+                        source="exact_translate",
+                    )
+                )
+            elif gen == "ngram_translate":
+                postings, bc = get_postings()
+                sets.append(
+                    B.ngram_candidates(
+                        chains, postings, name_col="translate_name",
+                        limit=candidate_limit, broadcast_postings=bc,
+                        source="ngram_translate",
                     )
                 )
             else:
@@ -463,6 +540,13 @@ def run_pipeline(
         "decisions": decisions,
         "clusters": clusters,
         "metrics": runner.metrics,
+        # observability: which physical join the ngram retrieval took
+        # (None when the candidates stage resumed from checkpoint and
+        # postings were never built this run)
+        "ngram_join": (
+            None if "broadcast" not in _postings_state
+            else ("broadcast" if _postings_state["broadcast"] else "shuffled")
+        ),
     }
 
 

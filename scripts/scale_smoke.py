@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--margin", type=float, default=0.0)
     ap.add_argument("--edit-margin", type=float, default=0.0)
     ap.add_argument("--ngram-max-df", type=int, default=None)
+    ap.add_argument(
+        "--broadcast-postings", default="auto",
+        choices=["auto", "true", "false"],
+        help="ngram retrieval join: broadcast / shuffled / size-based auto",
+    )
     ap.add_argument("--workdir", default="/tmp/hk_scale_smoke")
     ap.add_argument(
         "--generators", default="exact,ngram",
@@ -59,6 +64,9 @@ def main() -> None:
         generators=tuple(args.generators.split(",")),
         margin=args.margin, edit_margin=args.edit_margin,
         ngram_max_df=args.ngram_max_df,
+        broadcast_postings={
+            "auto": "auto", "true": True, "false": False
+        }[args.broadcast_postings],
     )
     wall = round(time.time() - t0, 1)
     f1 = evaluate_pipeline(res, corpus["labeled_pairs"]).asDict()
@@ -71,6 +79,7 @@ def main() -> None:
         "margin": args.margin,
         "edit_margin": args.edit_margin,
         "cores": args.cores,
+        "ngram_join": res["ngram_join"],
         "gen_seconds": gen_s,
         "pipeline_seconds": wall,
         "stages": [

@@ -167,3 +167,37 @@ def test_cascade_stops_after_threshold(spark):
     got = sorted((r["chain_id"], r["entity_id"]) for r in out.collect())
     # c1: source 0 filled the quota -> E2 dropped; c2: nothing earlier -> E3 kept
     assert got == [("c1", "E1"), ("c2", "E3")]
+
+
+def test_ngram_shuffled_path_matches_broadcast_no_bhj(spark):
+    """VERDICT r3 #1 (operator level): broadcast_postings=False must
+    produce IDENTICAL candidates through a plan with ZERO broadcast
+    joins (pure shuffled/AQE path) once auto-broadcast is disabled —
+    the shape that survives a 23M-name KB."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kb_names = B.build_kb_names(mk_kb(spark))
+        postings, _ = B.build_ngram_postings(kb_names)
+        chains = mk_chains(spark, [
+            ("d1", "c1", "GPE", "New York"),
+            ("d1", "c2", "PER", "Jon Smith"),
+        ])
+        shuffled = B.ngram_candidates(
+            chains, postings, broadcast_postings=False
+        )
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+        bcast = B.ngram_candidates(
+            chains, postings, broadcast_postings=True
+        )
+        bplan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bplan  # the hint took
+
+        key = lambda r: (r["chain_id"], r["entity_id"], r["retrieval_rank"])
+        assert sorted(map(key, shuffled.collect())) == sorted(
+            map(key, bcast.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

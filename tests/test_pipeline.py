@@ -118,3 +118,72 @@ def test_resume_invalidates_on_config_change(spark, corpus, tmp_path_factory):
     assert by_stage["scored_pairs"]["resumed"] is True
     assert by_stage["decisions"]["resumed"] is False
     assert by_stage["clusters"]["resumed"] is False
+
+
+def test_ngram_postings_auto_switch_shuffled_f1_green(spark, corpus, tmp_path):
+    """VERDICT r3 #1 (flagship wiring): broadcast_postings='auto' with a
+    limit below the KB's total name chars must take the shuffled join
+    end-to-end, report it in the result, and keep the F1 gate green —
+    the degrade-gracefully path for KBs too big to broadcast."""
+    res = run_pipeline(
+        spark, corpus, str(tmp_path / "shuf"), resume=False,
+        broadcast_postings="auto", broadcast_postings_limit=10,
+    )
+    assert res["ngram_join"] == "shuffled"
+    ev = evaluate_pipeline(res, corpus["labeled_pairs"])
+    assert ev.f1 >= 0.99, ev
+
+    # default auto on the small fixture KB broadcasts (and resumes
+    # leave the choice undecided=None rather than stale)
+    res2 = run_pipeline(
+        spark, corpus, str(tmp_path / "bc"), resume=False,
+    )
+    assert res2["ngram_join"] == "broadcast"
+    res3 = run_pipeline(spark, corpus, str(tmp_path / "bc"), resume=True)
+    assert res3["ngram_join"] is None
+    assert all(m.get("resumed") for m in res3["metrics"])
+
+
+def test_translate_generators_resolve_translated_corpus(spark, tmp_path):
+    """VERDICT r3 #5: on a corpus whose mention surfaces are dictionary-
+    obfuscated (every token reversed), the exact/ngram generators fail
+    (control F1 well below the gate) but the exact_translate /
+    ngram_translate path — dict_translator feeding translate_name probe
+    keys (reference TranslatedIndexBasedGenerator,
+    candidates.py:206-222) — restores F1 >= 0.99."""
+    from hamerkop_spark.operators import blocking as B
+    from hamerkop_spark.sources import kb as KBL
+
+    corpus = dict(make_corpus(spark, n_docs=40, seed=42))
+    # obfuscate every mention token in-place (tag != O); reversal keeps
+    # token length, so conll char offsets and the labeled-pair surface
+    # stay valid
+    corpus["conll"] = corpus["conll"].withColumn(
+        "token",
+        F.when(F.col("tag") != "O", F.reverse(F.col("token"))).otherwise(
+            F.col("token")
+        ),
+    )
+    # translation dictionary: reversed KB surface -> original
+    kb_names = B.build_kb_names(
+        KBL.load_kb(corpus["kb_entities_raw"], corpus["kb_alt_names"])
+    )
+    tmap = {
+        " ".join(t[::-1] for t in r["name"].split()): r["name"]
+        for r in kb_names.select("name").distinct().collect()
+    }
+
+    control = run_pipeline(
+        spark, corpus, str(tmp_path / "control"), resume=False
+    )
+    ev_c = evaluate_pipeline(control, corpus["labeled_pairs"])
+    assert ev_c.f1 < 0.9, ev_c  # exact/ngram genuinely can't link these
+
+    res = run_pipeline(
+        spark, corpus, str(tmp_path / "translate"), resume=False,
+        generators=("exact", "exact_translate", "ngram_translate"),
+        translation_map=tmap,
+    )
+    ev = evaluate_pipeline(res, corpus["labeled_pairs"])
+    assert ev.tp + ev.fn > 0
+    assert ev.f1 >= 0.99, ev

@@ -91,3 +91,33 @@ def test_tune_margin_prefers_smaller_margin_on_ties(spark):
         margins=(0.0, 0.25, 0.5),
     )
     assert out["best_margin"] == 0.0
+
+
+def test_fit_logistic_distributed_matches_pandas_path(spark, tmp_path):
+    """VERDICT r3 #2: the distributed gradient path (one Spark agg per
+    iteration, no driver materialization of rows) must reproduce the
+    numpy path's weights to float-noise tolerance on the acceptance
+    corpus, and auto-engage via driver_collect_limit."""
+    from hamerkop_spark.operators.train import fit_logistic_distributed
+
+    feats = list(STANDARD_FEATURES)
+    train_c = make_corpus(spark, n_docs=30, seed=21, misspell_prob=0.3)
+    tr = run_pipeline(spark, train_c, str(tmp_path / "train"), resume=False)
+    labeled = training_rows_from_gold(
+        tr["scored_pairs"], train_c["ground_truth"], tr["mentions_chained"]
+    )
+    m_np = fit_logistic(labeled, feats, iterations=120)
+    m_sp = fit_logistic_distributed(labeled, feats, iterations=120)
+    assert m_sp["n"] == m_np["n"]
+    for c in feats:
+        assert abs(m_sp["weights"][c] - m_np["weights"][c]) < 1e-9, (
+            c, m_sp["weights"][c], m_np["weights"][c]
+        )
+    assert abs(m_sp["bias"] - m_np["bias"]) < 1e-9
+    assert m_sp["train_accuracy"] == m_np["train_accuracy"]
+
+    # limit below n forces fit_logistic itself onto the distributed path
+    m_auto = fit_logistic(labeled, feats, iterations=120,
+                          driver_collect_limit=10)
+    for c in feats:
+        assert abs(m_auto["weights"][c] - m_sp["weights"][c]) < 1e-12
