@@ -363,10 +363,18 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg(p: bytes) -> np.ndarray:
+def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
     """Baseline sequential JPEG decoder. Returns (H, W, C) uint8 with
     C = 1 (grayscale) or 3 (RGB). Raises NotImplementedError for
-    progressive/arithmetic/12-bit streams."""
+    progressive/arithmetic/12-bit streams.
+
+    `vectorized=True` (default) runs the two-phase decoder: bit-level
+    Huffman parse in Python collecting flat (index, value) coefficient
+    arrays, then ONE batched numpy dezigzag + dequant + IDCT
+    (`_M.T @ (N,8,8) @ _M`, per-slice dgemm — bit-identical to the
+    per-block reference) and a reshape/transpose MCU assembly.
+    `vectorized=False` keeps the original per-MCU reference path;
+    tests assert pixel-exact agreement between the two."""
     pos = 2  # past SOI
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -436,12 +444,342 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                 scan.append(
                     {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
                 )
-            return _decode_scan(
+            decode = _decode_scan_vectorized if vectorized else _decode_scan
+            return decode(
                 p, pos + 2 + seg_len, frame, scan, quant, huff,
                 restart_interval,
             )
         pos += 2 + seg_len
     raise ValueError("no scan found")
+
+
+def _split_entropy_segments(p: bytes, start: int) -> list[bytes]:
+    """Un-stuff the entropy stream (0xFF00 -> 0xFF) from `start` and
+    split it on RSTn markers; scanning runs C-side via bytes.find, not
+    per-byte Python. Returns one bytes segment per restart interval
+    (a single segment when the stream has no restarts)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(p)
+    while i < n:
+        j = p.find(b"\xff", i)
+        if j == -1:
+            cur += p[i:]
+            break
+        cur += p[i:j]
+        nxt = p[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            break  # EOI / next marker terminates the entropy stream
+    segs.append(bytes(cur))
+    return segs
+
+
+_LUT_CACHE: dict = {}
+
+
+def _huffman_value_lut(table: dict, is_dc: bool) -> list[int]:
+    """16-bit-peek Huffman LUT that resolves the SYMBOL AND ITS VALUE
+    FIELD in one list index whenever code_len + value_size <= 16 (the
+    overwhelmingly common case) — the value bits are part of the peeked
+    window, so the table can pre-extend them. AC tables additionally
+    FOLD A SECOND SYMBOL into the same peek when it also fits: either a
+    full second (run, value) pair or the trailing EOB that ends most
+    blocks, so the typical 5-9-bit AC codes resolve two symbols per
+    list index. Entry layout (Python int):
+
+        bits 0-4   TOTAL consumed bits (incl. folded 2nd symbol)
+        bits 5-6   kind: 0 complete (value resolved), 1 EOB, 2 ZRL,
+                   3 fallback (value bits read separately)
+        bits 7-10  run  (AC; 0 for DC)
+        bits 11-27 kind 0: value + 65536   kind 3: value size
+        bits 28-29 ext: 0 none, 1 second (run2, val2) folded,
+                   2 EOB folded after the value (AC kind-0 only)
+        bits 30-33 run2
+        bits 34-50 value2 + 65536
+        bits 51-55 consumed bits of the FIRST symbol alone (kind 0;
+                   runtime uses it when the fold must be declined at
+                   block position 63)
+
+    0 = invalid code. Built with numpy per symbol (canonical codes own
+    contiguous ranges; the value variants inside a range are a
+    vectorized arange transform; the second-symbol fold is one fancy
+    re-index of the single-symbol array) and cached by table CONTENT,
+    so the standard Annex-K tables shared by most JPEGs build once per
+    process, not once per image."""
+    key = (is_dc, tuple(sorted(table.items())))
+    got = _LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    for (code, length), sym in table.items():
+        start = code << (16 - length)
+        span = 1 << (16 - length)
+        run, size = (0, sym) if is_dc else (sym >> 4, sym & 0xF)
+        if size == 0:
+            if not is_dc and run == 15:
+                e = length | (2 << 5)  # ZRL
+            elif not is_dc:
+                e = length | (1 << 5)  # EOB
+            else:
+                e = length | (65536 << 11) | (length << 51)  # DC diff 0
+            lut[start : start + span] = e
+        elif length + size <= 16:
+            idx = np.arange(span, dtype=np.int64)
+            vbits = (idx >> (16 - length - size)) & ((1 << size) - 1)
+            value = np.where(
+                vbits >= (1 << (size - 1)), vbits, vbits - ((1 << size) - 1)
+            )
+            lut[start : start + span] = (
+                (length + size)
+                | (run << 7)
+                | ((value + 65536) << 11)
+                | ((length + size) << 51)
+            )
+        else:
+            lut[start : start + span] = (
+                length | (3 << 5) | (run << 7) | (size << 11)
+            )
+    if not is_dc:
+        # Fold the next symbol where its bits are fully inside the same
+        # 16-bit window. After symbol 1 consumes c1 bits, the window's
+        # remaining 16-c1 bits (zero-padded below) resolve symbol 2 via
+        # one fancy index of the single-symbol array; the fold is valid
+        # only when symbol 2's own consumption fits those known bits —
+        # canonical prefix codes guarantee the entry then depends on no
+        # padding bit.
+        c1 = (lut >> 51) & 31
+        kind1 = (lut >> 5) & 3
+        win = np.arange(1 << 16, dtype=np.int64)
+        e2 = lut[(win << c1) & 0xFFFF]
+        c2 = e2 & 31
+        kind2 = (e2 >> 5) & 3
+        fits = (lut != 0) & (kind1 == 0) & (e2 != 0) & (c1 + c2 <= 16)
+        pair = fits & (kind2 == 0)
+        eob = fits & (kind2 == 1)
+        head = lut & ~np.int64(31)
+        lut = np.where(
+            pair,
+            head
+            | (c1 + c2)
+            | (np.int64(1) << 28)
+            | (((e2 >> 7) & 0xF) << 30)
+            | (((e2 >> 11) & 0x1FFFF) << 34),
+            np.where(eob, head | (c1 + c2) | (np.int64(2) << 28), lut),
+        )
+    out = tuple(lut.tolist())
+    if len(_LUT_CACHE) > 64:  # never grows past a few tables in practice
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _decode_scan_vectorized(p, start, frame, scan, quant, huff,
+                            restart_interval):
+    """Two-phase scan decode (VERDICT r3 #4): phase 1 walks the bit
+    stream in Python (Huffman has no vector shape) with an accumulator
+    + 16-bit-peek LUT — one dict-free list index per symbol, one shift
+    per value field, no per-bit loop; phase 2 is three batched numpy
+    ops per component — flat scatter, dezigzag fancy-index, (N,8,8)
+    matmul IDCT — plus one reshape/transpose that lays every MCU block
+    into the plane with zero per-block Python."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["comp"]["h"] for c in scan)
+    vmax = max(c["comp"]["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # The accumulator refills in 32-bit gulps from a per-segment list
+    # of big-endian words (one list index per gulp; bit offsets stay
+    # word-aligned because refills only ever add whole words). Pad with
+    # 1-bits (spec padding) so the 16-bit peek never runs dry inside
+    # the last symbol; a truncated stream then hits an unassigned
+    # all-ones code -> 'invalid Huffman code' (or exhausts the word
+    # list -> IndexError), still a typed failure at the decode_image
+    # layer.
+    segs = []
+    for s in _split_entropy_segments(p, start):
+        s += b"\xff" * (16 - len(s) % 4)
+        segs.append(tuple(np.frombuffer(s, dtype=">u4").tolist()))
+    luts: dict[tuple[int, bool], list[int]] = {}
+
+    def lut_for(table, is_dc):
+        key = (id(table), is_dc)
+        got = luts.get(key)
+        if got is None:
+            got = luts[key] = _huffman_value_lut(table, is_dc)
+        return got
+
+    # per-slot state in flat lists (dict lookups cost in this loop);
+    # comp_plan rows: (slot, bound packed-append, luts, blocks/MCU).
+    # Each coefficient is ONE append of (flat_index << 17) | (value +
+    # 65536) — the LUT stores values pre-biased, so the hot path does
+    # no value arithmetic at all. MASKS avoids re-building
+    # (1 << n) - 1 per symbol.
+    masks = tuple((1 << n) - 1 for n in range(48))
+    n_slots = len(scan)
+    coef_lists = [[] for _ in range(n_slots)]
+    comp_plan = [
+        (
+            slot,
+            coef_lists[slot].append,
+            lut_for(huff[(0, s["dc"])], True),
+            lut_for(huff[(1, s["ac"])], False),
+            s["comp"]["v"] * s["comp"]["h"],
+        )
+        for slot, s in enumerate(scan)
+    ]
+    nblk = [0] * n_slots
+    dcs = [0] * n_slots
+    seg_i = 0
+    data = segs[0]
+    bpos = 0
+    acc_bits = 0
+    nbits = 0
+    mcu_count = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                seg_i += 1
+                data = segs[seg_i]
+                bpos = 0
+                acc_bits = 0
+                nbits = 0
+                dcs = [0] * n_slots
+            for slot, app, dc_lut, ac_lut, blocks in comp_plan:
+                dc = dcs[slot]
+                base = nblk[slot] * 64
+                for _ in range(blocks):
+                    # the accumulator is masked at REFILL time (garbage
+                    # above nbits never survives a shift-in), so the
+                    # symbol paths below skip per-symbol masking; peeks
+                    # and value extractions mask their own windows
+                    while nbits < 16:
+                        acc_bits = (
+                            (acc_bits & masks[nbits]) << 32
+                        ) | data[bpos]
+                        bpos += 1
+                        nbits += 32
+                    e = dc_lut[(acc_bits >> (nbits - 16)) & 0xFFFF]
+                    if not e:
+                        raise ValueError("invalid Huffman code")
+                    nbits -= e & 31
+                    kind = (e >> 5) & 3
+                    if kind == 0:  # value resolved inside the peek
+                        dc += ((e >> 11) & 0x1FFFF) - 65536
+                    else:  # fallback: code+value didn't fit 16 bits
+                        size = (e >> 11) & 0x1FFFF
+                        while nbits < size:
+                            acc_bits = (
+                                (acc_bits & masks[nbits]) << 32
+                            ) | data[bpos]
+                            bpos += 1
+                            nbits += 32
+                        nbits -= size
+                        v = (acc_bits >> nbits) & masks[size]
+                        dc += (
+                            v if v >= 1 << (size - 1) else v - masks[size]
+                        )
+                    app((base << 17) | (dc + 65536))
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            acc_bits = (
+                                (acc_bits & masks[nbits]) << 32
+                            ) | data[bpos]
+                            bpos += 1
+                            nbits += 32
+                        e = ac_lut[(acc_bits >> (nbits - 16)) & 0xFFFF]
+                        if not e:
+                            raise ValueError("invalid Huffman code")
+                        kind = (e >> 5) & 3
+                        if kind == 0:  # run + value resolved in the peek
+                            run = (e >> 7) & 0xF
+                            ext = (e >> 28) & 3
+                            if ext and k + run < 63:
+                                # folded 2nd symbol is safe: coeff 1
+                                # lands strictly before 63, so the next
+                                # symbol still belongs to this block
+                                nbits -= e & 31
+                                k += run
+                                app(
+                                    ((base + k) << 17)
+                                    | ((e >> 11) & 0x1FFFF)
+                                )
+                                k += 1
+                                if ext == 2:
+                                    break  # folded trailing EOB
+                                k += (e >> 30) & 0xF
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                app(
+                                    ((base + k) << 17)
+                                    | ((e >> 34) & 0x1FFFF)
+                                )
+                                k += 1
+                                continue
+                            nbits -= (e >> 51) & 31  # first symbol only
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            app(((base + k) << 17) | ((e >> 11) & 0x1FFFF))
+                            k += 1
+                            continue
+                        nbits -= e & 31
+                        if kind == 1:
+                            break  # EOB
+                        if kind == 2:
+                            k += 16  # ZRL
+                            continue
+                        k += (e >> 7) & 0xF  # fallback
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        size = (e >> 11) & 0x1FFFF
+                        while nbits < size:
+                            acc_bits = (
+                                (acc_bits & masks[nbits]) << 32
+                            ) | data[bpos]
+                            bpos += 1
+                            nbits += 32
+                        nbits -= size
+                        v = (acc_bits >> nbits) & masks[size]
+                        v = v if v >= 1 << (size - 1) else v - masks[size]
+                        app(((base + k) << 17) | (v + 65536))
+                        k += 1
+                    base += 64
+                nblk[slot] += blocks
+                dcs[slot] = dc
+            mcu_count += 1
+
+    planes = {}
+    for slot, s in enumerate(scan):
+        c = s["comp"]
+        cid = c["id"]
+        n_blocks = nblk[slot]
+        packed = np.asarray(coef_lists[slot], dtype=np.int64)
+        flat = np.zeros(n_blocks * 64, dtype=np.float64)
+        flat[packed >> 17] = (packed & 0x1FFFF) - 65536
+        zz = flat.reshape(n_blocks, 64)
+        coef = np.zeros((n_blocks, 64), dtype=np.float64)
+        coef[:, _ZIGZAG] = zz  # dezigzag, all blocks at once
+        coef = coef.reshape(n_blocks, 8, 8) * quant[c["tq"]][None, :, :]
+        pix = _M.T @ coef @ _M  # batched per-slice dgemm IDCT
+        v_s, h_s = c["v"], c["h"]
+        planes[cid] = (
+            pix.reshape(mcuy, mcux, v_s, h_s, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * v_s * 8, mcux * h_s * 8)
+        )
+    return _planes_to_image(planes, frame, scan, hmax, vmax)
 
 
 def _decode_scan(p, start, frame, scan, quant, huff, restart_interval):
@@ -471,27 +809,38 @@ def _decode_scan(p, start, frame, scan, quant, huff, restart_interval):
                 reader, scan, quant, huff, dc_prev, planes, mx, my
             )
             mcu_count += 1
+    return _planes_to_image(planes, frame, scan, hmax, vmax)
 
+
+def _planes_to_image(planes, frame, scan, hmax, vmax):
+    h, w = frame["h"], frame["w"]
     comps = frame["comps"]
     out_planes = []
     for c in comps:
         plane = planes[c["id"]]
-        # upsample to full resolution (nearest / pixel replication)
+        # upsample to full resolution (nearest / pixel replication);
+        # broadcast+reshape materializes both axes in ONE copy
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            ph, pw = plane.shape
+            plane = np.broadcast_to(
+                plane[:, None, :, None], (ph, ry, pw, rx)
+            ).reshape(ph * ry, pw * rx)
         out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
+        g = out_planes[0] + 128.0
+        np.rint(g, out=g)
+        np.clip(g, 0, 255, out=g)
         return g.astype(np.uint8)[:, :, None]
-    y, cb, cr = (pl + 128.0 for pl in out_planes)
-    cb -= 128.0
-    cr -= 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    yb = y + 128.0
+    out = np.empty((h, w, 3), dtype=np.float64)
+    out[:, :, 0] = yb + 1.402 * cr
+    out[:, :, 1] = yb - 0.344136 * cb - 0.714136 * cr
+    out[:, :, 2] = yb + 1.772 * cb
+    np.rint(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 def _decode_mcu(reader, scan, quant, huff, dc_prev, planes, mx, my):
