@@ -70,7 +70,7 @@ class DecodeError(ValueError):
 #
 # PNG (zlib inflate + full filter-type 0-4 unfiltering, bit depth 8,
 # gray / RGB / palette / gray+alpha / RGBA, non-interlaced), binary
-# PPM/PGM, and uncompressed 24/32-bit BMP. JPEG stays DecodeUnavailable:
+# PPM/PGM, and uncompressed 24/32-bit BMP. JPEG note:
 # its entropy decode is a codec, not a container parse.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -214,7 +214,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a PNG / binary PPM / PGM / uncompressed BMP / baseline
     JPEG payload to an (H, W, C) uint8 array using only the stdlib +
     numpy (JPEG via operators/jpeg.py — baseline sequential Huffman;
-    progressive/arithmetic streams surface as DecodeUnavailable)."""
+    arithmetic/lossless streams surface as DecodeUnavailable;
+    baseline AND progressive both decode)."""
     p = bytes(payload or b"")
     if p[:8] == _PNG_MAGIC:
         decoder, fmt = _decode_png, "PNG"

@@ -61,14 +61,15 @@ def test_multimodal_decode_unrecognized_and_progressive_raise():
 
     with pytest.raises(DecodeUnavailable):
         decode_image(b"xxxx")
-    # progressive JPEG (SOF2) is honestly out of scope for the baseline
-    # codec and must surface as DecodeUnavailable, not a crash
+    # arithmetic-coded JPEG (SOF9) is honestly out of scope and must
+    # surface as DecodeUnavailable, not a crash (progressive SOF2 is
+    # SUPPORTED since round 4 — see the roundtrip test below)
     import struct as st
 
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11)
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + st.pack(">H", 11)
             + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(DecodeUnavailable):
-        decode_image(sof2)
+        decode_image(sof9)
 
 
 def _png(w, h):
@@ -278,3 +279,65 @@ def test_decode_image_stats_survives_corrupt_recognized_containers(spark):
     for payload in (bad_bmp, bad_png, b"\xff\xd8\xff\xdb\x00\x02"):
         with pytest.raises(DecodeError):
             decode_image(payload)
+
+
+def test_jpeg_progressive_roundtrip_bit_identical():
+    """Progressive JPEG (SOF2, spectral selection + successive
+    approximation, libjpeg-style scan script): because the script ends
+    at Al=0, the accumulated coefficients equal the baseline encode's,
+    so the decoded image must be BIT-IDENTICAL to decoding the same
+    image's baseline stream — a far stronger check than PSNR. Covers
+    DC first/refine, banded AC first scans at Al=2/1, AC refinement
+    with EOB-runs + correction bits, grayscale/4:4:4/4:2:0, and
+    non-block-aligned dims."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hamerkop_spark.operators.multimodal import decode_image
+
+    yy, xx = np.mgrid[0:41, 0:55]
+    rgb = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    noise = np.random.RandomState(3).randint(
+        0, 256, size=(17, 23, 3)
+    ).astype(np.uint8)
+    rng = np.random.default_rng(7)
+    big = np.clip(
+        (128 + 90 * np.sin(np.mgrid[0:130, 0:170][1] / 17.0)
+         + rng.normal(0, 15, (130, 170)))[..., None] * np.ones(3),
+        0, 255,
+    ).astype(np.uint8)
+
+    for img, q, sub in [
+        (rgb, 90, "4:4:4"),
+        (rgb, 85, "4:2:0"),
+        (gray, 90, "4:4:4"),
+        (noise, 95, "4:4:4"),
+        (big, 75, "4:2:0"),
+    ]:
+        base = encode_jpeg(img, quality=q, subsampling=sub)
+        prog = encode_jpeg(
+            img, quality=q, subsampling=sub, progressive=True
+        )
+        a = decode_jpeg(base)
+        b = decode_jpeg(prog)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+        # dispatch layer decodes progressive too (no DecodeUnavailable)
+        assert np.array_equal(decode_image(prog), b)
+
+
+def test_jpeg_progressive_header_probe():
+    """SOF2 streams still classify as jpeg with correct dimensions."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import encode_jpeg
+    from hamerkop_spark.operators.multimodal import probe_image_header
+
+    img = (np.arange(24 * 31 * 3) % 256).reshape(24, 31, 3).astype(
+        np.uint8
+    )
+    prog = encode_jpeg(img, quality=80, progressive=True)
+    assert probe_image_header(prog) == ("jpeg", 31, 24)
