@@ -348,7 +348,12 @@ def minhash_signature(
     modulus must NOT exceed a*max(h0)) — native integer arithmetic, so
     the oracle-checkable variant costs one digest per element instead of
     num_hashes digests."""
-    elems = df.select(*id_cols, F.explode(set_col).alias("elem")).distinct()
+    # NO .distinct() on the exploded rows: duplicate elements cannot
+    # change a min, and distinct would cost a full (id, elem) shuffle
+    # BEFORE the aggregation — the partial agg then reduces each
+    # partition to one row per id anyway, so the only shuffle left is
+    # the tiny one-row-per-id exchange
+    elems = df.select(*id_cols, F.explode(set_col).alias("elem"))
     if hash_fn == "md5perm":
         elems = elems.withColumn("_h0", md5_base32(F.col("elem")))
         mins = []
@@ -423,7 +428,9 @@ def minhash_lsh_candidates(
                 char_ngrams(format_ngram_name(F.col("qname")), ngram_size)
             ),
         )
-        .where(F.size("grams") > 0)
+        # no size(grams)>0 filter: minhash_signature's explode drops
+        # empty/null gram sets for free; a filter here would be pushed
+        # into the pre-project stage and re-evaluate char_ngrams per row
     )
     build_names = (
         kb_names.select("type", "entity_id", "name")
@@ -434,7 +441,7 @@ def minhash_lsh_candidates(
                 char_ngrams(format_ngram_name(F.col("name")), ngram_size)
             ),
         )
-        .where(F.size("grams") > 0)
+        # same: explode-in-signature is the filter
     )
     psig = minhash_signature(probe_names, ["type", "qname"], "grams", num_hashes)
     bsig = minhash_signature(

@@ -128,7 +128,13 @@ def minhash_doc_bands(
             "_id",
             F.array_distinct(_shingles_of(F.col("toks"), shingle_k)).alias("sh"),
         )
-        .where(F.size("sh") > 0)
+        # deliberately NO `.where(size(sh) > 0)`: the downstream
+        # minhash_signature explodes `sh`, and explode() of an empty or
+        # null array already yields zero rows — while an explicit filter
+        # gets pushed below the repartition exchange, where it inlines
+        # the ENTIRE tokenize+shingle tree into the single-task scan
+        # stage (evaluated twice: size + isnotnull) and serializes the
+        # hottest compute of the whole job
     )
     sig = minhash_signature(shingled, ["_id"], "sh", num_hashes, hash_fn)
     return minhash_bands(sig, ["_id"], num_bands, rows_per_band, hash_fn)

@@ -57,6 +57,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
+        # from every explode(e) and pushes it through projects AND
+        # exchanges. Every explode in this engine is over a COMPUTED
+        # array (char n-grams, word shingles, LSH bands, salts), so the
+        # inferred filter re-evaluates the full expression tree per row
+        # — and when it lands below a repartition it serializes the
+        # hottest compute into the pre-shuffle scan task (measured 4x on
+        # 20k-doc minhash banding: 6.5s -> 1.5s without the rule).
+        # Generate itself already skips empty/null arrays, so exclusion
+        # is semantics-neutral; nothing here explodes a stored column
+        # where scan-pruning could pay for the recompute.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,6 +1,8 @@
-"""Streaming incremental-dedup throughput: 10 micro-batches x 2,000
-docs, near-dups planted ACROSS batches (so every hit needs the
-accumulated band store), availableNow trigger."""
+"""Streaming incremental-dedup throughput: N micro-batches x B docs
+(default 10 x 2,000; --batches/--per-batch to scale), near-dups
+planted ACROSS batches (so every hit needs the accumulated band
+store), availableNow trigger."""
+import argparse
 import random, sys, time, shutil, os
 import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -25,7 +27,11 @@ def perturb(t):
         ws[rng.randrange(len(ws))] = rng.choice(VOCAB)
     return " ".join(ws)
 
-n_batches, per_batch = 10, 2000
+ap = argparse.ArgumentParser()
+ap.add_argument("--batches", type=int, default=10)
+ap.add_argument("--per-batch", type=int, default=2000)
+args = ap.parse_args()
+n_batches, per_batch = args.batches, args.per_batch
 texts = {}
 truth = set()
 for b in range(n_batches):
