@@ -66,6 +66,10 @@ SCALING_CORES = tuple(
 )
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
 MAX_SCORE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCORE_RUNS", "3"))
+# sample floor per level: r3's driver efficiency (0.828) came from a
+# 2-sample local[2] window with 17% spread; three samples + best-of
+# keeps one noisy window from setting the denominator
+MIN_SCORE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_SCORE_RUNS", "3"))
 # efficiency below this triggers a re-sample of the fast level (ambient
 # load drift, see main()); the hard cap bounds total bench wall-clock
 SCALING_RETRY_THRESHOLD = float(
@@ -211,8 +215,15 @@ def run_scaling_level(cores: int, variants: int, budget_s: float) -> dict:
         score_runs.append(round(time.time() - t1, 3))
         remaining = budget_s - (time.time() - t0)
         # never stop on a single sample: one run can be a slow OR fast
-        # outlier and swings the efficiency ratio in either direction
-        if len(score_runs) >= 2 and remaining < min(score_runs) * 1.3:
+        # outlier and swings the efficiency ratio in either direction.
+        # Below MIN_SCORE_RUNS, keep sampling while ANY soft budget
+        # remains (the caller's hard-cap headroom absorbs at most one
+        # extra run); past the floor, stop when the next run would not
+        # comfortably fit
+        if len(score_runs) >= MIN_SCORE_RUNS:
+            if remaining < min(score_runs) * 1.3:
+                break
+        elif len(score_runs) >= 2 and remaining < 0:
             break
     best = min(score_runs)
     return {

@@ -160,3 +160,48 @@ def test_one_label_per_node_even_without_convergence(spark):
     labels = connected_components(edges, max_iterations=1)
     got = labels.groupBy("node").count().where(F.col("count") > 1).count()
     assert got == 0
+
+
+def test_star_component_correctness(spark):
+    """Hub-and-spokes with the hub mid-order (hot canonical `u` for both
+    star phases): every spoke labels to the min spoke id, chains stay
+    separate."""
+    n_spokes = 2000
+    hub = f"n{n_spokes:05d}"
+    edges = [(hub, f"n{i:05d}") for i in range(n_spokes)]
+    edges += [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(100) if i % 10 != 9]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    labels = connected_components(e)
+    star = labels.where(F.col("node").startswith("n"))
+    assert [
+        r["component"] for r in star.select("component").distinct().collect()
+    ] == ["n00000"]
+    assert star.count() == n_spokes + 1
+
+
+def test_star_skew_round_walls_at_scale(tmp_path):
+    """VERDICT r3 #8: the adversarial star family (one component holding
+    80% of 5M edges) must keep per-round walls bounded — max/median < 2
+    — because both star phases partial-aggregate the hot key map-side
+    before any exchange and AQE splits the residual skewed joins.
+
+    Runs the scale ladder in a subprocess (fresh 16-core JVM; the
+    session fixture's 4-core session must not be disturbed)."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "scripts/cc_scale_ladder.py", "--family", "star", "5.0"],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd="/root/repo",
+    )
+    out = proc.stdout + proc.stderr
+    m = re.search(r"max_over_median=([0-9.]+)", out)
+    assert proc.returncode == 0 and m, out[-2000:]
+    assert float(m.group(1)) < 2.0, out[-2000:]
+    n = re.search(r"components=(\d+)", out)
+    # 1M chain edges in chains of 10 -> ~111k components + the star
+    assert n and 100_000 < int(n.group(1)) < 125_000
