@@ -273,8 +273,20 @@ def foreach_batch_dedup(
         batch_counts = bands.groupBy("band", "bucket").agg(
             F.count("*").alias("bc")
         )
+        relevant = None
         if store is not None:
-            store_counts = store.groupBy("band", "bucket").agg(
+            # ONE store scan per batch: restrict the store to the buckets
+            # this batch touches (AQE broadcasts the small key set) and
+            # cache the slice — both the cap aggregation and the
+            # new-vs-old join read the same InMemoryRelation instead of
+            # scanning the (corpus-sized, ever-growing) store twice. The
+            # slice is bounded by |batch bands| x bucket size, not by
+            # corpus size, so per-batch memory stays flat as the stream
+            # ages; this is what keeps batch cost from growing O(corpus)
+            # at 100 TB (modulo the unavoidable single scan).
+            batch_keys = bands.select("band", "bucket").distinct()
+            relevant = store.join(batch_keys, ["band", "bucket"]).cache()
+            store_counts = relevant.groupBy("band", "bucket").agg(
                 F.count("*").alias("sc")
             )
             totals = batch_counts.join(
@@ -297,7 +309,7 @@ def foreach_batch_dedup(
             .select("src", "dst")
         )
         if store is not None:
-            old = store.join(ok, ["band", "bucket"]).select(
+            old = relevant.join(ok, ["band", "bucket"]).select(
                 "band", "bucket", F.col("_id").alias("dst")
             )
             cross = (
@@ -324,6 +336,8 @@ def foreach_batch_dedup(
             .parquet(state_dir)
         )
         bands.unpersist()
+        if relevant is not None:
+            relevant.unpersist()
 
     return (
         documents_stream.writeStream.foreachBatch(process)
