@@ -293,6 +293,12 @@ def _spawn_level(cores: int, variants: int, budget_s: float) -> dict | None:
     if submit and spark_submit:
         launchers.append(("spark-submit", [
             spark_submit, "--master", f"local[{cores}]",
+            # driver memory must be set HERE: the session builder's
+            # spark.driver.memory is ignored once spark-submit has
+            # already started the JVM (a 1g-default driver slows the
+            # scoring stage ~2x vs the python launcher's 8g and skews
+            # the efficiency ratio)
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             "--conf", "spark.ui.enabled=false",
             "--py-files", _submit_zip(),
             os.path.abspath(__file__),
