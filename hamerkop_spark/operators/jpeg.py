@@ -619,7 +619,14 @@ def _huffman_value_lut(table: dict, is_dc: bool) -> list[int]:
             np.where(eob, head | (c1 + c2) | (np.int64(2) << 28), lut),
         )
     out = tuple(lut.tolist())
-    if len(_LUT_CACHE) > 64:  # never grows past a few tables in practice
+    # Each entry is a 65,536-slot tuple of Python ints (~2.5 MB
+    # resident). Web-crawl JPEGs are commonly mozjpeg-optimized with
+    # per-image custom Huffman tables, so on the decode path most
+    # entries never repeat — a large cap would just pin ~cap x 2.5 MB
+    # in EVERY executor Python worker for near-zero hit rate. Cap 8
+    # covers the standard Annex-K tables (4) plus one custom image's
+    # worth, which is where the real reuse is.
+    if len(_LUT_CACHE) >= 8:
         _LUT_CACHE.clear()
     _LUT_CACHE[key] = out
     return out

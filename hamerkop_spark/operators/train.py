@@ -50,7 +50,10 @@ def fit_logistic(
     larger than `driver_collect_limit` rows take the distributed
     gradient path instead of collecting (same updates, same answer to
     float-noise tolerance)."""
-    if labeled.count() > driver_collect_limit:
+    # bounded guard scan: limit(k+1).count() stops reading at k+1 rows
+    # instead of executing the full upstream lineage twice (once for a
+    # bare count, once for the collect/fit that follows)
+    if labeled.limit(driver_collect_limit + 1).count() > driver_collect_limit:
         return fit_logistic_distributed(
             labeled, feature_cols, iterations, lr, l2, seed
         )

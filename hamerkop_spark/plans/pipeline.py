@@ -359,6 +359,15 @@ def run_pipeline(
                     kb_names.agg(F.sum(F.length("name"))).first()[0] or 0
                 )
                 bc = int(est) <= int(broadcast_postings_limit)
+            elif isinstance(broadcast_postings, str):
+                # a config-plumbed "false"/"true" string would hit
+                # bool("false") == True and force the broadcast join at
+                # exactly the KB scale False exists to survive — refuse
+                # every string except the documented "auto"
+                raise ValueError(
+                    "broadcast_postings must be True, False, or 'auto'; "
+                    f"got string {broadcast_postings!r}"
+                )
             else:
                 bc = bool(broadcast_postings)
             _postings_state.update(postings=postings, broadcast=bc)

@@ -348,7 +348,20 @@ def foreach_batch_dedup(
 
 def _is_local_path(path: str) -> bool:
     scheme = path.split("://", 1)[0] if "://" in path else ""
-    return scheme in ("", "file")
+    return scheme in ("", "file") or path.startswith("file:/")
+
+
+def _strip_file_scheme(path: str) -> str:
+    """Bare local path for os.path/shutil from any authority-less file
+    URI form — 'file:/p', 'file://p', and 'file:///p' all mean '/p'.
+    Handling only the double-slash form would leave 'file:/p' intact,
+    and os.path.exists on that string is constant-False: the store
+    would silently read as 'first batch' forever (every new-vs-old
+    pair dropped). URIs with a non-empty authority (file://host/p)
+    are not local and are not supported here."""
+    if not path.startswith("file:"):
+        return path
+    return "/" + path[len("file:"):].lstrip("/")
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
@@ -356,7 +369,7 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     hdfs:// / s3a:// / file:// alike (os.path.exists is silently False
     for any non-local store)."""
     if _is_local_path(path):
-        return os.path.exists(path.removeprefix("file://"))
+        return os.path.exists(_strip_file_scheme(path))
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -376,7 +389,7 @@ def _recover_band_store(state_dir: str) -> None:
     new-vs-old pair)."""
     # os.path/shutil need the bare local path — a file:// URI (accepted
     # by _is_local_path) would make every exists() here silently False
-    state_dir = state_dir.removeprefix("file://")
+    state_dir = _strip_file_scheme(state_dir)
     tmp = state_dir.rstrip("/") + ".compact"
     old = state_dir.rstrip("/") + ".old"
     if not os.path.exists(state_dir):
@@ -414,7 +427,7 @@ def compact_band_store(
             "compact_band_store swaps directories locally; for a remote "
             "store, rewrite into a new state_dir and repoint the stream"
         )
-    state_dir = state_dir.removeprefix("file://")  # bare path for shutil
+    state_dir = _strip_file_scheme(state_dir)  # bare path for shutil
     _recover_band_store(state_dir)
     store = spark.read.parquet(state_dir)
     latest = store.agg(F.max("batch_id")).first()[0]

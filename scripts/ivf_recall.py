@@ -43,15 +43,29 @@ def main():
         dict(k_clusters=32, n_probe=16, train_iterations=5,
              probe_margin=0.05),
     ]
+    from hamerkop_spark.operators.similarity import kmeans_centroids
+
     for cfg in configs:
-        approx = ivf_topk(emb, q, k=10, **cfg).select(
+        # train the quantizer ONCE per config and hand the same
+        # centroids to both halves: ivf_topk and ivf_probe_candidates
+        # would otherwise each re-run k-means + full corpus assignment
+        # (doubling the dominant cost), and the probe-cost measurement
+        # would correspond to the same quantizer only via k-means
+        # determinism rather than by construction
+        cfg = dict(cfg)
+        cents = kmeans_centroids(
+            emb, cfg["k_clusters"],
+            iterations=cfg.pop("train_iterations"),
+        ).cache()
+        cents.count()
+        approx = ivf_topk(emb, q, k=10, centroids=cents, **cfg).select(
             "query_id", "neighbor_id"
         )
         hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
         # MEASURED probe cost: candidates actually scored by the
         # probes-to-lists join / brute-force pairs (n_corpus * n_q);
         # the static n_probe/k_clusters cap is printed alongside
-        cands = ivf_probe_candidates(emb, q, **cfg)
+        cands = ivf_probe_candidates(emb, q, centroids=cents, **cfg)
         probe_frac = cands / (n_corpus * n_q)
         cap_frac = cfg["n_probe"] / cfg["k_clusters"]
         print(
