@@ -187,3 +187,18 @@ def test_translate_generators_resolve_translated_corpus(spark, tmp_path):
     ev = evaluate_pipeline(res, corpus["labeled_pairs"])
     assert ev.tp + ev.fn > 0
     assert ev.f1 >= 0.99, ev
+
+
+def test_broadcast_postings_rejects_unknown_strings(spark, corpus, tmp_path):
+    """Review r4: bool('false') is True — a config-plumbed string other
+    than 'auto' must raise instead of silently forcing the broadcast
+    join at exactly the scale False exists to survive."""
+    import pytest
+
+    from hamerkop_spark.plans.pipeline import run_pipeline
+
+    with pytest.raises(ValueError, match="broadcast_postings"):
+        run_pipeline(
+            spark, corpus, str(tmp_path / "wd"), resume=False,
+            broadcast_postings="false",
+        )

@@ -384,3 +384,24 @@ def test_fs_exists_and_remote_compact_guard(spark, tmp_path):
     assert S._fs_exists(spark, "file://" + p)
     with pytest.raises(NotImplementedError):
         S.compact_band_store(spark, "hdfs://nn/some/store")
+
+
+def test_strip_file_scheme_all_local_uri_forms(spark, tmp_path):
+    """Review r4: 'file:/p' (single slash) is as valid as 'file://p' and
+    'file:///p' — all three must resolve to the bare path, and
+    _fs_exists must see a real directory through every form (a missed
+    form reads as 'first batch' forever and silently drops every
+    new-vs-old pair)."""
+    from hamerkop_spark.streaming.incremental import (
+        _fs_exists, _is_local_path, _strip_file_scheme,
+    )
+
+    d = str(tmp_path / "store")
+    import os
+    os.makedirs(d)
+    for form in (d, f"file:{d}", f"file://{d}", f"file:///{d.lstrip('/')}"):
+        assert _is_local_path(form), form
+        assert _strip_file_scheme(form) == d, form
+        assert _fs_exists(spark, form), form
+    assert _strip_file_scheme("s3a://bucket/x") == "s3a://bucket/x"
+    assert not _is_local_path("s3a://bucket/x")
