@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hamerkop_spark.functions.phonetic import metaphone_udf, soundex_key
@@ -474,7 +474,9 @@ def minhash_lsh_candidates(
 def combine_candidates(*candidate_sets: DataFrame) -> DataFrame:
     """B7 CombiningGenerator (candidates.py:102-118): union all, dedupe by
     (chain, entity) keeping the earliest (source order, rank)."""
-    union = candidate_sets[0]
+    if not candidate_sets:
+        raise ValueError("combine_candidates: no candidate sets given")
+    union = None
     for i, cs in enumerate(candidate_sets):
         cs = cs.withColumn("source_rank", F.lit(i))
         union = cs if i == 0 else union.unionByName(cs)
@@ -502,6 +504,8 @@ def cascade_candidates(
     cumulative distinct-entity count from sources < s is below the
     threshold (the reference checks AFTER adding each generator, so the
     generator that crosses the line is still fully included)."""
+    if not candidate_sets:
+        raise ValueError("cascade_candidates: no candidate sets given")
     union = None
     for i, cs in enumerate(candidate_sets):
         cs = cs.withColumn("source_rank", F.lit(i))

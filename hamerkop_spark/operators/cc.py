@@ -25,11 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
-
-
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

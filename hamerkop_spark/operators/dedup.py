@@ -364,9 +364,19 @@ def ngram_jaccard_pairs(
     explode char-n-grams -> drop ultra-common grams (df > max_df) ->
     self-join postings -> |A∩B| per pair -> Jaccard with |A|,|B|.
 
-    Correct (not approximate) but quadratic in bucket size; max_df is the
-    block cap. Use minhash_dedup_pairs at full scale; this is the
-    verifier/oracle-friendly variant."""
+    Jaccard is computed over the POST-DROP gram universe on BOTH sides
+    of the ratio: set sizes come from the bounded postings, the same
+    rows the intersection counts. Mixing universes (full-set sizes,
+    bounded intersection — review r4) depressed the score of genuinely
+    identical boilerplate-heavy docs below min_jaccard (shared hot
+    grams counted in |A|+|B| but never in |A∩B|), while the consistent
+    universe keeps identical docs at 1.0 AND still suppresses
+    boilerplate-only pairs (their shared grams are exactly the dropped
+    ones, so they produce no intersection row at all).
+
+    Exact Jaccard over that universe (not approximate) but quadratic in
+    bucket size; max_df is the block cap. Use minhash_dedup_pairs at
+    full scale; this is the verifier/oracle-friendly variant."""
     grams = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -375,8 +385,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     )
-    sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
     bounded = _drop_hot_keys(grams, ["g"], max_df)
+    sizes = bounded.groupBy("_id").agg(F.count("*").alias("sz"))
     a = bounded.select("g", F.col("_id").alias("src"))
     b = bounded.select("g", F.col("_id").alias("dst"))
     inter = (

@@ -97,27 +97,6 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[j] = ±1 derived from
-    xxhash64(plane, j) — deterministic, no stored model, identical on
-    every executor and every run (resume-safe)."""
-    dot = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (F.pmod(F.xxhash64(F.lit(plane), j), F.lit(2)) * 2 - 1).cast(
-                    "double"
-                ),
-            ),
-            lambda x, h: x * h,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (dot >= 0).cast("int")
-
-
 def lsh_bucket(vec: Column, dim: int, num_planes: int = 12) -> Column:
     """Random-hyperplane LSH bucket id: the concatenated sign bits."""
     bits = F.transform(

@@ -175,6 +175,12 @@ def documents_table(conll: DataFrame) -> DataFrame:
     (Document, core.py:257-277)."""
     w = Window.partitionBy("doc_id").orderBy("row_idx")
     toks = conll.withColumn("token_idx", F.row_number().over(w) - 1)
+    # sentence-major sort key = the sentence's FIRST token index, not
+    # the sent_id string: ids like 'segment-10' sort lexicographically
+    # before 'segment-2' (review r4), which would interleave sentence
+    # blocks out of document order in any doc with 10+ sentences
+    sent_w = Window.partitionBy("doc_id", "sent_id")
+    toks = toks.withColumn("sent_first", F.min("token_idx").over(sent_w))
     return toks.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("token_idx", "token"))),
@@ -182,7 +188,7 @@ def documents_table(conll: DataFrame) -> DataFrame:
         ).alias("tokens"),
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct("sent_id", "token_idx", "token"))
+                F.collect_list(F.struct("sent_first", "token_idx", "token"))
             ),
             lambda s: s["token"],
         ).alias("sent_tokens"),

@@ -118,9 +118,18 @@ def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         sid, n, start, last = 0, 0, None, None
 
     closed = []
-    for pdf in pdf_iter:
-        ts_ns = pdf["ts"].astype("int64").sort_values()
-        for t in ts_ns:
+    # Gather EVERY Arrow chunk before sorting: a group larger than
+    # arrow.maxRecordsPerBatch arrives as several pandas chunks in
+    # unspecified order, and a per-chunk sort would feed the gap logic
+    # timestamps that go backwards across chunk boundaries — merging
+    # events that straddle a real gap and corrupting session_start
+    # (review r4). Memory is bounded by the group's events in this
+    # micro-batch (the same bound the per-chunk path already implied
+    # for a single chunk).
+    parts = [pdf["ts"].astype("int64") for pdf in pdf_iter]
+    if parts:
+        all_ts = pd.concat(parts).sort_values()
+        for t in all_ts:
             t = int(t)
             # session_id = session START in epoch millis: unique per
             # (user, session) BY CONSTRUCTION even across state-timeout
@@ -174,9 +183,13 @@ def foreach_batch_linker(
     checkpoint_dir: str,
 ):
     """Per-micro-batch entity linking: run the batch exact-blocking stage
-    on each arriving document batch against the static KB and append
+    on each arriving document batch against the static KB and write
     decisions. The KB side is a static DataFrame — stream-static joins
-    are the supported shape; exactly-once via the streaming checkpoint."""
+    are the supported shape. Replay safety: foreachBatch is
+    at-least-once, so the sink is written with dynamic partition
+    overwrite on batch_id (like foreach_batch_dedup) — a replayed
+    batch REWRITES its own partition instead of appending duplicate
+    decision rows (review r4)."""
     from hamerkop_spark.operators.blocking import exact_match_candidates
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -187,8 +200,12 @@ def foreach_batch_linker(
             F.col("text").alias("name"),
         )
         hits = exact_match_candidates(chains, kb_names)
-        hits.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            sink_dir
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
         )
 
     return (

@@ -102,3 +102,22 @@ def test_documents_table(spark):
     df = documents_table(mk(spark, [("a", "O"), ("b", "B-PER"), ("c", "O")]))
     r = df.collect()[0]
     assert r["tokens"] == ["a", "b", "c"]
+
+
+def test_documents_table_sentence_order_ten_plus_segments(spark):
+    """Review r4: sent_id is a STRING ('segment-10' < 'segment-2'
+    lexicographically) — sent_tokens must follow document order via the
+    numeric first-token key, not the id string."""
+    data = []
+    pos = 1
+    toks = []
+    for seg in range(12):
+        tok = f"w{seg:02d}"
+        toks.append(tok)
+        data.append((tok, "O", "IL5_NW_d1", pos, pos + len(tok) - 1,
+                     f"segment-{seg}", pos))
+        pos += len(tok) + 1
+    df = documents_table(spark.createDataFrame(data, CONLL))
+    r = df.collect()[0]
+    assert r["tokens"] == toks
+    assert r["sent_tokens"] == toks  # document order, not 0,1,10,11,2,...

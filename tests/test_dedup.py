@@ -208,3 +208,26 @@ def test_exact_dedup_null_text_rows_survive_as_singletons(spark):
     assert got["a"] == ("a", False)
     assert got["d"] == ("d", False)
     assert got["b"] == ("b", False) and got["c"] == ("b", True)
+
+
+def test_ngram_jaccard_consistent_universe_with_hot_grams(spark):
+    """Review r4: identical docs that share ultra-common (dropped) grams
+    must still score jaccard 1.0 — sizes and intersection now use the
+    SAME post-drop gram universe — while boilerplate-only pairs stay
+    unpaired (their shared grams are exactly the dropped ones)."""
+    import hamerkop_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    boiler = "aaaaaaaa"  # one 5-gram universe: 'aaaaa' x4 -> distinct 'aaaaa'
+    rows = [(f"d{i}", boiler) for i in range(10)]  # boilerplate-only docs
+    uniq = "zqxjkvwpy"
+    rows += [("x1", boiler + " " + uniq), ("x2", boiler + " " + uniq)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=5, min_jaccard=0.99, max_df=5
+    ).collect()
+    # x1/x2 identical -> 1.0 despite sharing the hot boilerplate gram;
+    # the 10 boilerplate-only docs share ONLY dropped grams -> no pairs
+    assert [(r["src"], r["dst"], r["jaccard"]) for r in pairs] == [
+        ("x1", "x2", 1.0)
+    ]

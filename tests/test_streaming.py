@@ -405,3 +405,65 @@ def test_strip_file_scheme_all_local_uri_forms(spark, tmp_path):
         assert _fs_exists(spark, form), form
     assert _strip_file_scheme("s3a://bucket/x") == "s3a://bucket/x"
     assert not _is_local_path("s3a://bucket/x")
+
+
+def test_sessionize_multi_chunk_out_of_order(spark, tmp_path):
+    """Review r4: a group spanning several Arrow chunks must be sorted
+    ACROSS chunks — with maxRecordsPerBatch=1 and events written in the
+    order [60min, 0min, 120min], a per-chunk sort feeds the gap logic a
+    backwards timestamp and merges the first two events into one
+    session; the global sort yields two CLOSED single-event sessions."""
+    import datetime
+
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [(1, base + datetime.timedelta(minutes=m)) for m in (60, 0, 120)]
+    d = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1) \
+        .write.parquet(d)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+        out = run_stream(S.sessionize_events(stream), spark, "sess_chunk")
+        got = sorted(
+            (r["session_start"], r["n_events"]) for r in out.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # events at 0 and 60 min must close as SEPARATE single-event
+    # sessions (the per-chunk-sort bug merged them into one n=2
+    # session starting at 60min); the 120-min session may or may not
+    # have been flushed by the processing-time timeout
+    assert (base, 1) in got
+    assert (base + datetime.timedelta(minutes=60), 1) in got
+    assert all(n == 1 for _, n in got)
+
+
+def test_foreach_batch_linker_replay_idempotent(spark, tmp_path):
+    """Review r4: foreachBatch is at-least-once — re-delivering batch 0
+    (fresh checkpoint, same sink) must REWRITE its batch_id partition,
+    not append duplicate decision rows."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [("http://x/1", ts,
+             bytearray(wrap_text_as_html("John Smith", "u")),
+             "John Smith", "eng")]
+    pages_d = str(tmp_path / "p")
+    spark.createDataFrame(rows, PAGES).write.parquet(pages_d)
+    kb_names = spark.createDataFrame(
+        [("E1", "PER", "john smith", 0, "john smith")],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    sink = str(tmp_path / "sink")
+    for attempt in ("ckpt_a", "ckpt_b"):  # second run replays batch 0
+        docs = S.stream_documents(spark, pages_d)
+        q = S.foreach_batch_linker(
+            docs, kb_names, sink, str(tmp_path / attempt)
+        ).start()
+        q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    assert [(r["doc_id"], r["entity_id"]) for r in got] == [
+        ("http://x/1", "E1")
+    ]
