@@ -1793,61 +1793,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation (round 4): the driver records the FIRST 50 registry
-        # entries per round. Round 3 recorded the 50 below the marker;
-        # these 25 were last recorded in round 2 and must not go
-        # >1 round unrecorded (VERDICT r3 #3), so they lead this round.
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "kb_altname_attach": q_kb_altname_attach,
-        "s6_extents_parse": q_s6_extents_parse,
-        "c3_acronym_key": q_c3_acronym_key,
-        "chains_agg": q_chains_agg,
-        "f5_wikipedia_link": q_f5_wikipedia_link,
-        "p7_acronym_replace": q_p7_acronym_replace,
-        "p9_name_stemmer": q_p9_name_stemmer,
-        "p10_twitter_username": q_p10_twitter_username,
-        "p11_hashtag_split": q_p11_hashtag_split,
-        "c4_single_token_merge": q_c4_single_token_merge,
-        "b7_combine_candidates": q_b7_combine_candidates,
-        "b8_cascade_candidates": q_b8_cascade_candidates,
-        "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
-        "r6_cascade_resolver": q_r6_cascade_resolver,
-        "t14_doc_type": q_t14_doc_type,
-        "t15_entity_origin": q_t15_entity_origin,
-        "t5_remove_double_letter": q_t5_remove_double_letter,
-        "t2_unicode_punct": q_t2_unicode_punct,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        # --- recorded in round 3; tail 25 of these age one round ---
-        "b_phonetic_soundex": q_b_phonetic_soundex,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "p15_tristate_cascade": q_p15_tristate_cascade,
-        "p2_text_normalizer": q_p2_text_normalizer,
-        "p4_fix_type": q_p4_fix_type,
-        "p8_name_projector": q_p8_name_projector,
-        "t7_dict_translator": q_t7_dict_translator,
-        "t4_single_space": q_t4_single_space,
-        "b4_type_conflation": q_b4_type_conflation,
-        "f_bundle_native": q_f_bundle_native,
-        "r8_labeled_pairs": q_r8_labeled_pairs,
-        "s3_bio_chunker": q_s3_bio_chunker,
-        "b10_candidate_recall": q_b10_candidate_recall,
-        "b11_kb_recall": q_b11_kb_recall,
-        "c7_muc_b3": q_c7_muc_b3,
-        "r7_type_gate": q_r7_type_gate,
-        "c5_lang_gate": q_c5_lang_gate,
-        "c6_type_gate": q_c6_type_gate,
-        "t3_emoji_strip": q_t3_emoji_strip,
-        "r9_resolver_report": q_r9_resolver_report,
-        "p16_script_filter": q_p16_script_filter,
-        "p17_language_name_filter": q_p17_language_name_filter,
-        "f11_feature_vector": q_f11_feature_vector,
-        "c1_cascade_coref": q_c1_cascade_coref,
+        # Rotation (round 5): the driver records the FIRST 50 registry
+        # entries per round; no row may go 2 consecutive rounds
+        # unrecorded (VERDICT r3 #3 / r4 missing #1). These 25 were
+        # last recorded in round 3 (they tailed the round-4 registry),
+        # so they MUST lead this round.
         "flagship_pricing": q_flagship_pricing,
         "t1_remove_punct": q_t1_remove_punct,
         "t6_ngram_explode": q_t6_ngram_explode,
@@ -1873,6 +1823,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_search": q_ann_cosine_search,
+        # --- recorded in round 4; these 25 fill out this round's 50 ---
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "kb_altname_attach": q_kb_altname_attach,
+        "s6_extents_parse": q_s6_extents_parse,
+        "c3_acronym_key": q_c3_acronym_key,
+        "chains_agg": q_chains_agg,
+        "f5_wikipedia_link": q_f5_wikipedia_link,
+        "p7_acronym_replace": q_p7_acronym_replace,
+        "p9_name_stemmer": q_p9_name_stemmer,
+        "p10_twitter_username": q_p10_twitter_username,
+        "p11_hashtag_split": q_p11_hashtag_split,
+        "c4_single_token_merge": q_c4_single_token_merge,
+        "b7_combine_candidates": q_b7_combine_candidates,
+        "b8_cascade_candidates": q_b8_cascade_candidates,
+        "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
+        "r6_cascade_resolver": q_r6_cascade_resolver,
+        "t14_doc_type": q_t14_doc_type,
+        "t15_entity_origin": q_t15_entity_origin,
+        "t5_remove_double_letter": q_t5_remove_double_letter,
+        "t2_unicode_punct": q_t2_unicode_punct,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        # --- recorded in round 4; tail 25 age one round and MUST lead
+        # the round-6 registry ---
+        "b_phonetic_soundex": q_b_phonetic_soundex,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "p15_tristate_cascade": q_p15_tristate_cascade,
+        "p2_text_normalizer": q_p2_text_normalizer,
+        "p4_fix_type": q_p4_fix_type,
+        "p8_name_projector": q_p8_name_projector,
+        "t7_dict_translator": q_t7_dict_translator,
+        "t4_single_space": q_t4_single_space,
+        "b4_type_conflation": q_b4_type_conflation,
+        "f_bundle_native": q_f_bundle_native,
+        "r8_labeled_pairs": q_r8_labeled_pairs,
+        "s3_bio_chunker": q_s3_bio_chunker,
+        "b10_candidate_recall": q_b10_candidate_recall,
+        "b11_kb_recall": q_b11_kb_recall,
+        "c7_muc_b3": q_c7_muc_b3,
+        "r7_type_gate": q_r7_type_gate,
+        "c5_lang_gate": q_c5_lang_gate,
+        "c6_type_gate": q_c6_type_gate,
+        "t3_emoji_strip": q_t3_emoji_strip,
+        "r9_resolver_report": q_r9_resolver_report,
+        "p16_script_filter": q_p16_script_filter,
+        "p17_language_name_filter": q_p17_language_name_filter,
+        "f11_feature_vector": q_f11_feature_vector,
+        "c1_cascade_coref": q_c1_cascade_coref,
     }
 
 
