@@ -210,27 +210,191 @@ def _decode_bmp(p: bytes) -> "np.ndarray":
     return arr[:, :, [2, 1, 0, 3]]
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode a PNG / binary PPM / PGM / uncompressed BMP / baseline
-    JPEG payload to an (H, W, C) uint8 array using only the stdlib +
-    numpy (JPEG via operators/jpeg.py — baseline sequential Huffman;
-    arithmetic/lossless streams surface as DecodeUnavailable;
-    baseline AND progressive both decode)."""
+def detect_image_format(payload: bytes) -> str | None:
+    """Container sniff by magic bytes: PNG / PNM / BMP / JPEG, else None."""
     p = bytes(payload or b"")
     if p[:8] == _PNG_MAGIC:
-        decoder, fmt = _decode_png, "PNG"
-    elif p[:2] in (b"P6", b"P5"):
-        decoder, fmt = _decode_pnm, "PNM"
-    elif p[:2] == b"BM":
-        decoder, fmt = _decode_bmp, "BMP"
-    elif p[:2] == b"\xff\xd8":
+        return "PNG"
+    if p[:2] in (b"P6", b"P5"):
+        return "PNM"
+    if p[:2] == b"BM":
+        return "BMP"
+    if p[:2] == b"\xff\xd8":
+        return "JPEG"
+    return None
+
+
+def _builtin_decoder(fmt: str):
+    if fmt == "JPEG":
         from hamerkop_spark.operators.jpeg import decode_jpeg
 
-        decoder, fmt = decode_jpeg, "JPEG"
-    else:
-        raise DecodeUnavailable("unrecognized image container")
+        return decode_jpeg
+    return {"PNG": _decode_png, "PNM": _decode_pnm, "BMP": _decode_bmp}[fmt]
+
+
+# --- pluggable codec registry ----------------------------------------------
+#
+# The built-in pure-Python decoders are correct and dependency-free but
+# JPEG entropy decode plateaus at ~1 MB/s/core (operators/jpeg.py) — at
+# crawl scale a native codec is 30-100x faster. The registry lets a
+# deployment plug one in without touching any operator: entries are
+# tried highest-priority-first for their declared formats, any failure
+# falls through to the next entry and finally to the built-in decoder,
+# which stays the correctness oracle (tests assert pixel parity between
+# paths). `probe_native_codecs()` auto-registers Pillow / OpenCV /
+# simplejpeg when importable; none ship in this sandbox, so the default
+# chain here is [builtin] and tests exercise the registry with
+# injected codecs both ways (used, and failing->fallback).
+# Reference analog: hamerkop delegates ITS heaviest kernel the same way
+# (uroman shells out to Perl, string.py:135-155).
+
+_CODEC_REGISTRY: list[dict] = []
+_NATIVE_PROBED = False
+
+
+def register_codec(
+    name: str,
+    decode_fn,
+    formats: tuple = ("JPEG",),
+    priority: int = 50,
+) -> None:
+    """Register a native decode path. `decode_fn(payload: bytes) ->
+    np.ndarray (H, W, C) uint8` for any of `formats`; raise to decline a
+    payload (the chain falls through). Re-registering a name replaces
+    the old entry."""
+    unregister_codec(name)
+    _CODEC_REGISTRY.append(
+        {
+            "name": name,
+            "fn": decode_fn,
+            "formats": tuple(f.upper() for f in formats),
+            "priority": int(priority),
+        }
+    )
+    _CODEC_REGISTRY.sort(key=lambda c: -c["priority"])
+
+
+def unregister_codec(name: str) -> None:
+    _CODEC_REGISTRY[:] = [c for c in _CODEC_REGISTRY if c["name"] != name]
+
+
+def registered_codecs() -> list[str]:
+    return [c["name"] for c in _CODEC_REGISTRY]
+
+
+def probe_native_codecs() -> list[str]:
+    """Idempotently auto-register whichever native codecs import in this
+    environment (best first). Returns the names registered by the probe."""
+    global _NATIVE_PROBED
+    if _NATIVE_PROBED:
+        return [c["name"] for c in _CODEC_REGISTRY
+                if c["name"] in ("pillow", "opencv", "simplejpeg")]
+    _NATIVE_PROBED = True
+    found = []
     try:
-        return decoder(p)
+        import simplejpeg  # type: ignore
+
+        register_codec(
+            "simplejpeg",
+            lambda p: simplejpeg.decode_jpeg(p, colorspace="RGB"),
+            formats=("JPEG",),
+            priority=90,
+        )
+        found.append("simplejpeg")
+    except ImportError:
+        pass
+    try:
+        from PIL import Image  # type: ignore
+
+        def _pillow(p: bytes) -> "np.ndarray":
+            import io
+
+            img = Image.open(io.BytesIO(p))
+            if img.mode not in ("L", "LA", "RGB", "RGBA"):
+                img = img.convert("RGB")
+            return np.asarray(img)
+
+        register_codec(
+            "pillow", _pillow,
+            formats=("JPEG", "PNG", "BMP", "PNM"), priority=80,
+        )
+        found.append("pillow")
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore
+
+        def _opencv(p: bytes) -> "np.ndarray":
+            arr = cv2.imdecode(
+                np.frombuffer(p, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            if arr is None:
+                raise DecodeError("cv2.imdecode returned None")
+            if arr.ndim == 3 and arr.shape[2] >= 3:
+                arr = arr[:, :, [2, 1, 0] + list(range(3, arr.shape[2]))]
+            return arr
+
+        register_codec(
+            "opencv", _opencv,
+            formats=("JPEG", "PNG", "BMP"), priority=70,
+        )
+        found.append("opencv")
+    except ImportError:
+        pass
+    return found
+
+
+def _normalize_pixels(arr: "np.ndarray") -> "np.ndarray":
+    """Native codecs return (H, W) for grayscale and assorted dtypes;
+    the engine contract is (H, W, C) uint8."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        arr = arr.astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def decode_image(payload: bytes, codec: str | None = None) -> "np.ndarray":
+    """Decode a PNG / binary PPM / PGM / uncompressed BMP / baseline-or-
+    progressive JPEG payload to an (H, W, C) uint8 array.
+
+    Codec resolution order: explicit `codec` arg ("builtin" forces the
+    pure-Python path; a registered name forces that entry) -> the
+    $HK_IMAGE_CODEC env var, same values -> every registered native
+    codec claiming the sniffed format, highest priority first, each
+    failure falling through -> the built-in dependency-free decoder
+    (operators/jpeg.py for JPEG — arithmetic/lossless streams surface
+    as DecodeUnavailable)."""
+    p = bytes(payload or b"")
+    fmt = detect_image_format(p)
+    if fmt is None:
+        raise DecodeUnavailable("unrecognized image container")
+
+    import os
+
+    choice = codec or os.environ.get("HK_IMAGE_CODEC") or None
+    if choice and choice != "builtin":
+        entries = [c for c in _CODEC_REGISTRY if c["name"] == choice]
+        if not entries:
+            raise DecodeUnavailable(f"codec {choice!r} is not registered")
+        try:
+            return _normalize_pixels(entries[0]["fn"](p))
+        except Exception as e:
+            raise DecodeError(
+                f"codec {choice!r} failed on {fmt} payload: {e}"
+            ) from e
+    if choice != "builtin":
+        probe_native_codecs()
+        for entry in _CODEC_REGISTRY:
+            if fmt not in entry["formats"]:
+                continue
+            try:
+                return _normalize_pixels(entry["fn"](p))
+            except Exception:  # noqa: BLE001 — fall through to next codec
+                continue
+    try:
+        return _builtin_decoder(fmt)(p)
     except NotImplementedError as e:  # includes DecodeUnavailable
         raise DecodeUnavailable(str(e)) from e
     except Exception as e:

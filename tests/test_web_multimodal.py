@@ -341,3 +341,179 @@ def test_jpeg_progressive_header_probe():
     )
     prog = encode_jpeg(img, quality=80, progressive=True)
     assert probe_image_header(prog) == ("jpeg", 31, 24)
+
+
+# --- pluggable codec registry (round 5) ------------------------------------
+
+
+def _demo_png():
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import encode_png
+
+    arr = (np.arange(9 * 7 * 3) % 256).reshape(9, 7, 3).astype(np.uint8)
+    return arr, encode_png(arr)
+
+
+def test_codec_registry_routes_then_falls_back():
+    """A registered native codec wins over the built-in; a failing one
+    falls through to the built-in with no caller-visible error."""
+    import numpy as np
+
+    from hamerkop_spark.operators import multimodal as M
+
+    arr, payload = _demo_png()
+    sentinel = np.full((2, 2, 3), 7, dtype=np.uint8)
+    try:
+        M.register_codec("fake_native", lambda p: sentinel,
+                         formats=("PNG",), priority=99)
+        assert "fake_native" in M.registered_codecs()
+        assert np.array_equal(M.decode_image(payload), sentinel)
+
+        def _boom(p):
+            raise RuntimeError("native codec rejected payload")
+
+        M.register_codec("fake_native", _boom, formats=("PNG",), priority=99)
+        # fallback chain: failing native -> built-in, pixel-exact
+        assert np.array_equal(M.decode_image(payload), arr)
+    finally:
+        M.unregister_codec("fake_native")
+    assert "fake_native" not in M.registered_codecs()
+
+
+def test_codec_explicit_selection_env_and_errors(monkeypatch):
+    import numpy as np
+
+    from hamerkop_spark.operators import multimodal as M
+
+    arr, payload = _demo_png()
+    sentinel = np.zeros((1, 1, 1), dtype=np.uint8)
+    try:
+        M.register_codec("fake_native", lambda p: sentinel,
+                         formats=("PNG",), priority=99)
+        # explicit arg forces a specific entry / the built-in
+        assert np.array_equal(M.decode_image(payload, codec="fake_native"),
+                              sentinel)
+        assert np.array_equal(M.decode_image(payload, codec="builtin"), arr)
+        # env var steers the default path the same way
+        monkeypatch.setenv("HK_IMAGE_CODEC", "builtin")
+        assert np.array_equal(M.decode_image(payload), arr)
+        monkeypatch.setenv("HK_IMAGE_CODEC", "fake_native")
+        assert np.array_equal(M.decode_image(payload), sentinel)
+        monkeypatch.delenv("HK_IMAGE_CODEC")
+        # unknown forced codec -> DecodeUnavailable; forced codec that
+        # raises -> DecodeError (explicit choice means no silent fallback)
+        import pytest as _pytest
+
+        with _pytest.raises(M.DecodeUnavailable):
+            M.decode_image(payload, codec="no_such_codec")
+
+        def _boom(p):
+            raise RuntimeError("boom")
+
+        M.register_codec("fake_native", _boom, formats=("PNG",), priority=99)
+        with _pytest.raises(M.DecodeError):
+            M.decode_image(payload, codec="fake_native")
+    finally:
+        M.unregister_codec("fake_native")
+
+
+def test_codec_parity_builtin_is_the_oracle():
+    """Pixel-parity harness between a registered codec and the built-in
+    oracle — the contract any real native codec must pass (exercised
+    here with a wrapper; Pillow/cv2/simplejpeg are not in this sandbox,
+    so probe_native_codecs() legitimately finds nothing)."""
+    import numpy as np
+
+    from hamerkop_spark.operators import multimodal as M
+    from hamerkop_spark.operators.jpeg import encode_jpeg
+
+    img = (np.arange(16 * 24 * 3) % 256).reshape(16, 24, 3).astype(np.uint8)
+    jpg = encode_jpeg(img, quality=90)
+    _, png = _demo_png()
+    probed = M.probe_native_codecs()
+    assert isinstance(probed, list)
+    try:
+        # wrapper plays the native role; parity tolerance 0 by construction
+        M.register_codec(
+            "wrapped", lambda p: M.decode_image(p, codec="builtin"),
+            formats=("PNG", "JPEG"), priority=99,
+        )
+        for payload in (jpg, png):
+            native = M.decode_image(payload)  # routed through "wrapped"
+            builtin = M.decode_image(payload, codec="builtin")
+            assert native.shape == builtin.shape
+            assert int(np.abs(native.astype(np.int16)
+                              - builtin.astype(np.int16)).max()) == 0
+    finally:
+        M.unregister_codec("wrapped")
+
+
+def test_codec_normalize_grayscale_and_dtype():
+    import numpy as np
+
+    from hamerkop_spark.operators import multimodal as M
+
+    _, payload = _demo_png()
+    try:
+        # a native codec returning (H, W) float gets normalized to the
+        # engine contract (H, W, 1) uint8
+        M.register_codec(
+            "gray2d", lambda p: np.ones((4, 5), dtype=np.float64) * 3.0,
+            formats=("PNG",), priority=99,
+        )
+        out = M.decode_image(payload)
+        assert out.shape == (4, 5, 1) and out.dtype == np.uint8
+        assert (out == 3).all()
+    finally:
+        M.unregister_codec("gray2d")
+
+
+def test_jpeg_unsupported_profiles_raise_typed(spark):
+    """Decision record (OPERATORS.md round 5): every arithmetic /
+    lossless SOF marker and 12-bit precision raises the typed
+    DecodeUnavailable naming the profile, and through the DataFrame
+    path becomes a decode_error ROW, never a stage failure."""
+    import struct as st
+
+    import pytest
+
+    from hamerkop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        DecodeUnavailable,
+        decode_image,
+        decode_image_stats,
+    )
+
+    def sof_stream(marker: int, precision: int = 8) -> bytes:
+        return (b"\xff\xd8" + bytes([0xFF, marker]) + st.pack(">H", 11)
+                + st.pack(">BHHB", precision, 8, 8, 1)
+                + bytes([1, 0x11, 0]))
+
+    # SOF3/5/6/7 lossless+extended, SOF9/10/11 arithmetic,
+    # SOF13/14/15 arithmetic-differential
+    unsupported = [0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF]
+    payloads = []
+    for m in unsupported:
+        p = sof_stream(m)
+        with pytest.raises(DecodeUnavailable):
+            decode_image(p)
+        payloads.append(p)
+    # 12-bit baseline: recognized marker, unsupported precision
+    p12 = sof_stream(0xC0, precision=12)
+    with pytest.raises(DecodeUnavailable):
+        decode_image(p12)
+    payloads.append(p12)
+
+    media = spark.createDataFrame(
+        [(f"u{i:02d}", "image", bytearray(p), "image/jpeg",
+          (None, None, None, None))
+         for i, p in enumerate(payloads)],
+        MEDIA_SCHEMA,
+    )
+    rows = decode_image_stats(media).collect()
+    assert len(rows) == len(payloads)
+    for r in rows:
+        assert r["decode_error"] is not None
+        assert r["width"] is None
