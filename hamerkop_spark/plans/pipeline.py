@@ -54,6 +54,32 @@ DEFAULT_WEIGHTS = {
 DEFAULT_BIAS = -3.45
 DEFAULT_THRESHOLD = 0.25
 
+# ngram_max_df="auto" resolves to this cap once the KB is past the
+# broadcast size threshold. 2000 ~ 0.4% of a 483k-name KB: round-2
+# density sweeps measured a cap at this order cutting retrieval wall
+# 30-70% for <1% candidate-set change, and the round-5 483k profile
+# (BASELINE.md) re-measured it end-to-end at identical pairwise F1.
+NGRAM_AUTO_MAX_DF = 2000
+
+
+def resolve_ngram_max_df(
+    setting: int | None | str,
+    est_name_chars: int,
+    broadcast_limit: int,
+) -> int | None:
+    """Resolve the ngram_max_df knob. "auto" applies NGRAM_AUTO_MAX_DF
+    only above the broadcast size threshold — the same single size
+    estimate that picks the join strategy: small KBs keep the
+    reference's exact every-gram scoring, large KBs get the bounded
+    block sizes a web-scale run needs. Explicit int/None always wins."""
+    if setting == "auto":
+        return NGRAM_AUTO_MAX_DF if est_name_chars > broadcast_limit else None
+    if isinstance(setting, str):
+        raise ValueError(
+            f"ngram_max_df must be an int, None, or 'auto'; got {setting!r}"
+        )
+    return setting
+
 
 class StageRunner:
     """Checkpoint/resume + lineage metrics for pipeline stages.
@@ -268,7 +294,7 @@ def run_pipeline(
     edit_margin: float = 0.0,
     candidate_limit: int = 25,
     generators: tuple = ("exact", "ngram"),
-    ngram_max_df: int | None = None,
+    ngram_max_df: int | None | str = "auto",
     broadcast_postings: bool | str = "auto",
     broadcast_postings_limit: int = 2_000_000,
     translation_map: dict | None = None,
@@ -290,7 +316,13 @@ def run_pipeline(
     The reference's full KB (~23M names, io.py:577) lands far above any
     sane broadcast, so auto keeps the flagship alive at that scale;
     the physical join choice never enters the checkpoint fingerprint
-    because both paths produce identical rows."""
+    because both paths produce identical rows.
+
+    `ngram_max_df`: "auto" (default) applies NGRAM_AUTO_MAX_DF to the
+    ngram retrieval only above the same size threshold (small KBs keep
+    reference-exact every-gram scoring; resolved caps DO enter the
+    candidates fingerprint since they change rows). An int forces the
+    cap, None disables it."""
     runner = StageRunner(spark, workdir, resume=resume, catalog=catalog)
 
     # 1. ingest + extraction invariant
@@ -348,26 +380,42 @@ def run_pipeline(
     # 5. blocking cascade (B8): precise key families first, fuzzy ones
     #    fill remaining candidate slots
     # ngram postings are shared by the ngram and ngram_translit
-    # generators: build once, decide broadcast-vs-shuffled once
+    # generators: build once, decide broadcast-vs-shuffled once. The
+    # SAME one-scan size estimate resolves ngram_max_df="auto" — and
+    # that resolution must happen BEFORE the candidates stage runs so
+    # the resolved cap can enter the checkpoint fingerprint (a lazy
+    # resolve inside the stage would make fingerprint-identical runs
+    # produce different candidates at different KB sizes).
+    if isinstance(broadcast_postings, str) and broadcast_postings != "auto":
+        # a config-plumbed "false"/"true" string would hit
+        # bool("false") == True and force the broadcast join at
+        # exactly the KB scale False exists to survive — refuse
+        # every string except the documented "auto"
+        raise ValueError(
+            "broadcast_postings must be True, False, or 'auto'; "
+            f"got string {broadcast_postings!r}"
+        )
+    needs_est = any(g.startswith("ngram") for g in generators) and (
+        broadcast_postings == "auto" or ngram_max_df == "auto"
+    )
+    est_chars = (
+        int(kb_names.agg(F.sum(F.length("name"))).first()[0] or 0)
+        if needs_est
+        else 0
+    )
+    if any(g.startswith("ngram") for g in generators):
+        ngram_max_df = resolve_ngram_max_df(
+            ngram_max_df, est_chars, int(broadcast_postings_limit)
+        )
+    else:
+        ngram_max_df = None if ngram_max_df == "auto" else ngram_max_df
     _postings_state: dict = {}
 
     def get_postings():
         if not _postings_state:
             postings, _ = B.build_ngram_postings(kb_names)
             if broadcast_postings == "auto":
-                est = (
-                    kb_names.agg(F.sum(F.length("name"))).first()[0] or 0
-                )
-                bc = int(est) <= int(broadcast_postings_limit)
-            elif isinstance(broadcast_postings, str):
-                # a config-plumbed "false"/"true" string would hit
-                # bool("false") == True and force the broadcast join at
-                # exactly the KB scale False exists to survive — refuse
-                # every string except the documented "auto"
-                raise ValueError(
-                    "broadcast_postings must be True, False, or 'auto'; "
-                    f"got string {broadcast_postings!r}"
-                )
+                bc = est_chars <= int(broadcast_postings_limit)
             else:
                 bc = bool(broadcast_postings)
             _postings_state.update(postings=postings, broadcast=bc)
@@ -556,6 +604,8 @@ def run_pipeline(
             None if "broadcast" not in _postings_state
             else ("broadcast" if _postings_state["broadcast"] else "shuffled")
         ),
+        # observability: what "auto" resolved to (int cap or None)
+        "ngram_max_df": ngram_max_df,
     }
 
 

@@ -225,6 +225,7 @@ def foreach_batch_dedup(
     num_hashes: int = 32,
     num_bands: int = 8,
     max_bucket: int = 200,
+    compact_every: int | None = None,
 ):
     """Incremental MinHash-LSH dedup over a document stream.
 
@@ -248,10 +249,34 @@ def foreach_batch_dedup(
     current batch (a partial write from the crashed attempt). Writes are
     idempotent per batch; no consumer-side dedup needed.
 
+    `compact_every=N` folds the store's committed batch partitions into
+    one merged batch_id=-1 partition after every Nth batch (inside the
+    foreachBatch body, i.e. between triggers, which is exactly when
+    `compact_band_store` is safe to run): without it a long stream
+    accumulates one parquet directory per micro-batch and the store
+    scan degrades into a many-small-files listing. The fold rewrites
+    the whole store, so amortized per-batch compaction cost is
+    O(store/N) — pick N so that is small next to the batch's own join
+    work (16-32 for 20k-doc batches). Replay stays safe: the current
+    batch's partition is kept as-is by the fold, and a crash anywhere
+    inside the swap is repaired by `_recover_band_store` on the next
+    store read.
+
     The batch twin is `operators/dedup.minhash_dedup_pairs`; this is the
     continuous-ingest path a 100 TB training-data pipeline needs — dedup
     keeps up with arrival instead of recomputing over the corpus."""
     from hamerkop_spark.operators.dedup import minhash_doc_bands
+
+    if compact_every is not None:
+        if compact_every < 2:
+            raise ValueError("compact_every must be >= 2")
+        if not _is_local_path(state_dir):
+            # fail at stream-definition time, not N batches in
+            raise NotImplementedError(
+                "compact_every uses compact_band_store, which swaps "
+                "directories locally; for a remote store run periodic "
+                "rewrites into a new state_dir instead"
+            )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -355,6 +380,16 @@ def foreach_batch_dedup(
         bands.unpersist()
         if relevant is not None:
             relevant.unpersist()
+        # auto-compaction: this point is between triggers for this
+        # stream (foreachBatch is synchronous), and the batch's own
+        # partition was just written, so the fold keeps it as the
+        # replayable latest partition
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            compact_band_store(spark, state_dir)
 
     return (
         documents_stream.writeStream.foreachBatch(process)

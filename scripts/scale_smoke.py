@@ -25,7 +25,11 @@ def main() -> None:
     ap.add_argument("--misspell", type=float, default=0.3)
     ap.add_argument("--margin", type=float, default=0.0)
     ap.add_argument("--edit-margin", type=float, default=0.0)
-    ap.add_argument("--ngram-max-df", type=int, default=None)
+    ap.add_argument(
+        "--ngram-max-df", default="auto",
+        help="int, 'none' (reference-exact every-gram scoring), or "
+             "'auto' (cap engages above the broadcast size threshold)",
+    )
     ap.add_argument(
         "--broadcast-postings", default="auto",
         choices=["auto", "true", "false"],
@@ -63,7 +67,11 @@ def main() -> None:
         spark, corpus, args.workdir, resume=False,
         generators=tuple(args.generators.split(",")),
         margin=args.margin, edit_margin=args.edit_margin,
-        ngram_max_df=args.ngram_max_df,
+        ngram_max_df=(
+            "auto" if args.ngram_max_df == "auto"
+            else None if str(args.ngram_max_df).lower() == "none"
+            else int(args.ngram_max_df)
+        ),
         broadcast_postings={
             "auto": "auto", "true": True, "false": False
         }[args.broadcast_postings],
@@ -80,6 +88,7 @@ def main() -> None:
         "edit_margin": args.edit_margin,
         "cores": args.cores,
         "ngram_join": res["ngram_join"],
+        "ngram_max_df": res["ngram_max_df"],
         "gen_seconds": gen_s,
         "pipeline_seconds": wall,
         "stages": [

@@ -30,6 +30,8 @@ def perturb(t):
 ap = argparse.ArgumentParser()
 ap.add_argument("--batches", type=int, default=10)
 ap.add_argument("--per-batch", type=int, default=2000)
+ap.add_argument("--compact-every", type=int, default=None,
+                help="fold the band store every N batches (flatness knob)")
 args = ap.parse_args()
 n_batches, per_batch = args.batches, args.per_batch
 texts = {}
@@ -54,10 +56,16 @@ stream = (spark.readStream.schema("url string, text string")
 t0 = time.time()
 q = S.foreach_batch_dedup(
     stream, f"{base}/state", f"{base}/sink", f"{base}/ckpt",
-    num_hashes=32, num_bands=8,
+    num_hashes=32, num_bands=8, compact_every=args.compact_every,
 ).start()
-q.awaitTermination(600)
+q.awaitTermination(1800)
 wall = time.time() - t0
+# per-batch walls from the query's own progress log (last 100 kept)
+batch_walls = [
+    p["durationMs"]["triggerExecution"] / 1000.0
+    for p in q.recentProgress
+    if p.get("numInputRows", 0) > 0
+]
 pairs = {tuple(sorted((r["src"], r["dst"])))
          for r in spark.read.parquet(f"{base}/sink").collect()}
 truth_sorted = {tuple(sorted(t)) for t in truth}
@@ -73,6 +81,16 @@ same_lineage = sum(
     1 for a, b2 in pairs
     if lineage(a) is not None and lineage(a) == lineage(b2)
 )
+flat = ""
+if len(batch_walls) >= 6:
+    from statistics import median
+    k = max(3, len(batch_walls) // 5)
+    head, tail = batch_walls[1:1 + k], batch_walls[-k:]
+    flat = (f" head_median={median(head):.2f}s tail_median={median(tail):.2f}s "
+            f"growth={median(tail)/median(head):.2f}x max_batch={max(batch_walls):.2f}s")
 print(f"docs={total} batches={n_batches} wall={wall:.1f}s docs_per_sec={total/wall:.0f} "
       f"adjacent_recall={tp/len(truth_sorted):.3f} found={len(pairs)} "
-      f"lineage_precision={same_lineage/len(pairs) if pairs else 0:.3f}")
+      f"lineage_precision={same_lineage/len(pairs) if pairs else 0:.3f}"
+      f"{flat} compact_every={args.compact_every}")
+if batch_walls:
+    print("batch_walls_s=" + ",".join(f"{w:.2f}" for w in batch_walls))

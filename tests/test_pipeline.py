@@ -202,3 +202,23 @@ def test_broadcast_postings_rejects_unknown_strings(spark, corpus, tmp_path):
             spark, corpus, str(tmp_path / "wd"), resume=False,
             broadcast_postings="false",
         )
+
+
+def test_resolve_ngram_max_df_auto_semantics():
+    """'auto' caps posting df only above the broadcast size threshold;
+    explicit int/None always wins; config-plumbed strings are refused
+    (the bool('false') class of trap, same rule as broadcast_postings)."""
+    import pytest
+
+    from hamerkop_spark.plans.pipeline import (
+        NGRAM_AUTO_MAX_DF,
+        resolve_ngram_max_df,
+    )
+
+    assert resolve_ngram_max_df("auto", 1_000, 2_000_000) is None
+    assert resolve_ngram_max_df("auto", 2_000_001, 2_000_000) == \
+        NGRAM_AUTO_MAX_DF
+    assert resolve_ngram_max_df(None, 10_000_000, 2) is None
+    assert resolve_ngram_max_df(500, 10_000_000, 2) == 500
+    with pytest.raises(ValueError):
+        resolve_ngram_max_df("2000", 0, 2_000_000)

@@ -467,3 +467,85 @@ def test_foreach_batch_linker_replay_idempotent(spark, tmp_path):
     assert [(r["doc_id"], r["entity_id"]) for r in got] == [
         ("http://x/1", "E1")
     ]
+
+
+def test_foreach_batch_dedup_auto_compaction(spark, tmp_path):
+    """compact_every=2 folds the store inside the stream: after batch 2
+    the committed batches live in one batch_id=-1 partition, the latest
+    batch keeps its own partition (replay contract), and cross-batch
+    pairs keep landing exactly as without compaction."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight")
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i, text):
+        return (
+            f"http://z/{i}", ts,
+            bytearray(wrap_text_as_html(text, f"http://z/{i}")),
+            text, "eng",
+        )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    state = str(tmp_path / "state")
+    sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = S.foreach_batch_dedup(
+            S.stream_documents(spark, d), state, sink, ckpt,
+            max_bucket=50, compact_every=2,
+        ).start()
+        q.awaitTermination(120)
+
+    # batches 0,1,2: one doc each, all near-dups of the first
+    for i, text in enumerate([base, base + " tail", base + " again"]):
+        spark.createDataFrame([page(i, text)], PAGES).write.mode(
+            "append"
+        ).parquet(d)
+        run_once()
+
+    import pyspark.sql.functions as F
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(state).select("batch_id")
+        .distinct().collect()
+    )
+    # compaction fired at batch_id=2: batches 0,1 folded into -1,
+    # batch 2 kept as the replayable latest
+    assert batch_ids == [-1, 2]
+
+    got = {tuple(sorted((r["src"], r["dst"])))
+           for r in spark.read.parquet(sink).collect()}
+    assert ("http://z/0", "http://z/1") in got
+    assert ("http://z/0", "http://z/2") in got or (
+        "http://z/1", "http://z/2") in got
+
+    # a post-compaction batch still pairs against the folded store
+    spark.createDataFrame([page(3, base + " more")], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    got2 = {tuple(sorted((r["src"], r["dst"])))
+            for r in spark.read.parquet(sink).collect()}
+    assert any(
+        "http://z/3" in pair and any(f"http://z/{i}" in pair
+                                     for i in (0, 1, 2))
+        for pair in got2
+    )
+
+
+def test_foreach_batch_dedup_compact_every_guards(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "nothing")
+    os.makedirs(d)
+    stream = S.stream_documents(spark, d)
+    with pytest.raises(ValueError):
+        S.foreach_batch_dedup(stream, str(tmp_path / "s"),
+                              str(tmp_path / "p"), str(tmp_path / "c"),
+                              compact_every=1)
+    with pytest.raises(NotImplementedError):
+        S.foreach_batch_dedup(stream, "hdfs://nn/store",
+                              str(tmp_path / "p2"), str(tmp_path / "c2"),
+                              compact_every=4)
