@@ -295,6 +295,13 @@ def run_scaling_level(
                     max(_baton_read(baton), samples * baton_parties),
                 )
             break
+    # do NOT exit before the partner's last sample: this JVM's teardown
+    # (shuffle-dir cleanup, temp deletion) is real disk+CPU load that
+    # would land inside the partner's final timed run — both prior runs
+    # showed exactly that systematic last-pair dip. Hold until every
+    # turn is done (or the wait times out), THEN tear down.
+    if baton:
+        _baton_wait(baton, samples * baton_parties, BATON_TURN_TIMEOUT_S)
     best = min(score_runs)
     return {
         "cores": cores,
