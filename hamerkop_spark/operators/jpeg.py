@@ -6,10 +6,15 @@ decode is a real codec, not a container parse — this module implements
 that codec from the public JPEG specification (ITU-T T.81): baseline
 sequential DCT and progressive (SOF2, spectral selection + successive
 approximation per G.1.2), Huffman entropy coding with the Annex-K
-standard tables, 8-bit samples, grayscale / 4:4:4 / 4:2:0 YCbCr,
-restart markers. Arithmetic coding and 12-bit precision raise
-`NotImplementedError` — the caller (multimodal.decode_image) surfaces
-that as DecodeUnavailable per its contract.
+standard tables, 8-bit AND 12-bit sequential samples (SOF1, 16-bit
+DQT tables), lossless DPCM (SOF3, Annex H: all seven predictors,
+point transform, mod-2^16 differences, 2-16 bit precision), grayscale
+/ 4:4:4 / 4:2:0 YCbCr, restart markers. Arithmetic coding (SOF9-11,
+13-15) and hierarchical frames raise `NotImplementedError` — the
+caller (multimodal.decode_image) surfaces that as DecodeUnavailable
+per its contract; see the OPERATORS.md decision record for why
+arithmetic stays documented-out (the Qe state table cannot be
+verified against real streams in this sandbox).
 
 Throughput note: entropy decode is a sequential per-bit loop in Python
 — fine for the per-image granularity the mapInPandas operators
@@ -169,10 +174,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
+def _encode_prep(arr: np.ndarray, quality: int, subsampling: str,
+                 precision: int = 8):
     """Shared encoder forward path: color convert, subsample, MCU-pad.
     Returns (h, w, ncomp, padded planes, quant tables, sampling,
-    qy, qc, hmax, vmax, mcux, mcuy)."""
+    qy, qc, hmax, vmax, mcux, mcuy). For 12-bit frames the chroma
+    center moves to 2^(P-1) and the quality tables scale x8 (samples
+    are 16x wider, so this keeps relative quantization finer)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -181,13 +189,17 @@ def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError("subsampling must be 4:4:4 or 4:2:0")
     sub = subsampling == "4:2:0" and ncomp == 3
+    center = 1 << (precision - 1)
     qy = _scaled_quant(_QY, quality)
     qc = _scaled_quant(_QC, quality)
+    if precision == 12:
+        qy = qy * 8
+        qc = qc * 8
     if ncomp == 3:
         rgb = arr.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        cb = center - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = center + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         if sub:
             # pad to even, then 2x2 box-average the chroma planes
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
@@ -219,28 +231,59 @@ def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
             hmax, vmax, mcux, mcuy)
 
 
+def _ext_huff_tables() -> tuple[tuple, tuple]:
+    """Flat canonical tables for 12-bit frames (the Annex-K example
+    tables only reach the 8-bit categories): DC categories 0-15 at
+    code length 5; AC symbols EOB, ZRL and every (run, size 1-14)
+    pair at length 9. Valid canonical codes (Kraft 16/32 and 242/512;
+    no all-ones code), trivially decodable, compression-suboptimal —
+    they exist to produce honest 12-bit round-trip streams."""
+    dc_bits = [0] * 16
+    dc_bits[4] = 16
+    dc_vals = list(range(16))
+    ac_bits = [0] * 16
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 15)
+    ]
+    ac_bits[8] = len(ac_vals)
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
 def encode_jpeg(
     arr: np.ndarray, quality: int = 75, subsampling: str = "4:4:4",
-    progressive: bool = False,
+    progressive: bool = False, precision: int = 8,
 ) -> bytes:
-    """JFIF encoder: (H, W) grayscale or (H, W, 3) RGB uint8, 4:4:4 or
+    """JFIF encoder: (H, W) grayscale or (H, W, 3) RGB, 4:4:4 or
     4:2:0 chroma sampling. `progressive=True` emits an SOF2 stream
     with a libjpeg-style scan script (spectral selection + successive
-    approximation) — used to exercise the progressive decoder."""
+    approximation) — used to exercise the progressive decoder.
+    `precision=12` emits an extended-sequential SOF1 stream (uint16
+    input, 0-4095) with 16-bit DQT tables — used to exercise the
+    12-bit decode path."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     if progressive:
+        if precision != 8:
+            raise ValueError("progressive encoder is 8-bit only")
         return _encode_progressive(arr, quality, subsampling)
     (h, w, ncomp, padded, quants, sampling, qy, qc,
-     hmax, vmax, mcux, mcuy) = _encode_prep(arr, quality, subsampling)
-
-    dc_tabs = [_canonical_codes(*_STD_DC_LUM)] + (
-        [_canonical_codes(*_STD_DC_CHR)] * 2 if ncomp == 3 else []
-    )
-    ac_tabs = [_canonical_codes(*_STD_AC_LUM)] + (
-        [_canonical_codes(*_STD_AC_CHR)] * 2 if ncomp == 3 else []
-    )
+     hmax, vmax, mcux, mcuy) = _encode_prep(arr, quality, subsampling,
+                                            precision)
+    if precision == 12:
+        dc_t, ac_t = _ext_huff_tables()
+        dc_tabs = [_canonical_codes(*dc_t)] * ncomp
+        ac_tabs = [_canonical_codes(*ac_t)] * ncomp
+    else:
+        dc_tabs = [_canonical_codes(*_STD_DC_LUM)] + (
+            [_canonical_codes(*_STD_DC_CHR)] * 2 if ncomp == 3 else []
+        )
+        ac_tabs = [_canonical_codes(*_STD_AC_LUM)] + (
+            [_canonical_codes(*_STD_AC_CHR)] * 2 if ncomp == 3 else []
+        )
+    center = float(1 << (precision - 1))
 
     def emit_block(ci: int, block: np.ndarray) -> None:
-        coef = _M @ (block - 128.0) @ _M.T
+        coef = _M @ (block - center) @ _M.T
         q = np.round(coef / quants[ci].reshape(8, 8)).astype(np.int64)
         zz = q.reshape(64)[_ZIGZAG]
         diff = int(zz[0]) - dc_prev[ci]
@@ -287,22 +330,37 @@ def encode_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    def dqt_payload(tid: int, q: np.ndarray) -> bytes:
+        zz = q.reshape(64)[_ZIGZAG]
+        if precision == 12:  # pq=1: 16-bit big-endian table values
+            return bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", int(x)) for x in zz
+            )
+        return bytes([tid]) + bytes(int(x) for x in zz)
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy.reshape(64)[_ZIGZAG]))
+    out += seg(0xFFDB, dqt_payload(0, qy))
     if ncomp == 3:
-        out += seg(
-            0xFFDB, b"\x01" + bytes(int(x) for x in qc.reshape(64)[_ZIGZAG])
-        )
+        out += seg(0xFFDB, dqt_payload(1, qc))
     comps = b""
     for ci in range(ncomp):
         sh, sv = sampling[ci]
         comps += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
-    for cls, tid, (bits, vals) in (
-        [(0, 0, _STD_DC_LUM), (1, 0, _STD_AC_LUM)]
-        + ([(0, 1, _STD_DC_CHR), (1, 1, _STD_AC_CHR)] if ncomp == 3 else [])
-    ):
+    sof_marker = 0xFFC1 if precision == 12 else 0xFFC0
+    out += seg(sof_marker,
+               struct.pack(">BHHB", precision, h, w, ncomp) + comps)
+    if precision == 12:
+        dc_t, ac_t = _ext_huff_tables()
+        dht = [(0, 0, dc_t), (1, 0, ac_t)]
+        if ncomp == 3:
+            dht += [(0, 1, dc_t), (1, 1, ac_t)]
+    else:
+        dht = [(0, 0, _STD_DC_LUM), (1, 0, _STD_AC_LUM)] + (
+            [(0, 1, _STD_DC_CHR), (1, 1, _STD_AC_CHR)]
+            if ncomp == 3 else []
+        )
+    for cls, tid, (bits, vals) in dht:
         out += seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
@@ -379,9 +437,10 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
-    """JPEG decoder (baseline sequential SOF0/1 and progressive
-    SOF2). Returns (H, W, C) uint8 with C = 1 (grayscale) or 3 (RGB).
-    Raises NotImplementedError for arithmetic/lossless/12-bit streams.
+    """JPEG decoder (sequential SOF0/1 at 8- or 12-bit, progressive
+    SOF2, lossless SOF3). Returns (H, W, C) with C = 1 (grayscale) or
+    3 — uint8 for precision <= 8, uint16 above. Raises
+    NotImplementedError for arithmetic-coded and hierarchical streams.
 
     `vectorized=True` (default) runs the two-phase decoder: bit-level
     Huffman parse in Python collecting flat (index, value) coefficient
@@ -416,14 +475,18 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
             i = 0
             while i < len(data):
                 pq, tq = data[i] >> 4, data[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.zeros(64, dtype=np.int32)
-                tab[_ZIGZAG] = np.frombuffer(
-                    data[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int32)
+                if pq:  # 16-bit big-endian table values (12-bit frames)
+                    tab[_ZIGZAG] = np.frombuffer(
+                        data[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+                else:
+                    tab[_ZIGZAG] = np.frombuffer(
+                        data[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 65
                 quant[tq] = tab.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:
             i = 0
             while i < len(data):
@@ -437,17 +500,23 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
                     for sym, (code, length) in codes.items()
                 }
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit precision")
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError("lossless precision out of range")
+            elif prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit DCT precision")
+            elif prec == 12 and marker == 0xC2:
+                raise NotImplementedError("12-bit progressive JPEG")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "lossless": marker == 0xC3}
             if marker == 0xC2:
                 progressive = True
                 _hm, _vm, _mx, _my, geo = _comp_geometry(frame)
@@ -458,9 +527,12 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
                     )
                     for c in comps
                 }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (arith/lossless)")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("hierarchical JPEG")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "arithmetic-coded JPEG (see OPERATORS.md decision record)"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
@@ -473,6 +545,13 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append(
                     {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            if frame.get("lossless"):
+                # Ss = predictor selector (1-7), Al = point transform
+                return _decode_lossless_scan(
+                    p, pos + 2 + seg_len, frame, scan,
+                    data[1 + ns * 2], data[3 + ns * 2] & 0xF,
+                    huff, restart_interval,
                 )
             if progressive:
                 ss = data[1 + ns * 2]
@@ -878,20 +957,24 @@ def _planes_to_image(planes, frame, scan, hmax, vmax):
                 plane[:, None, :, None], (ph, ry, pw, rx)
             ).reshape(ph * ry, pw * rx)
         out_planes.append(plane[:h, :w])
+    prec = frame.get("prec", 8)
+    shift = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     if len(out_planes) == 1:
-        g = out_planes[0] + 128.0
+        g = out_planes[0] + shift
         np.rint(g, out=g)
-        np.clip(g, 0, 255, out=g)
-        return g.astype(np.uint8)[:, :, None]
+        np.clip(g, 0, maxv, out=g)
+        return g.astype(dtype)[:, :, None]
     y, cb, cr = out_planes
-    yb = y + 128.0
+    yb = y + shift
     out = np.empty((h, w, 3), dtype=np.float64)
     out[:, :, 0] = yb + 1.402 * cr
     out[:, :, 1] = yb - 0.344136 * cb - 0.714136 * cr
     out[:, :, 2] = yb + 1.772 * cb
     np.rint(out, out=out)
-    np.clip(out, 0, 255, out=out)
-    return out.astype(np.uint8)
+    np.clip(out, 0, maxv, out=out)
+    return out.astype(dtype)
 
 
 def _decode_mcu(reader, scan, quant, huff, dc_prev, planes, mx, my):
@@ -925,6 +1008,178 @@ def _decode_mcu(reader, scan, quant, huff, dc_prev, planes, mx, my):
                 py = (my * c["v"] + v) * 8
                 px = (mx * c["h"] + hh) * 8
                 planes[c["id"]][py : py + 8, px : px + 8] = pix
+
+
+def _lossless_predict(pl, y, x, fresh, ra_line, predictor, default):
+    """Sample prediction per T.81 H.1.1: the first sample after scan
+    start / restart predicts 2^(P-Pt-1); the rest of that line uses Ra;
+    later lines start from Rb and otherwise use the selected predictor
+    (1=Ra, 2=Rb, 3=Rc, 4..7 the planar combinations)."""
+    if fresh:
+        return default
+    if y == ra_line:
+        return int(pl[y, x - 1])
+    if x == 0:
+        return int(pl[y - 1, 0])
+    ra = int(pl[y, x - 1])
+    rb = int(pl[y - 1, x])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    rc = int(pl[y - 1, x - 1])
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def _decode_lossless_scan(p, start, frame, scan, predictor, pt, huff,
+                          restart_interval):
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded DPCM with one
+    of seven predictors and an optional point transform Pt. Components
+    decode 1x1-interleaved (or single-component) and are returned AS
+    STORED — T.81 defines no color transform for the lossless process.
+    Differences are modulo-2^16 (H.1.2.1; SSSS=16 means +32768 with no
+    extra bits); decoded samples are shifted left by Pt. Output dtype
+    follows frame precision (uint8 when <=8, else uint16)."""
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    if any(s["comp"]["h"] != 1 or s["comp"]["v"] != 1 for s in scan):
+        raise NotImplementedError("subsampled lossless components")
+    if pt >= prec:
+        raise ValueError("point transform >= precision")
+    ncomp = len(scan)
+    reader = _BitReader(p, start)
+    tables = [huff[(0, s["dc"])] for s in scan]
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    default = 1 << (prec - pt - 1)
+    count = 0
+    fresh = True   # no sample since scan start / restart
+    ra_line = 0    # line that falls back to the Ra predictor
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                fresh = True
+                ra_line = y
+            for ci in range(ncomp):
+                ssss = _decode_huffman(reader, tables[ci])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss:
+                    diff = _extend(reader.bits(ssss), ssss)
+                else:
+                    diff = 0
+                pl = planes[ci]
+                px = _lossless_predict(
+                    pl, y, x, fresh, ra_line, predictor, default
+                )
+                pl[y, x] = (px + diff) & 0xFFFF
+            fresh = False
+            count += 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    return np.stack(
+        [pl << pt for pl in planes], axis=-1
+    ).astype(dtype)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG encoder (SOF3, T.81 Annex H): Huffman DPCM with
+    the selected predictor and point transform; components stored
+    as given (no color transform). Exists to exercise the lossless
+    decode path with honest round-trips — a flat canonical table
+    (categories 0-16 at code length 5) keeps it table-free. Restart
+    markers (DRI/RSTn) reset the prediction per H.1.1 when
+    `restart_interval` (in samples) is set."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision out of range")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    pt = point_transform
+    if pt >= precision:
+        raise ValueError("point transform >= precision")
+    samples = arr.astype(np.int64) >> pt
+    default = 1 << (precision - pt - 1)
+    bits = [0] * 16
+    bits[4] = 17
+    vals = list(range(17))
+    codes = _canonical_codes(bits, vals)
+    writer = _BitWriter()
+    count = 0
+    rst = 0
+    fresh = True
+    ra_line = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                fresh = True
+                ra_line = y
+            for ci in range(ncomp):
+                pl = samples[:, :, ci]
+                px = _lossless_predict(
+                    pl, y, x, fresh, ra_line, predictor, default
+                )
+                diff = (int(pl[y, x]) - px) & 0xFFFF
+                if diff == 32768:
+                    code, length = codes[16]
+                    writer.write(code, length)
+                else:
+                    sd = diff - 65536 if diff >= 32768 else diff
+                    size, vbits = _magnitude(sd)
+                    code, length = codes[size]
+                    writer.write(code, length)
+                    if size:
+                        writer.write(vbits, size)
+            fresh = False
+            count += 1
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    comps = b""
+    for ci in range(ncomp):
+        comps += bytes([ci + 1, 0x11, 0])
+    out += seg(
+        0xFFC3, struct.pack(">BHHB", precision, h, w, ncomp) + comps
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xFFDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -364,8 +364,10 @@ def decode_image(payload: bytes, codec: str | None = None) -> "np.ndarray":
     $HK_IMAGE_CODEC env var, same values -> every registered native
     codec claiming the sniffed format, highest priority first, each
     failure falling through -> the built-in dependency-free decoder
-    (operators/jpeg.py for JPEG — arithmetic/lossless streams surface
-    as DecodeUnavailable)."""
+    (operators/jpeg.py for JPEG — sequential 8/12-bit, progressive,
+    and lossless decode; arithmetic-coded streams surface as
+    DecodeUnavailable). >8-bit JPEG frames decode to uint16; all
+    other paths return uint8."""
     p = bytes(payload or b"")
     fmt = detect_image_format(p)
     if fmt is None:

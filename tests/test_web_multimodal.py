@@ -471,9 +471,10 @@ def test_codec_normalize_grayscale_and_dtype():
 
 def test_jpeg_unsupported_profiles_raise_typed(spark):
     """Decision record (OPERATORS.md round 5): every arithmetic /
-    lossless SOF marker and 12-bit precision raises the typed
-    DecodeUnavailable naming the profile, and through the DataFrame
-    path becomes a decode_error ROW, never a stage failure."""
+    hierarchical SOF marker raises the typed DecodeUnavailable naming
+    the profile, and through the DataFrame path becomes a decode_error
+    ROW, never a stage failure. (Lossless SOF3 and 12-bit SOF1 are
+    SUPPORTED since round 5 — see the roundtrip tests below.)"""
     import struct as st
 
     import pytest
@@ -490,9 +491,8 @@ def test_jpeg_unsupported_profiles_raise_typed(spark):
                 + st.pack(">BHHB", precision, 8, 8, 1)
                 + bytes([1, 0x11, 0]))
 
-    # SOF3/5/6/7 lossless+extended, SOF9/10/11 arithmetic,
-    # SOF13/14/15 arithmetic-differential
-    unsupported = [0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+    # SOF5/6/7/13/14/15 hierarchical, SOF9/10/11 arithmetic
+    unsupported = [0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF]
     payloads = []
     for m in unsupported:
@@ -500,8 +500,8 @@ def test_jpeg_unsupported_profiles_raise_typed(spark):
         with pytest.raises(DecodeUnavailable):
             decode_image(p)
         payloads.append(p)
-    # 12-bit baseline: recognized marker, unsupported precision
-    p12 = sof_stream(0xC0, precision=12)
+    # 12-bit PROGRESSIVE stays out of scope (sequential 12-bit works)
+    p12 = sof_stream(0xC2, precision=12)
     with pytest.raises(DecodeUnavailable):
         decode_image(p12)
     payloads.append(p12)
@@ -517,3 +517,100 @@ def test_jpeg_unsupported_profiles_raise_typed(spark):
     for r in rows:
         assert r["decode_error"] is not None
         assert r["width"] is None
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """Lossless JPEG (SOF3, T.81 Annex H) is EXACT by definition: every
+    predictor, 8- and 16-bit precision, multi-component, restart
+    markers, and the point transform all round-trip bit-identically
+    through encode_jpeg_lossless -> decode_jpeg."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(gray, predictor=pred))
+        assert out.dtype == np.uint8 and out.shape == (23, 31, 1)
+        assert np.array_equal(out[:, :, 0], gray), f"predictor {pred}"
+
+    # full 16-bit dynamic range (mod-2^16 difference arithmetic)
+    g16 = rng.integers(0, 65536, (17, 19), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(g16, predictor=4))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0], g16)
+
+    # 3-component + restart markers resetting prediction mid-line
+    rgb = rng.integers(0, 256, (20, 14, 3), dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_lossless(rgb, predictor=7, restart_interval=37)
+    )
+    assert np.array_equal(out, rgb)
+
+    # point transform Pt=2: decoder restores samples << Pt (H.1.2)
+    out = decode_jpeg(encode_jpeg_lossless(rgb, predictor=2, point_transform=2))
+    assert np.array_equal(out, (rgb >> 2) << 2)
+
+
+def test_jpeg_lossless_through_decode_image():
+    """The DataFrame-facing decode_image path routes SOF3 streams to
+    the lossless decoder (no DecodeUnavailable) and the header probe
+    reports the right geometry."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import encode_jpeg_lossless
+    from hamerkop_spark.operators.multimodal import (
+        decode_image,
+        probe_image_header,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    payload = encode_jpeg_lossless(img, predictor=5)
+    out = decode_image(payload, codec="builtin")
+    assert np.array_equal(out[:, :, 0], img)
+    assert probe_image_header(payload) == ("jpeg", 9, 12)
+
+
+def test_jpeg_12bit_sequential_roundtrip():
+    """12-bit extended sequential (SOF1) with 16-bit DQT tables:
+    decodes to uint16, both decode paths are pixel-identical, and the
+    reconstruction error stays within quantization bounds."""
+    import numpy as np
+
+    from hamerkop_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # smooth 12-bit gradient (quantization error small and bounded)
+    x = np.linspace(0, 4095, 32)
+    g12 = np.tile(x, (24, 1)).astype(np.uint16)
+    enc = encode_jpeg(g12, quality=95, precision=12)
+    out = decode_jpeg(enc)
+    assert out.dtype == np.uint16 and out.shape == (24, 32, 1)
+    assert np.array_equal(out, decode_jpeg(enc, vectorized=False))
+    err = np.abs(out[:, :, 0].astype(int) - g12.astype(int))
+    assert err.max() <= 64, int(err.max())  # well under 2% of range
+
+    # noisy content exercises the large DC/AC categories via the
+    # extended flat Huffman tables (sizes beyond the 8-bit Annex-K max)
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    enc = encode_jpeg(noisy, quality=90, precision=12)
+    out = decode_jpeg(enc)
+    assert np.array_equal(out, decode_jpeg(enc, vectorized=False))
+
+    # 3-channel, both samplings; 4:2:0 exercises chroma upsampling
+    rgb = np.stack(
+        [np.tile(x, (24, 1)), np.tile(x[::-1], (24, 1)),
+         np.full((24, 32), 2048.0)],
+        axis=-1,
+    ).astype(np.uint16)
+    for sub in ("4:4:4", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(rgb, quality=95, precision=12,
+                                      subsampling=sub))
+        assert out.dtype == np.uint16
+        err = np.abs(out.astype(int) - rgb.astype(int)).max()
+        assert err <= (96 if sub == "4:4:4" else 512), (sub, int(err))
