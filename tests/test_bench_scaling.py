@@ -54,3 +54,34 @@ def test_pair_ratios_and_median_semantics():
     ratios = bench._pair_ratios(lo, hi, 2, 8)
     assert ratios == [1.0, 0.95]
     assert bench._pair_ratios({"score_runs": []}, hi, 2, 8) == []
+
+def test_pair_ambients_worst_side_and_none():
+    import bench
+
+    lo = {"ambient_fracs": [0.01, 0.30, None]}
+    hi = {"ambient_fracs": [0.02, 0.01]}
+    # worst side per pair; missing measurement on either side -> None
+    assert bench._pair_ambients(lo, hi, 3) == [0.02, 0.30, None]
+    assert bench._pair_ambients({}, hi, 2) == [None, None]
+
+
+def test_cpu_snapshot_attributes_own_burn():
+    """The /proc subtree walk attributes THIS process's CPU to 'ours',
+    so a self-burn interval reads near-zero ambient."""
+    import time
+
+    import bench
+
+    s0 = bench._cpu_snapshot()
+    if s0 is None:  # non-Linux: helper degrades to None, parent skips
+        return
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.5:
+        x += 1
+    s1 = bench._cpu_snapshot()
+    amb = bench._ambient_frac(s0, s1, 0.5)
+    assert amb is not None
+    # own burn must NOT read as ambient; allow the host's daemon floor
+    assert amb < 0.25
+    assert s1[1] - s0[1] > 20  # ~50 jiffies of our own burn visible
