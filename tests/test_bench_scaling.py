@@ -85,3 +85,35 @@ def test_cpu_snapshot_attributes_own_burn():
     # own burn must NOT read as ambient; allow the host's daemon floor
     assert amb < 0.25
     assert s1[1] - s0[1] > 20  # ~50 jiffies of our own burn visible
+
+
+def test_efficiency_estimate_max_over_defensible_estimators():
+    """Regression for bench run 7: the clean-pair median must never
+    OVERRULE a better-measured round median (both estimators are
+    biased downward by load; the max counters that), and it must
+    rescue a run whose round medians are all loaded."""
+    import bench
+
+    # run-7 shape: retry round measured 0.8559; clean pairs read lower
+    est, clean_med, n = bench._efficiency_estimate(
+        [0.7847, 0.8559],
+        [(0.7847, 0.0241), (0.984, 0.07), (0.7651, 0.0037),
+         (0.7905, 0.0234), (0.9214, 0.0798)],
+        0.05,
+    )
+    assert est == 0.8559 and clean_med == 0.7847 and n == 3
+
+    # rescue shape: both rounds loaded, two clean pairs say 0.93
+    est, clean_med, n = bench._efficiency_estimate(
+        [0.74, 0.76],
+        [(0.93, 0.01), (0.94, 0.02), (0.70, 0.30), (0.72, 0.25)],
+        0.05,
+    )
+    assert est == 0.935 and n == 2
+
+    # <2 clean pairs -> round medians only; no pairs at all -> None
+    est, clean_med, n = bench._efficiency_estimate(
+        [0.86], [(0.66, 0.003)], 0.05
+    )
+    assert est == 0.86 and clean_med is None and n == 1
+    assert bench._efficiency_estimate([], [], 0.05)[0] is None
