@@ -68,10 +68,12 @@ class DecodeError(ValueError):
 
 # --- real, dependency-free image decoders ---------------------------------
 #
-# PNG (zlib inflate + full filter-type 0-4 unfiltering, bit depth 8,
-# gray / RGB / palette / gray+alpha / RGBA, non-interlaced), binary
-# PPM/PGM, and uncompressed 24/32-bit BMP. JPEG note:
-# its entropy decode is a codec, not a container parse.
+# PNG (zlib inflate + full filter-type 0-4 unfiltering, bit depths
+# 1/2/4/8/16, gray / RGB / palette(+tRNS alpha) / gray+alpha / RGBA,
+# Adam7 interlace), GIF (LZW, 87a/89a, interlace, transparency, first
+# frame of animations), binary PPM/PGM, and uncompressed 24/32-bit
+# BMP. JPEG note: its entropy decode is a codec, not a container
+# parse (operators/jpeg.py).
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -115,12 +117,48 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 interlace passes (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unpack_subimage(raw: bytes, width: int, height: int,
+                         ch: int, depth: int) -> "np.ndarray":
+    """Unfilter + bit-unpack one (sub)image's scanlines: returns an
+    (height, width*ch) sample array, uint8 for depth <= 8 (low depths
+    hold raw 0..2^d-1 sample values), uint16 for 16."""
+    bits_pp = ch * depth
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)  # filter distance in BYTES (spec §9.2)
+    pixels = _png_unfilter(raw, height, stride, bpp)
+    if depth == 8:
+        return np.frombuffer(pixels, np.uint8).reshape(height, stride)[
+            :, : width * ch
+        ]
+    if depth == 16:
+        return (
+            np.frombuffer(pixels, ">u2")
+            .reshape(height, stride // 2)[:, : width * ch]
+            .astype(np.uint16)
+        )
+    # depth 1/2/4: MSB-first packed samples
+    b = np.frombuffer(pixels, np.uint8).reshape(height, stride)
+    bits = np.unpackbits(b, axis=1).reshape(height, stride * 8 // depth,
+                                            depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, : width * ch]
+
+
 def _decode_png(p: bytes) -> "np.ndarray":
     import zlib
 
     pos = 8
     ihdr = None
     plte = b""
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(p):
         (length,) = struct.unpack(">I", p[pos : pos + 4])
@@ -130,6 +168,8 @@ def _decode_png(p: bytes) -> "np.ndarray":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -138,21 +178,53 @@ def _decode_png(p: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise DecodeUnavailable(
-            f"PNG depth={depth} interlace={interlace}: only 8-bit "
-            "non-interlaced supported"
+            f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
     if color not in _PNG_CHANNELS:
         raise DecodeUnavailable(f"PNG color type {color}")
+    # spec §11.2.2 valid (color, depth) combinations
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if depth not in valid[color]:
+        raise DecodeUnavailable(f"PNG color {color} depth {depth}")
     ch = _PNG_CHANNELS[color]
-    stride = width * ch
     raw = zlib.decompress(bytes(idat))
-    pixels = _png_unfilter(raw, height, stride, ch)
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
-    if color == 3:  # palette -> RGB
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((height, width, ch), dtype)
+        off = 0
+        for xs, ys, xp, yp in _ADAM7:
+            pw = (width - xs + xp - 1) // xp
+            ph = (height - ys + yp - 1) // yp
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            n = ph * (1 + stride)
+            rows = _png_unpack_subimage(raw[off : off + n], pw, ph, ch,
+                                        depth)
+            off += n
+            img[ys::yp, xs::xp, :] = rows.reshape(ph, pw, ch)
+        arr = img
+    else:
+        arr = _png_unpack_subimage(raw, width, height, ch, depth).reshape(
+            height, width, ch
+        )
+    if color == 3:  # palette (+ optional tRNS alpha) -> RGB(A)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        arr = pal[arr[:, :, 0]]
+        idx = arr[:, :, 0]
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            a = np.frombuffer(trns, np.uint8)
+            alpha[: len(a)] = a
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:
+        # scale low-depth gray to the full 8-bit range (255/(2^d-1) is
+        # exact for d in {1,2,4}: 255, 85, 17)
+        return (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return arr
 
 
@@ -210,8 +282,256 @@ def _decode_bmp(p: bytes) -> "np.ndarray":
     return arr[:, :, [2, 1, 0, 3]]
 
 
+# --- GIF (87a/89a, public spec): LZW decode, global/local color
+# tables, 4-pass interlace, GCE transparency; animations decode to
+# their FIRST frame composed onto the logical screen. ---------------------
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (row start, step)
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW (spec appendix F): LSB-first packed codes,
+    variable width min_code+1 .. 12, CLEAR resets the table, EOI ends
+    the stream. Returns exactly n_pixels index bytes (extra output
+    from a sloppy encoder is truncated, spec-tolerant)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    # table as list of bytes; indices < clear are single literals
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:n_pixels])
+            # table growth stops at 4096 (deferred-clear encoders keep
+            # emitting 12-bit codes with a FULL table; adding phantom
+            # entries would shift every later code)
+            grow = len(table) < 4096
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if grow:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and grow:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out += entry
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(p: bytes) -> "np.ndarray":
+    """First frame of a GIF to (H, W, 3) uint8 — or (H, W, 4) when the
+    frame's graphic control extension marks a transparent index —
+    composed onto the logical screen (background-filled where the
+    frame doesn't cover it)."""
+    if p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", p[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(p):
+        block = p[pos]
+        if block == 0x21:  # extension
+            label = p[pos + 1]
+            pos += 2
+            subs = bytearray()
+            while p[pos]:
+                ln = p[pos]
+                subs += p[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # terminator
+            if label == 0xF9 and len(subs) >= 4 and subs[0] & 0x01:
+                transparent = subs[3]
+        elif block == 0x2C:  # image descriptor: decode this frame
+            left, top, fw, fh, ipacked = struct.unpack(
+                "<HHHHB", p[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    p[pos : pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = p[pos]
+            pos += 1
+            lzw = bytearray()
+            while p[pos]:
+                ln = p[pos]
+                lzw += p[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, bytes(lzw), fw * fh), np.uint8
+            )
+            if idx.size < fw * fh:
+                raise ValueError("GIF: truncated image data")
+            idx = idx.reshape(fh, fw)
+            if ipacked & 0x40:  # 4-pass interlaced row order
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, fh, step)
+                    de[list(rows)] = idx[src : src + len(rows)]
+                    src += len(rows)
+                idx = de
+            idx = np.minimum(idx, len(ct) - 1)  # clamp corrupt indices
+            alpha = transparent is not None
+            ch = 4 if alpha else 3
+            canvas = np.zeros((sh, sw, ch), np.uint8)
+            if gct is not None and not alpha:
+                canvas[:, :, :3] = gct[min(bg, len(gct) - 1)]
+            frame = ct[idx]
+            if alpha:
+                a = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                frame = np.concatenate([frame, a[:, :, None]], axis=2)
+            h2, w2 = min(fh, sh - top), min(fw, sw - left)
+            if h2 > 0 and w2 > 0:
+                canvas[top : top + h2, left : left + w2] = frame[:h2, :w2]
+            return canvas
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image data")
+
+
+def encode_gif(
+    arr: "np.ndarray",
+    palette: "np.ndarray | None" = None,
+    interlace: bool = False,
+    transparent: int | None = None,
+    deferred_clear: bool = False,
+) -> bytes:
+    """GIF89a encoder for tests and synthetic corpora: `arr` is either
+    (H, W) palette indices with `palette` ((N,3) uint8, N <= 256) or an
+    (H, W, 3) uint8 image that is losslessly palettized (must use <=
+    256 distinct colors). Real LZW compression (variable code width,
+    CLEAR emission on table overflow) so the decoder's table growth
+    and reset paths are honestly exercised."""
+    if arr.ndim == 3:
+        h, w, _ = arr.shape
+        flat = arr.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("encode_gif: more than 256 distinct colors")
+        palette = colors
+        indices = idx.reshape(h, w).astype(np.uint8)
+    else:
+        if palette is None:
+            raise ValueError("encode_gif: palette required for indices")
+        indices = arr.astype(np.uint8)
+        h, w = indices.shape
+    pal = np.asarray(palette, np.uint8)
+    # color table size: power of two >= max(2, len(pal)), min_code >= 2
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))) or 1)
+    size = 1 << bits
+    table_bytes = np.zeros((size, 3), np.uint8)
+    table_bytes[: len(pal)] = pal
+    min_code = bits
+
+    seq = indices
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE:
+            rows.append(indices[start::step])
+        seq = np.concatenate(rows, axis=0)
+    pixels = seq.reshape(-1).tolist()
+
+    # LZW encode (spec appendix F)
+    clear = 1 << min_code
+    eoi = clear + 1
+    out_codes: list[tuple[int, int]] = []
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_codes.append((clear, width))
+    run = b""
+    for px in pixels:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        out_codes.append((table[run], width))
+        if next_code <= 4095:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+            if next_code > 4095 and not deferred_clear:
+                # standard: reset when the table fills; deferred_clear
+                # keeps emitting 12-bit codes from the full table (a
+                # real-world encoder behavior the decoder must handle
+                # without growing phantom entries)
+                out_codes.append((clear, width))
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+        run = bytes([px])
+    if run:
+        out_codes.append((table[run], width))
+    out_codes.append((eoi, width))
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+    for code, wdt in out_codes:
+        acc |= code << nbits
+        nbits += wdt
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table_bytes.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i : i + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def detect_image_format(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: PNG / PNM / BMP / JPEG, else None."""
+    """Container sniff by magic bytes: PNG / PNM / BMP / JPEG / GIF,
+    else None."""
     p = bytes(payload or b"")
     if p[:8] == _PNG_MAGIC:
         return "PNG"
@@ -221,6 +541,8 @@ def detect_image_format(payload: bytes) -> str | None:
         return "BMP"
     if p[:2] == b"\xff\xd8":
         return "JPEG"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "GIF"
     return None
 
 
@@ -229,7 +551,8 @@ def _builtin_decoder(fmt: str):
         from hamerkop_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg
-    return {"PNG": _decode_png, "PNM": _decode_pnm, "BMP": _decode_bmp}[fmt]
+    return {"PNG": _decode_png, "PNM": _decode_pnm, "BMP": _decode_bmp,
+            "GIF": _decode_gif}[fmt]
 
 
 # --- pluggable codec registry ----------------------------------------------
@@ -356,8 +679,10 @@ def _normalize_pixels(arr: "np.ndarray") -> "np.ndarray":
 
 
 def decode_image(payload: bytes, codec: str | None = None) -> "np.ndarray":
-    """Decode a PNG / binary PPM / PGM / uncompressed BMP / baseline-or-
-    progressive JPEG payload to an (H, W, C) uint8 array.
+    """Decode a PNG (all depths, Adam7) / GIF (first frame) / binary
+    PPM / PGM / uncompressed BMP / JPEG (sequential 8/12-bit,
+    progressive, lossless) payload to an (H, W, C) array — uint8,
+    except uint16 for 16-bit PNG and >8-bit JPEG frames.
 
     Codec resolution order: explicit `codec` arg ("builtin" forces the
     pure-Python path; a registered name forces that entry) -> the
@@ -406,47 +731,96 @@ def decode_image(payload: bytes, codec: str | None = None) -> "np.ndarray":
         raise DecodeError(f"corrupt {fmt} payload: {e}") from e
 
 
-def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
-    """Minimal PNG encoder (gray / gray+alpha / RGB / RGBA, 8-bit) used by
-    tests and synthetic corpora; can apply any spec filter uniformly so
-    decode tests exercise every unfilter branch."""
+def encode_png(
+    arr: "np.ndarray",
+    filter_type: int = 0,
+    depth: int | None = None,
+    interlace: int = 0,
+    palette: "np.ndarray | None" = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """PNG encoder used by tests and synthetic corpora; applies any
+    spec filter uniformly so decode tests exercise every unfilter
+    branch. Supports bit depths 1/2/4 (gray or palette indices),
+    8 (all color types), 16 (uint16 input), Adam7 interlace, indexed
+    color via `palette` ((N,3) uint8, `arr` holds indices), and a
+    palette-alpha tRNS chunk. Filtering is byte-level with the spec's
+    bpp distance, matching the decoder for every depth."""
     import zlib
 
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG: arr must be indices (H, W)")
+        color = 3
+        depth = depth or 8
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        depth = depth or (16 if arr.dtype == np.uint16 else 8)
+    bpp = max(1, ch * depth // 8)
+
+    def pack_rows(block: "np.ndarray") -> list:
+        ph, pw = block.shape[:2]
+        flat = block.reshape(ph, pw * ch)
+        if depth == 8:
+            return [flat[y].astype(np.uint8).tobytes() for y in range(ph)]
+        if depth == 16:
+            return [flat[y].astype(">u2").tobytes() for y in range(ph)]
+        out = []
+        shifts = np.arange(depth - 1, -1, -1)
+        for y in range(ph):
+            bits = (
+                (flat[y][:, None] >> shifts) & 1
+            ).astype(np.uint8).reshape(-1)
+            out.append(np.packbits(bits).tobytes())
+        return out
+
+    def shifted(row: "np.ndarray") -> "np.ndarray":
+        return np.concatenate(
+            [np.zeros(bpp, np.int32), row]
+        )[: len(row)]
+
+    def filter_block(rows: list, raw: bytearray) -> None:
+        prev = np.zeros(len(rows[0]) if rows else 0, np.int32)
+        for rb in rows:
+            row = np.frombuffer(rb, np.uint8).astype(np.int32)
+            left = shifted(row)
+            if filter_type == 0:
+                filtered = row
+            elif filter_type == 1:
+                filtered = row - left
+            elif filter_type == 2:
+                filtered = row - prev
+            elif filter_type == 3:
+                filtered = row - ((left + prev) >> 1)
+            elif filter_type == 4:
+                upleft = shifted(prev)
+                pth = left + prev - upleft
+                pa, pb, pc = (
+                    np.abs(pth - left), np.abs(pth - prev),
+                    np.abs(pth - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                filtered = row - pred
+            else:
+                raise ValueError(f"filter {filter_type}")
+            raw.append(filter_type)
+            raw += (filtered & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+
     raw = bytearray()
-    prev = np.zeros((w * ch,), dtype=np.int32)
-    for y in range(h):
-        row = arr[y].reshape(-1).astype(np.int32)
-        if filter_type == 0:
-            filtered = row
-        elif filter_type == 1:
-            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
-            filtered = row - left
-        elif filter_type == 2:
-            filtered = row - prev
-        elif filter_type == 3:
-            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
-            filtered = row - ((left + prev) >> 1)
-        elif filter_type == 4:
-            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
-            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
-            pth = left + prev - upleft
-            pa, pb, pc = (
-                np.abs(pth - left), np.abs(pth - prev), np.abs(pth - upleft)
-            )
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
-            )
-            filtered = row - pred
-        else:
-            raise ValueError(f"filter {filter_type}")
-        raw.append(filter_type)
-        raw += (filtered & 0xFF).astype(np.uint8).tobytes()
-        prev = row
+    if interlace:
+        for xs, ys, xp, yp in _ADAM7:
+            block = arr[ys::yp, xs::xp]
+            if block.shape[0] and block.shape[1]:
+                filter_block(pack_rows(block), raw)
+    else:
+        filter_block(pack_rows(arr), raw)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -458,12 +832,15 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
             + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+        b"IEND", b""
     )
 
 

@@ -614,3 +614,145 @@ def test_jpeg_12bit_sequential_roundtrip():
         assert out.dtype == np.uint16
         err = np.abs(out.astype(int) - rgb.astype(int)).max()
         assert err <= (96 if sub == "4:4:4" else 512), (sub, int(err))
+
+
+def test_png_extended_depths_interlace_and_trns():
+    """PNG coverage beyond 8-bit non-interlaced (round 5): bit depths
+    1/2/4 (gray scaled to full range; palette as indices), 16 (uint16
+    out), Adam7 interlace at every depth, palette alpha via tRNS —
+    all exact round-trips through the extended encoder."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(5)
+
+    # 16-bit gray/RGB/RGBA across every filter type
+    for ft in range(5):
+        for ch in (1, 3, 4):
+            a = rng.integers(0, 65536, (9, 5, ch), dtype=np.uint16)
+            out = decode_image(encode_png(a, filter_type=ft))
+            assert out.dtype == np.uint16 and (out == a).all(), (ft, ch)
+
+    # low-depth gray scales by 255/(2^d-1) (exact for 1/2/4)
+    for d in (1, 2, 4):
+        a = rng.integers(0, 1 << d, (13, 10), dtype=np.uint8)
+        out = decode_image(encode_png(a, depth=d))
+        assert (out == (a * (255 // ((1 << d) - 1)))[:, :, None]).all(), d
+
+    # 4-bit palette, with and without tRNS alpha
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (8, 9), dtype=np.uint8)
+    assert (decode_image(encode_png(idx, depth=4, palette=pal))
+            == pal[idx]).all()
+    tr = bytes(range(16))
+    out = decode_image(encode_png(idx, depth=4, palette=pal, trns=tr))
+    assert out.shape == (8, 9, 4)
+    assert (out[:, :, :3] == pal[idx]).all()
+    assert (out[:, :, 3] == np.frombuffer(tr, np.uint8)[idx]).all()
+
+    # Adam7: every depth family, odd sizes, non-zero filters
+    for d, ch, ft in [(8, 3, 4), (16, 3, 2), (1, 1, 0), (2, 1, 3),
+                      (4, 1, 4)]:
+        if d == 16:
+            a = rng.integers(0, 65536, (13, 11, ch), dtype=np.uint16)
+            exp = a
+        elif d == 8:
+            a = rng.integers(0, 256, (13, 11, ch), dtype=np.uint8)
+            exp = a
+        else:
+            a = rng.integers(0, 1 << d, (13, 11, ch), dtype=np.uint8)
+            exp = (a.astype(int) * (255 // ((1 << d) - 1))).astype(np.uint8)
+        out = decode_image(encode_png(a, filter_type=ft, depth=d,
+                                      interlace=1))
+        assert (out == exp).all(), (d, ch, ft)
+
+    # tiny interlaced images: several passes are empty
+    for hw in [(1, 1), (2, 1), (1, 2), (3, 3)]:
+        a = rng.integers(0, 256, hw + (3,), dtype=np.uint8)
+        assert (decode_image(encode_png(a, interlace=1)) == a).all(), hw
+
+
+def test_gif_roundtrip_lzw_interlace_transparency():
+    """GIF decode (round 5): real LZW (table growth, CLEAR reset, the
+    deferred-clear full-table mode, KwKwK), 4-pass interlace,
+    transparency -> RGBA, first-frame contract — exact round-trips
+    through the encoder, which emits real variable-width LZW."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import (
+        decode_image,
+        detect_image_format,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    idx = rng.integers(0, 12, (17, 23), dtype=np.uint8)
+    rgb = pal[idx]
+
+    payload = encode_gif(rgb)  # auto-palettized RGB
+    assert detect_image_format(payload) == "GIF"
+    assert (decode_image(payload) == rgb).all()
+
+    # interlaced
+    assert (decode_image(encode_gif(idx, palette=pal, interlace=True))
+            == rgb).all()
+
+    # transparency: RGBA with alpha 0 exactly at the transparent index
+    out = decode_image(encode_gif(idx, palette=pal, transparent=3))
+    assert out.shape == (17, 23, 4)
+    assert (out[:, :, :3] == rgb).all()
+    assert ((out[:, :, 3] == 0) == (idx == 3)).all()
+
+    # table growth to 12-bit codes, then BOTH full-table behaviors:
+    # standard CLEAR reset and deferred-clear (decoder must not grow
+    # phantom entries past 4096)
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (200, 210), dtype=np.uint8)
+    for deferred in (False, True):
+        out = decode_image(
+            encode_gif(big, palette=pal256, deferred_clear=deferred)
+        )
+        assert (out == pal256[big]).all(), deferred
+
+    # incompressible + tiny edge cases
+    g = (np.arange(64 * 64) % 251 % 256).astype(np.uint8).reshape(64, 64)
+    palg = rng.integers(0, 256, (251, 3), dtype=np.uint8)
+    assert (decode_image(encode_gif(g, palette=palg)) == palg[g]).all()
+    one = np.zeros((1, 1), dtype=np.uint8)
+    assert (decode_image(
+        encode_gif(one, palette=np.array([[7, 8, 9]], np.uint8))
+    ) == [7, 8, 9]).all()
+
+
+def test_gif_through_stats_dataframe(spark):
+    """GIF payloads flow through the mapInPandas stats operator with
+    pixel-true values (they are real decoded frames, not headers)."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_stats,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    rows = []
+    expect = {}
+    for i in range(4):
+        idx = rng.integers(0, 8, (6 + i, 5 + i), dtype=np.uint8)
+        payload = encode_gif(idx, palette=pal, interlace=bool(i % 2))
+        arr = pal[idx]
+        expect[f"g{i}"] = (arr.shape[1], arr.shape[0],
+                           int(np.int64(arr.sum())))
+        rows.append((f"g{i}", "image", bytearray(payload), "image/gif",
+                     (None, None, None, None)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image_stats(media).collect()}
+    for mid, (w, h, checksum) in expect.items():
+        r = got[mid]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_checksum"] == checksum
