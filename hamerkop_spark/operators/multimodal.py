@@ -3,11 +3,14 @@
 Images/audio/video travel as opaque `binary` columns with typed metadata
 structs. The Spark-side plumbing — schemas, partition-preserving
 mapInPandas, Arrow batch shapes, deterministic outputs — is real and
-tested. Decoding is REAL for PNG (stdlib zlib inflate + full filter
-unfiltering), binary PPM/PGM, and uncompressed BMP — no codec library
-needed; only JPEG pixel decode (an entropy codec) stays behind
-`DecodeUnavailable`. A deterministic fake feature extractor remains for
-payloads with no decodable container.
+tested. Decoding is REAL, dependency-free, for PNG (all bit depths,
+Adam7), GIF (LZW, first frame), binary PPM/PGM, uncompressed BMP, and
+JPEG (operators/jpeg.py: sequential 8/12-bit, progressive, lossless).
+WEBP and TIFF are sniffed and header-probed (dimensions) but pixel
+decode is registry-only; arithmetic-coded JPEG likewise surfaces as
+`DecodeUnavailable` unless a registered native codec claims it. A
+deterministic fake feature extractor remains for payloads with no
+decodable container.
 """
 
 from __future__ import annotations
@@ -53,9 +56,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised for formats whose decoding needs codec libraries not present
-    in this environment (JPEG entropy decode). PNG / PPM / PGM / BMP are
-    decoded for real below with zero external dependencies."""
+    """Raised for formats/profiles whose pixel decode needs a codec not
+    built in here (WEBP, TIFF, arithmetic-coded JPEG) — register a
+    native codec to claim them. PNG / GIF / PPM / PGM / BMP / JPEG
+    (sequential, progressive, lossless) decode for real below with
+    zero external dependencies."""
 
 
 class DecodeError(ValueError):
@@ -543,7 +548,21 @@ def detect_image_format(payload: bytes) -> str | None:
         return "JPEG"
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "GIF"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "WEBP"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "TIFF"
     return None
+
+
+def _decode_unavailable(fmt: str):
+    def no_builtin(_p: bytes) -> "np.ndarray":
+        raise DecodeUnavailable(
+            f"{fmt} pixel decode has no built-in codec — register a "
+            "native codec (multimodal.register_codec) for this format"
+        )
+
+    return no_builtin
 
 
 def _builtin_decoder(fmt: str):
@@ -551,8 +570,13 @@ def _builtin_decoder(fmt: str):
         from hamerkop_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg
+    # WEBP/TIFF: sniffed + header-probed (typed metadata path), but
+    # pixel decode is registry-only — a VP8/VP8L or TIFF codec is out
+    # of scope for the built-ins; the typed error keeps them decode_
+    # error ROWS, never stage failures
     return {"PNG": _decode_png, "PNM": _decode_pnm, "BMP": _decode_bmp,
-            "GIF": _decode_gif}[fmt]
+            "GIF": _decode_gif, "WEBP": _decode_unavailable("WEBP"),
+            "TIFF": _decode_unavailable("TIFF")}[fmt]
 
 
 # --- pluggable codec registry ----------------------------------------------
@@ -639,7 +663,8 @@ def probe_native_codecs() -> list[str]:
 
         register_codec(
             "pillow", _pillow,
-            formats=("JPEG", "PNG", "BMP", "PNM"), priority=80,
+            formats=("JPEG", "PNG", "BMP", "PNM", "GIF", "WEBP", "TIFF"),
+            priority=80,
         )
         found.append("pillow")
     except ImportError:
@@ -659,7 +684,7 @@ def probe_native_codecs() -> list[str]:
 
         register_codec(
             "opencv", _opencv,
-            formats=("JPEG", "PNG", "BMP"), priority=70,
+            formats=("JPEG", "PNG", "BMP", "TIFF", "WEBP"), priority=70,
         )
         found.append("opencv")
     except ImportError:
@@ -943,6 +968,44 @@ def probe_image_header(payload: bytes) -> tuple:
                 return ("jpeg", w, h)
             i += 2 + seg_len
         return ("jpeg", None, None)
+    if len(p) >= 30 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        cc = p[12:16]
+        d = p[20:]
+        if cc == b"VP8 " and d[3:6] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", d[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", d[8:10])[0] & 0x3FFF
+            return ("webp", w, h)
+        if cc == b"VP8L" and d[0] == 0x2F:
+            bits = struct.unpack("<I", d[1:5])[0]
+            return ("webp", (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1)
+        if cc == b"VP8X":
+            w = 1 + int.from_bytes(d[4:7], "little")
+            h = 1 + int.from_bytes(d[7:10], "little")
+            return ("webp", w, h)
+        return ("webp", None, None)
+    if len(p) >= 8 and p[:4] in (b"II*\x00", b"MM\x00*"):
+        end = "<" if p[:2] == b"II" else ">"
+        try:
+            (ifd,) = struct.unpack(end + "I", p[4:8])
+            (n,) = struct.unpack(end + "H", p[ifd : ifd + 2])
+            w = h = None
+            for k in range(n):
+                e = p[ifd + 2 + 12 * k : ifd + 14 + 12 * k]
+                tag, typ = struct.unpack(end + "HH", e[:4])
+                if tag not in (0x0100, 0x0101):
+                    continue
+                val = struct.unpack(
+                    end + ("H" if typ == 3 else "I"),
+                    e[8 : 10 if typ == 3 else 12],
+                )[0]
+                if tag == 0x0100:
+                    w = val
+                else:
+                    h = val
+            return ("tiff", w, h)
+        except struct.error:
+            return ("tiff", None, None)
     return (None, None, None)
 
 

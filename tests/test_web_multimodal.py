@@ -756,3 +756,70 @@ def test_gif_through_stats_dataframe(spark):
         assert r["decode_error"] is None
         assert (r["width"], r["height"]) == (w, h)
         assert r["px_checksum"] == checksum
+
+
+def test_webp_tiff_probe_and_registry_route():
+    """WEBP / TIFF (round 5): sniffed and header-probed for real
+    dimensions (VP8 lossy frame tag, VP8L packed bits, VP8X canvas;
+    TIFF IFD walk in both byte orders), pixel decode registry-only —
+    the typed DecodeUnavailable names the format, and a registered
+    codec claiming it takes over."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from hamerkop_spark.operators.multimodal import (
+        DecodeUnavailable,
+        decode_image,
+        detect_image_format,
+        probe_image_header,
+        register_codec,
+        unregister_codec,
+    )
+
+    def riff(cc: bytes, payload: bytes) -> bytes:
+        chunk = cc + st.pack("<I", len(payload)) + payload
+        return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+               + st.pack("<HH", 641, 353) + b"\x00" * 10)
+    vp8l_bits = (641 - 1) | ((353 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + st.pack("<I", vp8l_bits) + b"\x00" * 8)
+    vp8x = riff(b"VP8X", b"\x00" * 4
+                + (640).to_bytes(3, "little") + (352).to_bytes(3, "little")
+                + b"\x00" * 4)
+    assert probe_image_header(vp8) == ("webp", 641, 353)
+    assert probe_image_header(vp8l) == ("webp", 641, 353)
+    assert probe_image_header(vp8x) == ("webp", 641, 353)
+
+    def tiff(end: str) -> bytes:
+        head = (b"II*\x00" if end == "<" else b"MM\x00*") + st.pack(
+            end + "I", 8
+        )
+        entries = (
+            st.pack(end + "HHIHH", 0x0100, 3, 1, 123, 0)
+            + st.pack(end + "HHII", 0x0101, 4, 1, 456)
+        )
+        return head + st.pack(end + "H", 2) + entries + st.pack(end + "I", 0)
+
+    assert probe_image_header(tiff("<")) == ("tiff", 123, 456)
+    assert probe_image_header(tiff(">")) == ("tiff", 123, 456)
+
+    for payload, fmt in [(vp8, "WEBP"), (tiff("<"), "TIFF")]:
+        assert detect_image_format(payload) == fmt
+        with pytest.raises(DecodeUnavailable, match=fmt):
+            decode_image(payload, codec="builtin")
+        with pytest.raises(DecodeUnavailable):
+            decode_image(payload)  # no registered codec claims it
+
+    # a registered codec claiming WEBP takes the payload
+    fake = np.full((2, 2, 3), 7, np.uint8)
+    register_codec("fakewebp", lambda p: fake, formats=("WEBP",),
+                   priority=99)
+    try:
+        assert (decode_image(vp8) == fake).all()
+    finally:
+        unregister_codec("fakewebp")
+    with pytest.raises(DecodeUnavailable):
+        decode_image(vp8)
