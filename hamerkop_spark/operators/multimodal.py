@@ -85,9 +85,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
-    """Reverse PNG row filters (spec §9): Sub/Up/Average/Paeth. Sequential
-    per-byte recurrences, so plain Python — decode cost is per-image and
-    the operator parallelizes across images, not pixels."""
+    """Reverse PNG row filters (spec §9). None/Sub/Up are vectorized
+    (Up is elementwise over the previous row; Sub is a modular cumsum
+    over each byte-residue class mod bpp); Average and Paeth are true
+    per-byte recurrences on BOTH neighbors, so those rows stay plain
+    Python — decode cost is per-image and the operator parallelizes
+    across images, not pixels."""
     out = bytearray()
     prev = bytearray(stride)
     pos = 0
@@ -96,12 +99,22 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
         pos += 1
         row = bytearray(raw[pos : pos + stride])
         pos += stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+        if ftype == 1:  # Sub: cumsum mod 256 within each residue class
+            a = np.frombuffer(bytes(row), np.uint8).astype(np.uint32)
+            n = (stride + bpp - 1) // bpp
+            padded = np.zeros(n * bpp, np.uint32)
+            padded[:stride] = a
+            csum = padded.reshape(n, bpp).cumsum(axis=0) & 0xFF
+            row = bytearray(
+                csum.reshape(-1)[:stride].astype(np.uint8).tobytes()
+            )
+        elif ftype == 2:  # Up: elementwise add of the previous row
+            row = bytearray(
+                (
+                    (np.frombuffer(bytes(row), np.uint8).astype(np.uint16)
+                     + np.frombuffer(bytes(prev), np.uint8)) & 0xFF
+                ).astype(np.uint8).tobytes()
+            )
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = row[i - bpp] if i >= bpp else 0
