@@ -1348,6 +1348,49 @@ def probe_media_header(payload: bytes) -> dict:
     return out
 
 
+MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Container-header probe over a binary column for audio/video
+    payloads (WAV/MP3/OGG/FLAC/MP4), falling back to the image probe
+    for image containers — one typed-metadata row per payload with no
+    codec library involved (mapInPandas, partition-preserving)."""
+
+    def one(mid, payload):
+        h = probe_media_header(payload)
+        if h["format"] is None:
+            fmt, w, hh = probe_image_header(payload)
+            if fmt is not None:
+                h = {"format": fmt, "sample_rate": None,
+                     "channels": None, "duration_ms": None,
+                     "width": w, "height": hh}
+        return (mid, h["format"], h["sample_rate"], h["channels"],
+                h["duration_ms"], h["width"], h["height"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(m, q)
+                    for m, q in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "sample_rate", "channels",
+                         "duration_ms", "width", "height"],
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_PROBE_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

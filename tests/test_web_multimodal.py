@@ -936,3 +936,34 @@ def test_audio_stats_dataframe(spark):
             rate, ch, dur)
         assert abs(r["rms"] - rms) < 1e-6 and abs(r["peak"] - peak) < 1e-6
     assert got["bad"]["decode_error"] is not None
+
+
+def test_media_probe_dataframe(spark):
+    """media_probe unifies the audio/video and image header probes
+    into one typed-metadata row per payload."""
+    import numpy as np
+
+    from hamerkop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif,
+        encode_wav,
+        media_probe,
+    )
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    gif = encode_gif(rng.integers(0, 4, (15, 10), np.uint8), palette=pal)
+    wav = encode_wav(rng.uniform(-1, 1, (8000, 2)), 16000)
+    rows = [
+        ("g", "image", bytearray(gif), "image/gif", (None,) * 4),
+        ("w", "audio", bytearray(wav), "audio/wav", (None,) * 4),
+        ("x", "video", bytearray(b"junk"), "video/mp4", (None,) * 4),
+    ]
+    got = {r["media_id"]: r for r in media_probe(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (got["g"]["format"], got["g"]["width"],
+            got["g"]["height"]) == ("gif", 10, 15)
+    assert (got["w"]["format"], got["w"]["sample_rate"],
+            got["w"]["channels"], got["w"]["duration_ms"]) == (
+        "wav", 16000, 2, 500)
+    assert got["x"]["format"] is None
