@@ -39,8 +39,10 @@ Two parts, scaling FIRST (it is the pass/fail gate):
    side's sample biases its ratio in either direction (loaded hi
    deflates, loaded lo inflates). Each timed sample is therefore
    tagged with the fraction of host CPU used OUTSIDE the bench's
-   process tree during that sample (/proc/stat total minus a
-   /proc-walk of the bench-rooted subtree). A pair is CLEAN when both
+   process tree during that sample (summing per-pid /proc deltas of
+   non-tree processes — measured directly, NOT as a busy-minus-ours
+   residual, which a bench-tree worker exiting mid-window would
+   inflate by its lifetime CPU). A pair is CLEAN when both
    sides measured ambient <= AMBIENT_CLEAN_FRAC (pre-declared, 0.05;
    measured idle floor on this host is 0.01-0.03). Efficiency = max
    over {per-round paired medians} + {median of clean-pair ratios when
@@ -242,14 +244,15 @@ def new_session(cores: int):
     return s
 
 
-def _cpu_snapshot() -> tuple[float, float] | None:
+def _cpu_snapshot() -> tuple[float, float, dict] | None:
     """(total busy jiffies across all CPUs, jiffies used by THIS BENCH
-    RUN's process tree) — the tree is rooted at this process's parent
-    (the bench driver), so the partner level's JVM and the parent
-    count as "ours", and everything else on the host is ambient. Used
-    to tag each timed sample with the ambient-load fraction so the
-    parent can prefer ratios from clean windows. Returns None when
-    /proc is unavailable (non-Linux)."""
+    RUN's process tree, {pid: jiffies} for every NON-tree process) —
+    the tree is rooted at this process's parent (the bench driver), so
+    the partner level's JVM and the parent count as "ours", and
+    everything else on the host is ambient. Used to tag each timed
+    sample with the ambient-load fraction so the parent can prefer
+    ratios from clean windows. Returns None when /proc is unavailable
+    (non-Linux)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
@@ -278,31 +281,50 @@ def _cpu_snapshot() -> tuple[float, float] | None:
         root = int(os.environ.get("HK_BENCH_ROOT_PID", os.getppid()))
         ours = 0.0
         mine = os.getpid()
+        others: dict[int, float] = {}
         for pid, (ppid, cpu) in procs.items():
             p = pid
+            in_tree = False
             for _ in range(32):  # walk up; bounded depth
                 if p in (root, mine):
-                    ours += cpu
+                    in_tree = True
                     break
                 nxt = procs.get(p)
                 if nxt is None or nxt[0] in (0, p):
                     break
                 p = nxt[0]
-        return busy, ours
+            if in_tree:
+                ours += cpu
+            else:
+                others[pid] = cpu
+        return busy, ours, others
     except (OSError, ValueError, IndexError):
         return None
 
 
 def _ambient_frac(before, after, wall_s: float) -> float | None:
     """Fraction of the HOST's total CPU capacity consumed by processes
-    OUTSIDE this bench run during [before, after]. 0.0 = idle host."""
+    OUTSIDE this bench run during [before, after]. 0.0 = idle host.
+
+    Measured DIRECTLY as the sum of per-pid deltas over non-tree
+    processes (a process new in `after` counts fully). The residual
+    form (busy_delta - ours_delta) was dropped: a bench-tree child (a
+    Spark python worker) exiting mid-window removes its LIFETIME
+    jiffies from 'ours', overstating ambient by far more than the
+    window and wrongly tainting clean pairs. Direct's own gap — a
+    competitor exiting mid-window goes uncounted — is rarer, and the
+    max-over-estimators efficiency rule bounds its damage."""
     if before is None or after is None or wall_s <= 0:
         return None
     ncpu = os.cpu_count() or 1
     hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
     total_capacity = wall_s * hz * ncpu
-    ambient = (after[0] - before[0]) - (after[1] - before[1])
-    return round(max(0.0, ambient) / total_capacity, 4)
+    busy_delta = after[0] - before[0]
+    direct = sum(
+        cpu - before[2].get(pid, 0.0) for pid, cpu in after[2].items()
+    )
+    ambient = min(max(busy_delta, 0.0), max(direct, 0.0))
+    return round(ambient / total_capacity, 4)
 
 
 def _baton_read(path: str) -> int:
@@ -655,19 +677,19 @@ def main() -> None:
         round_medians: list[float] = []
         all_pairs: list[tuple[float, float | None]] = []
 
-        def _absorb(results: dict, suffix: str, paired: bool = True) -> list:
+        def _absorb(results: dict, suffix: str, paired: bool = True,
+                    display: bool = True) -> list:
             """Record one round; keep the best per-level throughput for
-            the display fields. Ratios only when the two sides actually
-            ran baton-alternated (paired=True). Returns the ratio list."""
+            the display fields (display=False for a REDUCED-size retry,
+            whose rates aren't comparable — a full-size retry displays).
+            Ratios only when the two sides actually ran
+            baton-alternated (paired=True). Returns the ratio list."""
             for cores in (lo, hi):
                 res = results.get(cores)
                 if res is None:
                     continue
                 scaling[f"n_pairs{suffix}"] = res["n_pairs"]
-                # the retry round runs a half-size workload: its rates
-                # are not comparable to the full-size display fields, so
-                # it contributes ratios only
-                if suffix != "_retry" and res["pairs_per_sec"] > thr.get(
+                if display and res["pairs_per_sec"] > thr.get(
                     cores, 0.0
                 ):
                     thr[cores] = res["pairs_per_sec"]
@@ -772,7 +794,12 @@ def main() -> None:
                 results2 = _run_paired_round(
                     lo, hi, retry_variants, 2, retry_budget,
                 )
-                _absorb(results2, "_retry")
+                _absorb(results2, "_retry",
+                        display=retry_variants == SCALING_VARIANTS)
+                if lo in thr and hi in thr and thr[lo] > 0:
+                    scaling["efficiency_bestof"] = round(
+                        thr[hi] / thr[lo] / (hi / lo), 4
+                    )
                 est = _est_efficiency()
                 if est is not None:
                     scaling["efficiency"] = est

@@ -174,6 +174,11 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _seg(marker: int, payload: bytes) -> bytes:
+    """Marker segment: 2-byte marker + 2-byte length (incl. itself)."""
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def _encode_prep(arr: np.ndarray, quality: int, subsampling: str,
                  precision: int = 8):
     """Shared encoder forward path: color convert, subsample, MCU-pad.
@@ -327,8 +332,7 @@ def encode_jpeg(
                         )
     writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    seg = _seg
 
     def dqt_payload(tid: int, q: np.ndarray) -> bytes:
         zz = q.reshape(64)[_ZIGZAG]
@@ -457,6 +461,7 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
     progressive = False
     scans_done = 0
     coef: dict[int, np.ndarray] = {}
+    ll_planes: dict[int, np.ndarray] = {}
     while pos < len(p):
         if p[pos] != 0xFF:
             pos += 1
@@ -547,12 +552,19 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
                     {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
                 )
             if frame.get("lossless"):
-                # Ss = predictor selector (1-7), Al = point transform
-                return _decode_lossless_scan(
+                # Ss = predictor selector (1-7), Al = point transform.
+                # Real lossless files are often NON-interleaved (one
+                # scan per component), so decode scans into the shared
+                # plane dict until every frame component has one.
+                end = _decode_lossless_scan(
                     p, pos + 2 + seg_len, frame, scan,
                     data[1 + ns * 2], data[3 + ns * 2] & 0xF,
-                    huff, restart_interval,
+                    huff, restart_interval, ll_planes,
                 )
+                if all(c["id"] in ll_planes for c in frame["comps"]):
+                    return _lossless_assemble(frame, ll_planes)
+                pos = _sync_to_marker(p, end)
+                continue
             if progressive:
                 ss = data[1 + ns * 2]
                 se = data[2 + ns * 2]
@@ -573,6 +585,10 @@ def decode_jpeg(p: bytes, vectorized: bool = True) -> np.ndarray:
         pos += 2 + seg_len
     if progressive and scans_done:
         return _progressive_finish(coef, frame, quant)  # EOI truncated
+    if ll_planes:
+        raise ValueError(
+            "lossless JPEG: stream ended with component scans missing"
+        )
     raise ValueError("no scan found")
 
 
@@ -1040,14 +1056,15 @@ def _lossless_predict(pl, y, x, fresh, ra_line, predictor, default):
 
 
 def _decode_lossless_scan(p, start, frame, scan, predictor, pt, huff,
-                          restart_interval):
+                          restart_interval, out_planes):
     """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded DPCM with one
-    of seven predictors and an optional point transform Pt. Components
-    decode 1x1-interleaved (or single-component) and are returned AS
-    STORED — T.81 defines no color transform for the lossless process.
+    of seven predictors and an optional point transform Pt. Decodes
+    ONE scan — interleaved (all components) or non-interleaved (a
+    subset; real encoders usually emit one scan per component) — into
+    `out_planes[comp_id]` with the point transform already applied.
     Differences are modulo-2^16 (H.1.2.1; SSSS=16 means +32768 with no
-    extra bits); decoded samples are shifted left by Pt. Output dtype
-    follows frame precision (uint8 when <=8, else uint16)."""
+    extra bits). Returns the stream position after the scan's entropy
+    data."""
     h, w, prec = frame["h"], frame["w"], frame["prec"]
     if not 1 <= predictor <= 7:
         raise ValueError(f"bad lossless predictor {predictor}")
@@ -1086,9 +1103,19 @@ def _decode_lossless_scan(p, start, frame, scan, predictor, pt, huff,
                 pl[y, x] = (px + diff) & 0xFFFF
             fresh = False
             count += 1
-    dtype = np.uint8 if prec <= 8 else np.uint16
+    for ci, s in enumerate(scan):
+        out_planes[s["comp"]["id"]] = planes[ci] << pt
+    return reader.pos
+
+
+def _lossless_assemble(frame, ll_planes) -> np.ndarray:
+    """Stack decoded lossless planes in frame-component order; output
+    dtype follows frame precision (uint8 <= 8, else uint16).
+    Components are returned AS STORED — T.81 defines no color
+    transform for the lossless process."""
+    dtype = np.uint8 if frame["prec"] <= 8 else np.uint16
     return np.stack(
-        [pl << pt for pl in planes], axis=-1
+        [ll_planes[c["id"]] for c in frame["comps"]], axis=-1
     ).astype(dtype)
 
 
@@ -1098,6 +1125,7 @@ def encode_jpeg_lossless(
     point_transform: int = 0,
     precision: int | None = None,
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Lossless JPEG encoder (SOF3, T.81 Annex H): Huffman DPCM with
     the selected predictor and point transform; components stored
@@ -1124,43 +1152,45 @@ def encode_jpeg_lossless(
     bits[4] = 17
     vals = list(range(17))
     codes = _canonical_codes(bits, vals)
-    writer = _BitWriter()
-    count = 0
-    rst = 0
-    fresh = True
-    ra_line = 0
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and (
-                count % restart_interval == 0
-            ):
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) & 7
-                fresh = True
-                ra_line = y
-            for ci in range(ncomp):
-                pl = samples[:, :, ci]
-                px = _lossless_predict(
-                    pl, y, x, fresh, ra_line, predictor, default
-                )
-                diff = (int(pl[y, x]) - px) & 0xFFFF
-                if diff == 32768:
-                    code, length = codes[16]
-                    writer.write(code, length)
-                else:
-                    sd = diff - 65536 if diff >= 32768 else diff
-                    size, vbits = _magnitude(sd)
-                    code, length = codes[size]
-                    writer.write(code, length)
-                    if size:
-                        writer.write(vbits, size)
-            fresh = False
-            count += 1
-    writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    def encode_scan(comp_indices: list[int]) -> bytes:
+        writer = _BitWriter()
+        count = 0
+        rst = 0
+        fresh = True
+        ra_line = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    fresh = True
+                    ra_line = y
+                for ci in comp_indices:
+                    pl = samples[:, :, ci]
+                    px = _lossless_predict(
+                        pl, y, x, fresh, ra_line, predictor, default
+                    )
+                    diff = (int(pl[y, x]) - px) & 0xFFFF
+                    if diff == 32768:
+                        code, length = codes[16]
+                        writer.write(code, length)
+                    else:
+                        sd = diff - 65536 if diff >= 32768 else diff
+                        size, vbits = _magnitude(sd)
+                        code, length = codes[size]
+                        writer.write(code, length)
+                        if size:
+                            writer.write(vbits, size)
+                fresh = False
+                count += 1
+        writer.flush()
+        return bytes(writer.out)
+
+    seg = _seg
 
     out = bytearray(b"\xff\xd8")
     comps = b""
@@ -1172,12 +1202,19 @@ def encode_jpeg_lossless(
     out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([predictor, 0, pt])
-    out += seg(0xFFDA, sos)
-    out += writer.out
+    # interleaved: one scan with every component; non-interleaved (the
+    # common real-world lossless layout): one scan PER component
+    scan_groups = (
+        [list(range(ncomp))] if interleaved
+        else [[ci] for ci in range(ncomp)]
+    )
+    for group in scan_groups:
+        sos = bytes([len(group)])
+        for ci in group:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([predictor, 0, pt])
+        out += seg(0xFFDA, sos)
+        out += encode_scan(group)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1625,8 +1662,7 @@ def _encode_progressive(
             ("ac_refine", [0], 1, 63, 1, 0),
         ]
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    seg = _seg
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")

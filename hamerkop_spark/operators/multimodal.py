@@ -707,10 +707,15 @@ def probe_native_codecs() -> list[str]:
 
 def _normalize_pixels(arr: "np.ndarray") -> "np.ndarray":
     """Native codecs return (H, W) for grayscale and assorted dtypes;
-    the engine contract is (H, W, C) uint8."""
+    the engine contract is (H, W, C) uint8 — or uint16 for >8-bit
+    sources, matching the built-in decoders (a blanket uint8 cast here
+    used to WRAP 16-bit samples mod 256, silently corrupting pixels
+    and breaking native-vs-builtin parity on 16-bit PNG / 12-bit
+    JPEG). Other dtypes (floats, odd ints) clip into uint8 as
+    before."""
     arr = np.asarray(arr)
-    if arr.dtype != np.uint8:
-        arr = arr.astype(np.uint8)
+    if arr.dtype not in (np.uint8, np.uint16):
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr
@@ -1132,6 +1137,7 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
         raise ValueError("not a WAV")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
@@ -1139,14 +1145,22 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
         body = p[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt or data chunk")
     audio_fmt, ch, rate, _brate, _align, bits = fmt
-    if audio_fmt == 0xFFFE and len(p) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1  # subformat GUID's leading u16 mirrors PCM here
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # extension: cbSize(2) validbits(2) channelmask(4) GUID(16);
+        # the SubFormat GUID's leading u16 is the real format tag
+        # (1 = PCM, 3 = IEEE float) — decoding float as int PCM here
+        # would silently produce garbage samples
+        if len(fmt_body) >= 26:
+            (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            raise ValueError("WAV: truncated WAVE_FORMAT_EXTENSIBLE")
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             a = (np.frombuffer(data, np.uint8).astype(np.float64)
@@ -1178,15 +1192,21 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
     return a[:n].reshape(-1, ch), rate
 
 
-def encode_wav(samples: "np.ndarray", rate: int, bits: int = 16) -> bytes:
-    """WAV/PCM encoder for tests: float input in [-1, 1], (N,) or
-    (N, channels); bits 16/32 integer PCM or 32-float (bits=33 keeps
-    the API dumb: pass fmt_float=True instead)."""
+def encode_wav(samples: "np.ndarray", rate: int, bits: int = 16,
+               fmt_float: bool = False, extensible: bool = False) -> bytes:
+    """WAV encoder for tests: float input in [-1, 1], (N,) or
+    (N, channels). bits 16/32 integer PCM, or `fmt_float=True` for
+    IEEE float32 (tag 3). `extensible=True` wraps the chosen format in
+    a WAVE_FORMAT_EXTENSIBLE header (tag 0xFFFE + SubFormat GUID) —
+    the layout many tools emit, used to exercise that decode path."""
     a = np.asarray(samples, np.float64)
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
-    if bits == 16:
+    if fmt_float:
+        raw = a.astype("<f4").tobytes()
+        fmt_tag, bw = 3, 4
+    elif bits == 16:
         raw = np.clip(np.rint(a * 32767), -32768, 32767).astype(
             "<i2"
         ).tobytes()
@@ -1198,8 +1218,14 @@ def encode_wav(samples: "np.ndarray", rate: int, bits: int = 16) -> bytes:
         fmt_tag, bw = 1, 4
     else:
         raise ValueError("bits must be 16 or 32")
-    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch * bw,
-                      ch * bw, bw * 8)
+    fmt = struct.pack("<HHIIHH",
+                      0xFFFE if extensible else fmt_tag,
+                      ch, rate, rate * ch * bw, ch * bw, bw * 8)
+    if extensible:
+        # cbSize=22, valid bits, channel mask 0, SubFormat GUID with
+        # the real format tag in its leading u16
+        guid = struct.pack("<H", fmt_tag) + bytes(14)
+        fmt += struct.pack("<HHI", 22, bw * 8, 0) + guid
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(raw)) + raw)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
@@ -1276,11 +1302,21 @@ def probe_media_header(payload: bytes) -> dict:
                 out["channels"] = p[first + 9]
                 out["sample_rate"] = 48000  # opus decodes at 48 kHz
                 rate = 48000
+            # last page's granule position -> duration. 'OggS' can also
+            # occur INSIDE packet data (the container does not escape
+            # it), so walk backwards until the match looks like a real
+            # page header: version byte 0 and header-type flags <= 0x07
             last = p.rfind(b"OggS")
-            if rate and last > 0:
-                (granule,) = struct.unpack("<q", p[last + 6 : last + 14])
-                if granule > 0:
-                    out["duration_ms"] = int(granule * 1000 / rate)
+            while rate and last > 0:
+                if (last + 14 <= len(p) and p[last + 4] == 0
+                        and p[last + 5] <= 0x07):
+                    (granule,) = struct.unpack(
+                        "<q", p[last + 6 : last + 14]
+                    )
+                    if granule > 0:
+                        out["duration_ms"] = int(granule * 1000 / rate)
+                    break
+                last = p.rfind(b"OggS", 0, last)
             return out
         if len(p) > 12 and p[4:8] == b"ftyp":
             out["format"] = "mp4"

@@ -967,3 +967,78 @@ def test_media_probe_dataframe(spark):
             got["w"]["channels"], got["w"]["duration_ms"]) == (
         "wav", 16000, 2, 500)
     assert got["x"]["format"] is None
+
+
+def test_review_fixes_round5():
+    """Regression lock for the round-5 self-review findings:
+    (1) native-codec uint16 output must NOT wrap mod 256,
+    (2) WAVE_FORMAT_EXTENSIBLE float WAVs decode as float (the
+        SubFormat GUID tag is honored, int-PCM misread produced
+        garbage samples),
+    (3) non-interleaved lossless JPEG (one scan per component)
+        decodes every component — previously silently returned only
+        the first scan's,
+    (4) an 'OggS' byte pattern inside packet data does not hijack the
+        duration probe."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from hamerkop_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from hamerkop_spark.operators.multimodal import (
+        decode_image,
+        decode_wav,
+        encode_png,
+        encode_wav,
+        probe_media_header,
+        register_codec,
+        unregister_codec,
+    )
+
+    # (1) uint16 passes through the native-codec normalizer unwrapped
+    rng = np.random.default_rng(41)
+    a16 = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+    register_codec("fake16", lambda p: a16, formats=("PNG",), priority=99)
+    try:
+        out = decode_image(encode_png(a16))
+        assert out.dtype == np.uint16 and (out == a16).all()
+    finally:
+        unregister_codec("fake16")
+
+    # (2) extensible float + extensible int PCM round-trip exactly
+    t = np.linspace(0, 1, 4000)
+    sig = np.stack([np.sin(2 * np.pi * 440 * t)], axis=1)
+    out, rate = decode_wav(encode_wav(sig, 8000, fmt_float=True,
+                                      extensible=True))
+    assert rate == 8000 and np.abs(out - sig).max() < 1e-6
+    out, _ = decode_wav(encode_wav(sig, 8000, bits=16, extensible=True))
+    assert np.abs(out - sig).max() < 1e-4
+    # plain (non-extensible) float path too
+    out, _ = decode_wav(encode_wav(sig, 8000, fmt_float=True))
+    assert np.abs(out - sig).max() < 1e-6
+
+    # (3) non-interleaved lossless: all components, exact; truncated
+    # multi-scan stream raises instead of silently dropping data
+    rgb = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    enc = encode_jpeg_lossless(rgb, predictor=4, interleaved=False)
+    out = decode_jpeg(enc)
+    assert out.shape == (12, 9, 3) and np.array_equal(out, rgb)
+    last_sos = enc.rfind(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing"):
+        decode_jpeg(enc[:last_sos] + b"\xff\xd9")
+
+    # (4) 'OggS' inside packet data is skipped by the page-header
+    # validity check (version byte must be 0, flags <= 0x07)
+    pkt = b"\x01vorbis" + b"\x00" * 4 + bytes([2]) + st.pack("<I", 44100)
+    page1 = b"OggS" + b"\x00" * 22 + bytes([1, len(pkt)]) + pkt
+    page2 = (b"OggS" + b"\x00\x00" + st.pack("<q", 44100 * 7)
+             + b"\x00" * 13 + b"\x00")
+    # trailing garbage containing a fake capture pattern with an
+    # invalid page header (version 0xFF) and a huge bogus granule
+    fake = b"OggS" + b"\xff\xff" + st.pack("<q", 44100 * 9999) + b"\x00" * 5
+    h = probe_media_header(page1 + page2 + fake)
+    assert h["duration_ms"] == 7000, h
