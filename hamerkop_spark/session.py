@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy parquet timestamp encoding) carries NO
+        # min/max statistics in the footer, which blinds the catalog's
+        # manifest-based file skipping on timestamp columns (warc_ts
+        # range scans are the canonical crawl query). TIMESTAMP_MICROS
+        # is the modern annotated type: same values on read, and every
+        # writer-side stat (footer + page index) works.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
         # from every explode(e) and pushes it through projects AND
         # exchanges. Every explode in this engine is over a COMPUTED

@@ -22,6 +22,16 @@ granularity, not a binding to the Iceberg library:
 - **Stats in metadata.** Per-snapshot row/file/byte counts let
   planners (and the StageRunner's lineage rows) answer "how big" without
   touching data files.
+- **Manifests + scan-time file skipping.** Every commit dir carries a
+  ``_manifest.json`` of per-file row counts, Hive partition values, and
+  per-column min/max/null-count aggregated from the parquet footers at
+  write time. ``scan(table, filters)`` prunes files a predicate provably
+  cannot match — planning never opens a data file — then applies the
+  same filters to the surviving rows, so the result is exactly
+  ``read().filter()``. This is the catalog feature that matters most at
+  crawl scale: a ``warc_ts`` range query over years of appended batches
+  reads only the overlapping commits' files instead of listing and
+  footer-probing millions of parquet files.
 - **Schema tracking.** The table schema is recorded at create time and
   appends are checked against it (field names + value types at every
   nesting level; nullability and field metadata are ignored).
@@ -92,6 +102,357 @@ def _normalize_type(t):
 
 def _types_of(schema_json: dict) -> list[tuple[str, object]]:
     return [(f["name"], _normalize_type(f["type"])) for f in schema_json["fields"]]
+
+
+# -- file-level column stats (manifest) -----------------------------------
+#
+# Iceberg's second load-bearing idea (after snapshot isolation) is that
+# scan PLANNING never opens data files: per-file column bounds live in
+# manifests, and a filtered read prunes files from metadata alone. Here
+# each commit dir carries a ``_manifest.json`` (the leading underscore
+# hides it from Spark's parquet directory listing) with per-file
+# row counts, Hive partition values parsed from the path, and per-column
+# min/max/null-count aggregated over the parquet footer's row groups.
+#
+# Conservatism rules (pruning must never drop a matching file):
+#   * a column with no stats in ANY row group is unknown -> keep;
+#   * string bounds longer than _STR_STAT_CAP are stored truncated: a
+#     truncated min is still a valid LOWER bound (a prefix sorts <= the
+#     full string) so min-side pruning stays sound, but a truncated max
+#     is NOT a valid upper bound, so max is dropped entirely;
+#   * non-finite float bounds (NaN never satisfies a comparison, but a
+#     NaN bound poisons every test) drop the column's stats;
+#   * decimals/binary/nested columns are skipped (pyarrow cannot extract
+#     or ranges are meaningless for blobs).
+
+_STR_STAT_CAP = 120
+
+
+def _stat_encode(v):
+    """JSON-encode one min/max bound, returning (tag, value) or None."""
+    import datetime as _dt
+    import math
+
+    if isinstance(v, bool):
+        return "bool", v
+    if isinstance(v, int):
+        return "long", v
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            return None
+        return "double", v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return "ts", (v - epoch) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return "date", (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, str):
+        return "string", v
+    return None  # bytes, Decimal, anything exotic
+
+
+def _norm_lit(v, tag):
+    """Normalize a filter literal to the stored stat representation."""
+    import datetime as _dt
+
+    if tag == "ts":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if hasattr(v, "to_pydatetime"):  # pandas.Timestamp
+            v = v.to_pydatetime()
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (v - epoch) // _dt.timedelta(microseconds=1)
+        return v  # already numeric micros
+    if tag == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
+    return v
+
+
+def _file_column_stats(md) -> dict:
+    """Aggregate one parquet footer's row-group stats into per-column
+    {tag, min, max, min_trunc, max_trunc, null_count, num_values}.
+
+    A column missing stats in any row group, mixing value tags, or
+    failing pyarrow's stat extraction (decimals) is omitted = unknown.
+    """
+    cols: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            name = c.path_in_schema
+            if "." in name:
+                continue  # nested leaf (list/map/struct) — file-level ranges meaningless
+            try:
+                st = c.statistics
+                ok = st is not None and st.has_min_max
+                mn = _stat_encode(st.min) if ok else None
+                mx = _stat_encode(st.max) if ok else None
+                # null_count is OPTIONAL in the footer — trusting an
+                # unset one as 0 would let isnull prune files that do
+                # contain nulls
+                counts_ok = st is not None and st.has_null_count
+                nulls = st.null_count if counts_ok else None
+                nvals = st.num_values if counts_ok else None
+            except Exception:
+                mn = mx = nulls = nvals = None
+            ent = cols.setdefault(
+                name,
+                {"tag": None, "min": None, "max": None, "min_trunc": False,
+                 "max_trunc": False, "null_count": 0, "num_values": 0,
+                 "_broken": False},
+            )
+            # null/value counts: exact only if every row group reports them
+            if nulls is None or nvals is None or ent["null_count"] is None:
+                ent["null_count"] = ent["num_values"] = None
+            else:
+                ent["null_count"] += nulls
+                ent["num_values"] += nvals
+            if ent["_broken"]:
+                continue
+            if nulls is not None and nvals == 0:
+                continue  # all-null row group: legitimately no min/max
+            if mn is None or mx is None:
+                ent["_broken"] = True  # values present but no usable bounds
+                continue
+            tag, mnv = mn
+            tag2, mxv = mx
+            if tag != tag2 or (ent["tag"] is not None and ent["tag"] != tag):
+                ent["_broken"] = True
+                continue
+            ent["tag"] = tag
+            # min: a truncated string is a PREFIX of the row-group min,
+            # so it sorts <= it — still a valid lower bound; the file
+            # bound is the minimum over all row-group lower bounds
+            trunc_min = tag == "string" and len(mnv) > _STR_STAT_CAP
+            if trunc_min:
+                mnv = mnv[:_STR_STAT_CAP]
+            if ent["min"] is None or mnv < ent["min"]:
+                ent["min"] = mnv
+            ent["min_trunc"] = ent["min_trunc"] or trunc_min
+            # max: a truncated value is NOT an upper bound — one bad row
+            # group voids the file's max
+            if tag == "string" and len(mxv) > _STR_STAT_CAP:
+                ent["max_trunc"] = True
+            elif not ent["max_trunc"] and (ent["max"] is None or mxv > ent["max"]):
+                ent["max"] = mxv
+    out = {}
+    for name, ent in cols.items():
+        broken = ent.pop("_broken")
+        if ent["max_trunc"]:
+            ent["max"] = None
+        if broken:
+            # counts may still be exact even when bounds are unusable
+            if ent["null_count"] is not None:
+                out[name] = {"tag": None, "min": None, "max": None,
+                             "min_trunc": False, "max_trunc": True,
+                             "null_count": ent["null_count"],
+                             "num_values": ent["num_values"]}
+            continue
+        if ent["tag"] is None and ent["null_count"] is None:
+            continue
+        out[name] = ent
+    return out
+
+
+def _parse_partition(rel_path: str) -> dict:
+    """Hive-style key=value path segments -> {col: str_value_or_None}."""
+    from urllib.parse import unquote
+
+    part = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            part[unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return part
+
+
+def _build_manifest(abs_dir: str, files: list[str]) -> dict:
+    """Read every parquet footer under a freshly written commit dir and
+    assemble the manifest. Footer reads are driver-side metadata-only
+    I/O (a few KB per file), parallelized over a thread pool — at real
+    cluster scale this is the one step Iceberg instead does inside the
+    write tasks; the manifest FORMAT is the same either way."""
+    import concurrent.futures as cf
+
+    import pyarrow.parquet as pq
+
+    def one(f):
+        md = pq.ParquetFile(f).metadata
+        rel = os.path.relpath(f, abs_dir)
+        return {
+            "path": rel,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(f),
+            "partition": _parse_partition(rel),
+            "columns": _file_column_stats(md),
+        }
+
+    if not files:
+        entries = []
+    elif len(files) == 1:
+        entries = [one(files[0])]
+    else:
+        with cf.ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            entries = list(ex.map(one, sorted(files)))
+    return {"manifest_version": 1, "files": entries}
+
+
+_PRUNE_OPS = {"=", "==", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull"}
+
+
+def _prunable_on_stats(ent: dict, op: str, vals: list) -> bool:
+    """True when the column's stats PROVE no row in the file matches.
+
+    min may be truncated (valid lower bound: every prune test on min is
+    of the form min-compare-v where truncation only weakens it toward
+    keeping); max participates only when untruncated.
+    """
+    all_null = ent["num_values"] == 0 and ent["num_values"] is not None
+    if op == "isnull":
+        return ent["null_count"] == 0 and ent["null_count"] is not None
+    if op == "notnull":
+        return all_null
+    if all_null:
+        return True  # no comparison or (in)equality matches a null
+    if ent["tag"] == "double" and op in (">", ">=", "!="):
+        # Spark orders NaN ABOVE every value (NaN > v and NaN != v are
+        # TRUE), but writers exclude NaN from min/max (parquet-mr omits
+        # the stats, pyarrow writes NaN-free bounds — both probed), so
+        # an upper bound can never prove the absence of matching NaN
+        # rows. =, in, <, <= stay prunable: NaN never satisfies those.
+        return False
+    mn, mx = ent["min"], ent["max"]
+    max_ok = mx is not None and not ent["max_trunc"]
+    try:
+        nvals = [_norm_lit(v, ent["tag"]) for v in vals]
+    except (ValueError, TypeError):
+        return False
+    if op in ("=", "==", "in"):
+        def outside(v):
+            try:
+                return (mn is not None and v < mn) or (max_ok and v > mx)
+            except TypeError:
+                return False
+        return bool(nvals) and all(outside(v) for v in nvals)
+    if op == "!=":
+        v = nvals[0]
+        try:
+            return (
+                max_ok and not ent["min_trunc"] and mn == mx == v
+                and ent["null_count"] == 0
+            )
+        except TypeError:
+            return False
+    v = nvals[0]
+    try:
+        if op == "<":
+            return mn is not None and mn >= v
+        if op == "<=":
+            return mn is not None and mn > v
+        if op == ">":
+            return max_ok and mx <= v
+        if op == ">=":
+            return max_ok and mx < v
+    except TypeError:
+        return False
+    return False
+
+
+def _prunable_on_partition(pv, op: str, vals: list) -> bool:
+    """True when the file's Hive partition value proves no match.
+    Values are compared in the literal's own type (int('5') etc.);
+    any conversion failure keeps the file."""
+    if op == "isnull":
+        return pv is not None
+    if op == "notnull":
+        return pv is None
+    if pv is None:
+        return True  # comparisons and (in)equality never match null
+
+    def conv(v):
+        if isinstance(v, str):
+            return pv
+        if isinstance(v, bool):
+            return pv.lower() in ("true", "1")
+        return type(v)(pv)
+
+    try:
+        if op in ("=", "==", "in"):
+            return all(conv(v) != v for v in vals) and bool(vals)
+        v = vals[0]
+        c = conv(v)
+        if op == "!=":
+            return c == v
+        if op == "<":
+            return c >= v
+        if op == "<=":
+            return c > v
+        if op == ">":
+            return c <= v
+        if op == ">=":
+            return c < v
+    except (ValueError, TypeError):
+        return False
+    return False
+
+
+def _file_survives(entry: dict, filters: list) -> bool:
+    for col, op, *rest in filters:
+        vals = rest[0] if rest else None
+        vals = list(vals) if op == "in" else ([vals] if rest else [])
+        if col in entry.get("partition", {}):
+            if _prunable_on_partition(entry["partition"][col], op, vals):
+                return False
+        ent = entry.get("columns", {}).get(col)
+        if ent is not None and _prunable_on_stats(ent, op, vals):
+            return False
+    return True
+
+
+def _filters_to_column(filters: list):
+    """The residual row filter: scan() applies the SAME predicate the
+    planner pruned with, so the result is exactly read().filter(...)."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(True)
+    for col, op, *rest in filters:
+        c = F.col(col)
+        if op in ("=", "=="):
+            term = c == F.lit(rest[0])
+        elif op == "!=":
+            term = c != F.lit(rest[0])
+        elif op == "<":
+            term = c < F.lit(rest[0])
+        elif op == "<=":
+            term = c <= F.lit(rest[0])
+        elif op == ">":
+            term = c > F.lit(rest[0])
+        elif op == ">=":
+            term = c >= F.lit(rest[0])
+        elif op == "in":
+            term = c.isin(list(rest[0]))
+        elif op == "isnull":
+            term = c.isNull()
+        elif op == "notnull":
+            term = c.isNotNull()
+        else:  # pragma: no cover — scan_plan validated ops already
+            raise ValueError(f"unsupported op {op!r}")
+        out = out & term
+    return out
 
 
 class IcebergishCatalog:
@@ -232,9 +593,16 @@ class IcebergishCatalog:
             for f in fs
             if f.endswith(".parquet")
         ]
+        # Manifest (per-file rows + column bounds) from the parquet
+        # footers — also supplies the exact row count, so a commit no
+        # longer costs a full Spark count() job over what it just wrote
+        # (one job less per streaming micro-batch).
+        manifest = _build_manifest(abs_dir, files)
+        with open(os.path.join(abs_dir, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
         dir_stats = dict(prior.get("dir_stats", {})) if prior else {}
         dir_stats[rel_dir] = {
-            "rows": self.spark.read.parquet(abs_dir).count(),
+            "rows": sum(e["rows"] for e in manifest["files"]),
             "files": len(files),
             "bytes": sum(os.path.getsize(f) for f in files),
         }
@@ -322,6 +690,106 @@ class IcebergishCatalog:
         for d in dirs[1:]:
             out = out.unionByName(self.spark.read.parquet(d))
         return out
+
+    # -- filtered scans with manifest file pruning -------------------------
+    def _load_manifest(self, table: str, rel_dir: str) -> dict | None:
+        p = os.path.join(self._table_path(table), rel_dir, "_manifest.json")
+        if not os.path.exists(p):
+            return None  # pre-manifest commit: scan falls back to full dir
+        with open(p) as fh:
+            return json.load(fh)
+
+    def scan_plan(
+        self,
+        table: str,
+        filters: list | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> dict:
+        """Plan a filtered read WITHOUT touching any data file: prune the
+        snapshot's file list against manifest column bounds + partition
+        values. Returns per-dir surviving files and counters.
+
+        ``filters``: ANDed tuples ``(col, op, value)`` with op one of
+        ``= == != < <= > >= in isnull notnull`` (isnull/notnull take no
+        value; in takes an iterable). Unknown columns or missing stats
+        keep the file — pruning is an optimization, never a filter.
+        """
+        filters = list(filters or [])
+        for f in filters:
+            if len(f) < 2 or f[1] not in _PRUNE_OPS:
+                raise ValueError(f"bad filter {f!r}; ops: {sorted(_PRUNE_OPS)}")
+        meta = self._load_metadata(table)
+        if tag is not None:
+            snapshot_id = meta.get("refs", {}).get(tag)
+            if snapshot_id is None:
+                raise SnapshotNotFound(f"tag {tag!r} not in table {table!r}")
+        snap = self._snapshot(meta, snapshot_id)
+        plan = {"dirs": [], "files_total": 0, "files_scanned": 0,
+                "files_pruned": 0, "files_unknown": 0, "rows_possible": 0}
+        for rel_dir in snap["data_dirs"]:
+            man = self._load_manifest(table, rel_dir)
+            abs_dir = os.path.join(self._table_path(table), rel_dir)
+            if man is None:
+                n = meta.get("dir_stats", {}).get(rel_dir, {}).get("files", 0)
+                plan["dirs"].append(
+                    {"dir": rel_dir, "whole_dir": True, "files": None}
+                )
+                plan["files_total"] += n
+                plan["files_scanned"] += n
+                plan["files_unknown"] += n
+                continue
+            kept = [e for e in man["files"] if _file_survives(e, filters)]
+            plan["files_total"] += len(man["files"])
+            plan["files_scanned"] += len(kept)
+            plan["files_pruned"] += len(man["files"]) - len(kept)
+            plan["rows_possible"] += sum(e["rows"] for e in kept)
+            plan["dirs"].append({
+                "dir": rel_dir,
+                "whole_dir": len(kept) == len(man["files"]),
+                "files": [os.path.join(abs_dir, e["path"]) for e in kept],
+                "base_path": abs_dir,
+            })
+        return plan
+
+    def scan(
+        self,
+        table: str,
+        filters: list | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Filtered read with manifest-level file skipping (Iceberg scan
+        semantics): files whose column bounds / partition values cannot
+        contain a match are never opened, and the filters are ALSO
+        applied to the surviving rows, so the result is exactly
+        ``read(...).filter(...)`` — pruning can only make it cheaper.
+        """
+        plan = self.scan_plan(table, filters, snapshot_id=snapshot_id, tag=tag)
+        parts = []
+        for d in plan["dirs"]:
+            abs_dir = os.path.join(self._table_path(table), d["dir"])
+            if d.get("whole_dir"):
+                parts.append(self.spark.read.parquet(abs_dir))
+            elif d["files"]:
+                # basePath keeps Hive partition columns inferred when
+                # reading an explicit file subset inside a partitioned dir
+                parts.append(
+                    self.spark.read.option("basePath", d["base_path"])
+                    .parquet(*d["files"])
+                )
+        if not parts:
+            from pyspark.sql.types import StructType
+
+            meta = self._load_metadata(table)
+            empty = self.spark.createDataFrame(
+                [], StructType.fromJson(meta["schema"])
+            )
+            parts = [empty]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(_filters_to_column(filters or []))
 
     def history(self, table: str) -> list[dict]:
         meta = self._load_metadata(table)

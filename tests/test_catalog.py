@@ -377,3 +377,191 @@ def test_commit_from_stale_prior_conflicts_instead_of_clobbering(spark, cat):
         cat._write_metadata("t", meta_before)
     # and A's snapshot survives
     assert rows(cat.read("t")) == [(1, "a"), (2, "b")]
+
+
+# -- manifest stats + scan-time file skipping ------------------------------
+
+
+def _crawlish(spark, day, n=400):
+    return spark.range(0, n).select(
+        F.concat(F.lit(f"https://d{day}.ex/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000 + day * 86400) + F.col("id")).alias("warc_ts"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") + day * 1000).alias("seq"),
+    )
+
+
+@pytest.fixture()
+def pages(spark, cat):
+    for day in range(4):
+        cat.commit("pages", _crawlish(spark, day).repartition(4),
+                   mode="append" if day else "overwrite")
+    return cat
+
+
+def _scan_equals_filtered_read(cat, table, filters, col_expr):
+    got = sorted(tuple(r) for r in cat.scan(table, filters).collect())
+    want = sorted(tuple(r) for r in cat.read(table).filter(col_expr).collect())
+    assert got == want
+    return got
+
+
+def test_scan_prunes_timestamp_ranges_from_metadata(spark, pages):
+    import datetime as dt
+
+    # day-2 only: every other commit dir's 4 files pruned without any
+    # parquet footer being opened at plan time
+    lo = dt.datetime(2023, 11, 16, 20, 0, 0)
+    hi = dt.datetime(2023, 11, 17, 6, 0, 0)
+    plan = pages.scan_plan("pages", [("warc_ts", ">=", lo), ("warc_ts", "<", hi)])
+    assert plan["files_total"] == 16
+    assert plan["files_scanned"] == 4 and plan["files_pruned"] == 12
+    got = _scan_equals_filtered_read(
+        pages, "pages", [("warc_ts", ">=", lo), ("warc_ts", "<", hi)],
+        (F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
+    assert len(got) == 400  # the whole of day 2
+
+
+def test_scan_long_range_and_string_equality(spark, pages):
+    plan = pages.scan_plan("pages", [("seq", "<=", 500)])
+    assert plan["files_scanned"] == 4  # day-0 commit only
+    _scan_equals_filtered_read(pages, "pages", [("seq", "<=", 500)],
+                               F.col("seq") <= 500)
+    plan = pages.scan_plan("pages", [("url", "=", "https://d2.ex/55")])
+    assert plan["files_scanned"] <= 4
+    got = _scan_equals_filtered_read(
+        pages, "pages", [("url", "=", "https://d2.ex/55")],
+        F.col("url") == "https://d2.ex/55")
+    assert len(got) == 1
+
+
+def test_scan_in_isnull_notnull(spark, pages):
+    got = _scan_equals_filtered_read(
+        pages, "pages", [("lang", "in", ["en", "fr"])],
+        F.col("lang").isin("en", "fr"))
+    assert len(got) == 800
+    # no column is null anywhere -> isnull prunes EVERY file, result empty
+    plan = pages.scan_plan("pages", [("lang", "isnull")])
+    assert plan["files_scanned"] == 0
+    assert pages.scan("pages", [("lang", "isnull")]).count() == 0
+    assert pages.scan("pages", [("lang", "notnull")]).count() == 1600
+
+
+def test_scan_all_null_file_pruned_for_comparisons(spark, cat):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(3, None), (4, None)], "k int, v string")
+    cat.commit("t", a.coalesce(1))
+    cat.commit("t", b.coalesce(1), mode="append")
+    plan = cat.scan_plan("t", [("v", "=", "x")])
+    assert plan["files_scanned"] == 1  # the all-null file can't match =
+    assert rows(cat.scan("t", [("v", "=", "x")])) == [(1, "x")]
+    plan = cat.scan_plan("t", [("v", "isnull")])
+    assert plan["files_scanned"] == 1  # only the all-null file kept
+    assert rows(cat.scan("t", [("v", "isnull")]), "k") == [(3,), (4,)]
+
+
+def test_scan_truncated_string_bounds_stay_sound(spark, cat):
+    from hamerkop_spark.sources.catalog import _STR_STAT_CAP
+
+    long_lo = "m" * (_STR_STAT_CAP + 40)
+    long_hi = "t" * (_STR_STAT_CAP + 40)
+    cat.commit("t", spark.createDataFrame(
+        [(long_lo,), (long_hi,)], "s string").coalesce(1))
+    man = cat._load_manifest("t", cat.current_snapshot("t")["data_dirs"][0])
+    ent = man["files"][0]["columns"]["s"]
+    # min stored as a (valid lower-bound) prefix; max dropped entirely
+    assert ent["min_trunc"] and ent["min"] == "m" * _STR_STAT_CAP
+    assert ent["max_trunc"] and ent["max"] is None
+    # v < truncated min -> provably no match -> pruned
+    assert cat.scan_plan("t", [("s", "<", "a")])["files_scanned"] == 0
+    # v > (dropped) max must NOT prune: upper bound is unknown
+    assert cat.scan_plan("t", [("s", ">", "z")])["files_scanned"] == 1
+    assert cat.scan("t", [("s", ">", "z")]).count() == 0
+    assert cat.scan("t", [("s", ">=", long_hi)]).count() == 1
+
+
+def test_scan_nan_double_semantics(spark, cat):
+    from hamerkop_spark.sources.catalog import _prunable_on_stats
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 7.5)], "k int, w double")
+    cat.commit("t", df.coalesce(1))
+    # Spark orders NaN above every double: w > 6.0 MATCHES the NaN row.
+    # scan must agree with read().filter() exactly.
+    got = rows(cat.scan("t", [("w", ">", 6.0)]), "k")
+    want = rows(cat.read("t").filter(F.col("w") > 6.0), "k")
+    assert got == want == [(1,), (3,)]
+    # a foreign writer (pyarrow) writes NaN-EXCLUDING bounds; upper-bound
+    # pruning on doubles must refuse even when max < v
+    ent = {"tag": "double", "min": 5.0, "max": 7.5, "min_trunc": False,
+           "max_trunc": False, "null_count": 0, "num_values": 3}
+    assert not _prunable_on_stats(ent, ">", [100.0])
+    assert not _prunable_on_stats(ent, ">=", [100.0])
+    assert not _prunable_on_stats(ent, "!=", [5.0])
+    # NaN never satisfies these -> NaN-free bounds stay usable
+    assert _prunable_on_stats(ent, "<", [5.0])
+    assert _prunable_on_stats(ent, "=", [4.0])
+
+
+def test_scan_partition_values_prune_typed(spark, cat):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(30)], "k int, bucket int, v string")
+    cat.commit("t", df, partition_by=["bucket"])
+    plan = cat.scan_plan("t", [("bucket", "=", 1)])
+    assert 0 < plan["files_scanned"] < plan["files_total"]
+    got = _scan_equals_filtered_read(cat, "t",
+                                     [("bucket", "=", 1)], F.col("bucket") == 1)
+    assert len(got) == 10
+    # range on an int partition value compares as int, not as string:
+    # "2" < "10" lexicographically would wrongly prune bucket 2
+    assert cat.scan("t", [("bucket", ">=", 2)]).count() == 10
+
+
+def test_scan_null_partition_and_residual_exactness(spark, cat):
+    df = spark.createDataFrame(
+        [("a", "g1"), ("b", None), ("c", "g2")], "v string, g string")
+    cat.commit("t", df, partition_by=["g"])
+    assert rows(cat.scan("t", [("g", "isnull")]), "v") == [("b",)]
+    assert rows(cat.scan("t", [("g", "=", "g2")]), "v") == [("c",)]
+    assert rows(cat.scan("t", [("g", "notnull")]), "v") == [("a",), ("c",)]
+
+
+def test_scan_falls_back_without_manifest(spark, cat):
+    cat.commit("t", spark.createDataFrame([(1,), (2,)], "k int").coalesce(1))
+    snap = cat.current_snapshot("t")
+    os.remove(os.path.join(cat._table_path("t"), snap["data_dirs"][0],
+                           "_manifest.json"))
+    plan = cat.scan_plan("t", [("k", "=", 1)])
+    assert plan["files_unknown"] == 1 and plan["files_scanned"] == 1
+    assert rows(cat.scan("t", [("k", "=", 1)])) == [(1,)]
+
+
+def test_scan_after_compaction_and_time_travel(spark, pages):
+    pages.compact("pages")
+    plan = pages.scan_plan("pages", [("seq", "<=", 500)])
+    assert plan["files_unknown"] == 0  # compaction commit wrote a manifest
+    _scan_equals_filtered_read(pages, "pages", [("seq", "<=", 500)],
+                               F.col("seq") <= 500)
+    # time-travel scan to the pre-compaction snapshot still prunes
+    first = pages.history("pages")[0]["snapshot_id"]
+    plan = pages.scan_plan("pages", [("seq", "<=", 500)], snapshot_id=first)
+    assert plan["files_scanned"] == plan["files_total"] == 4
+    assert pages.scan("pages", [("seq", "<=", 500)],
+                      snapshot_id=first).count() == 400
+
+
+def test_commit_row_counts_come_from_footers(spark, cat):
+    cat.commit("t", spark.createDataFrame([(i,) for i in range(123)], "k int"))
+    assert cat.table_metrics("t")["rows"] == 123
+    cat.commit("t", spark.createDataFrame([(i,) for i in range(77)], "k int"),
+               mode="append")
+    assert cat.table_metrics("t")["rows"] == 200
+
+
+def test_scan_rejects_bad_ops(spark, pages):
+    with pytest.raises(ValueError):
+        pages.scan_plan("pages", [("seq", "like", "x")])
+    # empty scan result keeps the table schema (incl. partition columns)
+    e = pages.scan("pages", [("seq", ">", 10**12)])
+    assert e.count() == 0
+    assert [c for c, _ in e.dtypes] == ["url", "warc_ts", "lang", "seq"]
