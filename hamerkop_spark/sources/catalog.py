@@ -556,10 +556,22 @@ class IcebergishCatalog:
         mode: str = "overwrite",
         partition_by: list | None = None,
         properties: dict | None = None,
+        order_by: list | None = None,
     ) -> int:
-        """Write `df` as a new snapshot; returns the snapshot id."""
+        """Write `df` as a new snapshot; returns the snapshot id.
+
+        ``order_by``: range-repartition + sort the data on these columns
+        before writing, so each file covers a DISJOINT range of the key
+        and ``scan()`` prunes point/range queries on it to ~one file.
+        This is the write-side half of data skipping (Iceberg's
+        sort-order spec): append-time order gives warc_ts locality for
+        free, ``order_by`` buys the same for any other key. Costs one
+        range-exchange at write; never changes row content.
+        """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if order_by:
+            df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
         prior = self._load_metadata(table) if self.exists(table) else None
         schema_json = df.schema.jsonValue()
         if prior is not None:

@@ -565,3 +565,29 @@ def test_scan_rejects_bad_ops(spark, pages):
     e = pages.scan("pages", [("seq", ">", 10**12)])
     assert e.count() == 0
     assert [c for c, _ in e.dtypes] == ["url", "warc_ts", "lang", "seq"]
+
+
+def test_commit_order_by_gives_disjoint_file_ranges(spark, cat):
+    # enough bytes that AQE's advisory size yields several output files
+    # even after the order_by range exchange
+    df = spark.createDataFrame(
+        [(f"https://s{i % 97}.ex/{i}", i, "p" * 300) for i in range(30000)],
+        "url string, seq int, pad string")
+    # unordered write: every file spans ~the whole url range
+    cat.commit("t", df.repartition(8))
+    url = "https://s42.ex/2758"  # 2758 % 97 == 42
+    before = cat.scan_plan("t", [("url", "=", url)])["files_scanned"]
+    # ordered rewrite: point lookups prune to ~one file
+    cat.commit("t", df, order_by=["url"])
+    plan = cat.scan_plan("t", [("url", "=", url)])
+    assert plan["files_scanned"] <= 1 < before
+    assert rows(cat.scan("t", [("url", "=", url)]), "seq") == [(2758,)]
+    # range on the sort key touches a contiguous file subset only
+    plan = cat.scan_plan("t", [("url", ">=", "https://s42.ex/"),
+                               ("url", "<", "https://s42.ex0")])
+    assert 0 < plan["files_scanned"] < plan["files_total"]
+    got = cat.scan("t", [("url", ">=", "https://s42.ex/"),
+                         ("url", "<", "https://s42.ex0")])
+    assert got.count() == df.filter(
+        (F.col("url") >= "https://s42.ex/") & (F.col("url") < "https://s42.ex0")
+    ).count()
