@@ -32,6 +32,12 @@ granularity, not a binding to the Iceberg library:
   crawl scale: a ``warc_ts`` range query over years of appended batches
   reads only the overlapping commits' files instead of listing and
   footer-probing millions of parquet files.
+- **Bloom-filter file skipping.** ``commit(bloom_for=["url"])`` builds
+  a per-file Bloom filter sidecar (Iceberg's puffin idea, see
+  sources/bloom.py) so ``=`` / ``in`` point lookups on high-cardinality
+  keys prune files even when every file's min/max range overlaps — the
+  append-only stream case ``order_by`` cannot sort away. ``compact``
+  re-blooms the same columns automatically.
 - **Schema tracking.** The table schema is recorded at create time and
   appends are checked against it (field names + value types at every
   nesting level; nullability and field metadata are ignored).
@@ -280,26 +286,57 @@ def _parse_partition(rel_path: str) -> dict:
     return part
 
 
-def _build_manifest(abs_dir: str, files: list[str]) -> dict:
+def _build_manifest(
+    abs_dir: str, files: list[str], bloom_for: list | None = None
+) -> dict:
     """Read every parquet footer under a freshly written commit dir and
     assemble the manifest. Footer reads are driver-side metadata-only
     I/O (a few KB per file), parallelized over a thread pool — at real
     cluster scale this is the one step Iceberg instead does inside the
-    write tasks; the manifest FORMAT is the same either way."""
+    write tasks; the manifest FORMAT is the same either way.
+
+    ``bloom_for``: additionally build a per-file Bloom filter over each
+    named column (sidecar files under ``<dir>/_blooms/``, entries under
+    the manifest's ``bloom`` key) so ``scan()`` point lookups prune
+    files whose key ranges overlap — the append-stream case ``order_by``
+    cannot fix (see sources/bloom.py). This pass reads the bloomed
+    COLUMNS, not just footers; keep the list short (the point-lookup
+    keys, e.g. ``url``)."""
     import concurrent.futures as cf
 
     import pyarrow.parquet as pq
 
+    from . import bloom as _bloom
+
     def one(f):
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
         rel = os.path.relpath(f, abs_dir)
-        return {
+        entry = {
             "path": rel,
             "rows": md.num_rows,
             "bytes": os.path.getsize(f),
             "partition": _parse_partition(rel),
             "columns": _file_column_stats(md),
         }
+        want = [c for c in (bloom_for or [])
+                if c in set(pf.schema_arrow.names)]
+        if want:
+            data = pf.read(columns=want)
+            blooms = {}
+            for c in want:
+                built = _bloom.build(data.column(c).to_pylist())
+                if built is None:
+                    continue  # all-null or unsupported type: no bloom
+                m, k, n, packed = built
+                side_rel = os.path.join(
+                    "_blooms", rel.replace(os.sep, "__") + f".{c}.bf"
+                )
+                _bloom.write_sidecar(os.path.join(abs_dir, side_rel), packed)
+                blooms[c] = {"m": m, "k": k, "n": n, "path": side_rel}
+            if blooms:
+                entry["bloom"] = blooms
+        return entry
 
     if not files:
         entries = []
@@ -410,7 +447,7 @@ def _prunable_on_partition(pv, op: str, vals: list) -> bool:
     return False
 
 
-def _file_survives(entry: dict, filters: list) -> bool:
+def _file_survives(entry: dict, filters: list, bloom_probe=None) -> bool:
     for col, op, *rest in filters:
         vals = rest[0] if rest else None
         vals = list(vals) if op == "in" else ([vals] if rest else [])
@@ -420,6 +457,13 @@ def _file_survives(entry: dict, filters: list) -> bool:
         ent = entry.get("columns", {}).get(col)
         if ent is not None and _prunable_on_stats(ent, op, vals):
             return False
+        # Bloom: prune when the filter's literals are PROVABLY all
+        # absent from the file (=/in only; bloom knows nothing about
+        # ranges or nulls). False positives keep the file — harmless.
+        if bloom_probe is not None and op in ("=", "==", "in") and vals:
+            bl = entry.get("bloom", {}).get(col)
+            if bl is not None and not bloom_probe(bl, vals):
+                return False
     return True
 
 
@@ -557,6 +601,7 @@ class IcebergishCatalog:
         partition_by: list | None = None,
         properties: dict | None = None,
         order_by: list | None = None,
+        bloom_for: list | None = None,
     ) -> int:
         """Write `df` as a new snapshot; returns the snapshot id.
 
@@ -567,9 +612,17 @@ class IcebergishCatalog:
         sort-order spec): append-time order gives warc_ts locality for
         free, ``order_by`` buys the same for any other key. Costs one
         range-exchange at write; never changes row content.
+
+        ``bloom_for``: build per-file Bloom filters over these columns
+        (manifest sidecars) so ``scan()`` prunes ``=`` / ``in`` lookups
+        even when files' min/max ranges all overlap — the unsortable
+        append-stream case. See sources/bloom.py.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        missing = [c for c in (bloom_for or []) if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_for columns not in df: {missing}")
         if order_by:
             df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
         prior = self._load_metadata(table) if self.exists(table) else None
@@ -609,7 +662,7 @@ class IcebergishCatalog:
         # footers — also supplies the exact row count, so a commit no
         # longer costs a full Spark count() job over what it just wrote
         # (one job less per streaming micro-batch).
-        manifest = _build_manifest(abs_dir, files)
+        manifest = _build_manifest(abs_dir, files, bloom_for=bloom_for)
         with open(os.path.join(abs_dir, "_manifest.json"), "w") as fh:
             json.dump(manifest, fh)
         dir_stats = dict(prior.get("dir_stats", {})) if prior else {}
@@ -739,6 +792,27 @@ class IcebergishCatalog:
         snap = self._snapshot(meta, snapshot_id)
         plan = {"dirs": [], "files_total": 0, "files_scanned": 0,
                 "files_pruned": 0, "files_unknown": 0, "rows_possible": 0}
+        bloom_cache: dict = {}
+
+        def _probe_for(abs_dir):
+            # closure binding the commit dir; sidecars cache per path.
+            # Any sidecar problem (deleted, corrupt) keeps the file —
+            # blooms are an optimization, never a filter.
+            from . import bloom as _bloom
+
+            def probe(bl, vals):
+                p = os.path.join(abs_dir, bl["path"])
+                try:
+                    packed = bloom_cache.get(p)
+                    if packed is None:
+                        packed = bloom_cache[p] = _bloom.read_sidecar(p)
+                    return _bloom.any_might_contain(
+                        packed, bl["m"], bl["k"], vals
+                    )
+                except Exception:
+                    return True
+            return probe
+
         for rel_dir in snap["data_dirs"]:
             man = self._load_manifest(table, rel_dir)
             abs_dir = os.path.join(self._table_path(table), rel_dir)
@@ -751,7 +825,9 @@ class IcebergishCatalog:
                 plan["files_scanned"] += n
                 plan["files_unknown"] += n
                 continue
-            kept = [e for e in man["files"] if _file_survives(e, filters)]
+            bloom_probe = _probe_for(abs_dir)
+            kept = [e for e in man["files"]
+                    if _file_survives(e, filters, bloom_probe)]
             plan["files_total"] += len(man["files"])
             plan["files_scanned"] += len(kept)
             plan["files_pruned"] += len(man["files"]) - len(kept)
@@ -896,11 +972,22 @@ class IcebergishCatalog:
         n_files = max(
             1, -(-before["bytes"] // (target_file_mb * 1024 * 1024))
         )
+        # carry bloom coverage through the rewrite: any column bloomed
+        # in the current snapshot's manifests stays bloomed after
+        bloom_cols = sorted({
+            c
+            for d in self._snapshot(meta, None)["data_dirs"]
+            for man in (self._load_manifest(table, d),)
+            if man
+            for e in man["files"]
+            for c in e.get("bloom", {})
+        })
         self.commit(
             table,
             df.coalesce(int(n_files)),
             mode="overwrite",
             partition_by=meta.get("partition_spec") or None,
+            bloom_for=bloom_cols or None,
         )
         after = self.table_metrics(table)
         return {"before": before, "after": after}

@@ -98,6 +98,45 @@ def main():
     print(f"point lookup: {n2} row; scan {t_scan2:.3f}s over "
           f"{p2['files_scanned']}/{p2['files_total']} files vs "
           f"read+filter {t_full2:.3f}s")
+
+    # -- bloom scenario: OVERLAPPING url ranges (round-robin hosts), the
+    # append-stream shape where min/max bounds prune nothing ------------
+    def build_rr(table, bloom_for):
+        t = time.time()
+        for b in range(N_COMMITS):
+            df = spark.range(0, ROWS).select(
+                F.concat(F.lit("https://h"),
+                         (F.col("id") % 97).cast("string"),
+                         F.lit(".ex/"), F.lit(b), F.lit("/"),
+                         F.col("id").cast("string")).alias("url"),
+                F.lit(b).alias("batch"),
+                F.sha2(F.concat(F.lit(b), F.col("id").cast("string")), 256)
+                .alias("text"),
+            )
+            cat.commit(table, df.repartition(4),
+                       mode="append" if b else "overwrite",
+                       bloom_for=bloom_for)
+        return time.time() - t
+
+    t_nobloom = build_rr("pages_rr", None)
+    t_bloom = build_rr("pages_rr_b", ["url"])
+    url = f"https://h{(ROWS // 2) % 97}.ex/{mid}/{ROWS // 2}"
+    cat.scan("pages_rr", [("url", "=", url)]).count()  # warm
+    cat.scan("pages_rr_b", [("url", "=", url)]).count()
+    p_no = cat.scan_plan("pages_rr", [("url", "=", url)])
+    p_bl = cat.scan_plan("pages_rr_b", [("url", "=", url)])
+    t_no, n_no = best_of(
+        lambda: cat.scan("pages_rr", [("url", "=", url)]).count())
+    t_bl, n_bl = best_of(
+        lambda: cat.scan("pages_rr_b", [("url", "=", url)]).count())
+    assert n_no == n_bl == 1, (n_no, n_bl)
+    print(f"bloom point lookup (overlapping ranges, {N_COMMITS} commits):")
+    print(f"  stats only  : {t_no:.3f}s  opens {p_no['files_scanned']}"
+          f"/{p_no['files_total']} (min/max cannot prune)")
+    print(f"  bloom       : {t_bl:.3f}s  opens {p_bl['files_scanned']}"
+          f"/{p_bl['files_total']}")
+    print(f"  commit cost : {t_nobloom:.1f}s no-bloom vs {t_bloom:.1f}s "
+          f"bloom (+{(t_bloom / t_nobloom - 1) * 100:.0f}%)")
     shutil.rmtree(root, ignore_errors=True)
 
 

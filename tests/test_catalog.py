@@ -591,3 +591,111 @@ def test_commit_order_by_gives_disjoint_file_ranges(spark, cat):
     assert got.count() == df.filter(
         (F.col("url") >= "https://s42.ex/") & (F.col("url") < "https://s42.ex0")
     ).count()
+
+
+# -- bloom-filter file skipping (commit(bloom_for=...)) -------------------
+
+def _overlapping_appends(spark, cat, n_batches=6, rows_per=400):
+    """Append batches whose url ranges ALL overlap (worst case for
+    min/max pruning): urls are round-robin across hosts in every batch."""
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(f"https://h{i % 23}.ex/{b}/{i}", b, i) for i in range(rows_per)],
+            "url string, batch int, seq int",
+        )
+        cat.commit("pages_b", df.coalesce(1),
+                   mode="append" if b else "overwrite", bloom_for=["url"])
+
+
+def test_bloom_prunes_point_lookup_where_ranges_cannot(spark, cat):
+    _overlapping_appends(spark, cat)
+    url = "https://h4.ex/3/188"  # lives only in batch 3's file
+    plan = cat.scan_plan("pages_b", [("url", "=", url)])
+    assert plan["files_total"] == 6
+    assert plan["files_scanned"] < 6  # min/max alone could never prune these
+    got = rows(cat.scan("pages_b", [("url", "=", url)]), "batch", "seq")
+    assert got == [(3, 188)]
+
+
+def test_bloom_never_false_negative_over_every_key(spark, cat):
+    _overlapping_appends(spark, cat, n_batches=3, rows_per=120)
+    for b in range(3):
+        for i in (0, 57, 119):
+            url = f"https://h{i % 23}.ex/{b}/{i}"
+            got = rows(cat.scan("pages_b", [("url", "=", url)]), "batch", "seq")
+            assert got == [(b, i)], url
+
+
+def test_bloom_in_filter_and_equality_to_read_filter(spark, cat):
+    _overlapping_appends(spark, cat)
+    urls = ["https://h4.ex/0/4", "https://h1.ex/5/24", "https://no.ex/x/0"]
+    scan = cat.scan("pages_b", [("url", "in", urls)])
+    ref = cat.read("pages_b").filter(F.col("url").isin(urls))
+    assert rows(scan) == rows(ref)
+    plan = cat.scan_plan("pages_b", [("url", "in", urls)])
+    assert plan["files_scanned"] < plan["files_total"]
+
+
+def test_bloom_on_int_column(spark, cat):
+    df1 = spark.createDataFrame([(i, i % 5) for i in range(0, 1000, 2)],
+                                "id long, g int")
+    df2 = spark.createDataFrame([(i, i % 5) for i in range(1, 1000, 2)],
+                                "id long, g int")
+    cat.commit("t_int", df1.coalesce(1), bloom_for=["id"])
+    cat.commit("t_int", df2.coalesce(1), mode="append", bloom_for=["id"])
+    # both files span [0..999] so min/max keeps both; bloom drops one
+    plan = cat.scan_plan("t_int", [("id", "=", 501)])
+    assert plan["files_total"] == 2 and plan["files_scanned"] == 1
+    assert rows(cat.scan("t_int", [("id", "=", 501)]), "g") == [(1,)]
+
+
+def test_bloom_missing_sidecar_degrades_to_keep(spark, cat, tmp_path):
+    _overlapping_appends(spark, cat, n_batches=2, rows_per=50)
+    root = cat._table_path("pages_b")
+    removed = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".bf"):
+                os.remove(os.path.join(dirpath, f))
+                removed += 1
+    assert removed == 2
+    url = "https://h3.ex/1/26"
+    plan = cat.scan_plan("pages_b", [("url", "=", url)])
+    assert plan["files_scanned"] == plan["files_total"]  # kept, not dropped
+    assert rows(cat.scan("pages_b", [("url", "=", url)]), "batch", "seq") \
+        == [(1, 26)]
+
+
+def test_bloom_skips_all_null_and_float_columns(spark, cat):
+    df = spark.createDataFrame(
+        [(None, 1.5, "a"), (None, 2.5, "b")],
+        "u string, x double, v string")
+    cat.commit("t_nb", df.coalesce(1), bloom_for=["u", "x", "v"])
+    man = cat._load_manifest(
+        "t_nb", cat.current_snapshot("t_nb")["data_dirs"][0])
+    blooms = man["files"][0].get("bloom", {})
+    assert set(blooms) == {"v"}  # all-null u and double x: no bloom
+    assert rows(cat.scan("t_nb", [("v", "=", "b")]), "x") == [(2.5,)]
+
+
+def test_compact_carries_blooms_through(spark, cat):
+    _overlapping_appends(spark, cat, n_batches=4, rows_per=200)
+    cat.compact("pages_b")
+    snap = cat.current_snapshot("pages_b")
+    assert len(snap["data_dirs"]) == 1
+    man = cat._load_manifest("pages_b", snap["data_dirs"][0])
+    assert all("url" in e.get("bloom", {}) for e in man["files"])
+    url = "https://h2.ex/2/48"
+    assert rows(cat.scan("pages_b", [("url", "=", url)]), "batch", "seq") \
+        == [(2, 48)]
+
+
+def test_bloom_ignores_range_ops_and_unbloooms_stay_unpruned(spark, cat):
+    _overlapping_appends(spark, cat, n_batches=2, rows_per=50)
+    # range op on the bloomed column: bloom must not participate
+    scan = cat.scan("pages_b", [("url", ">=", "https://h9")])
+    ref = cat.read("pages_b").filter(F.col("url") >= "https://h9")
+    assert scan.count() == ref.count() > 0
+    # equality on a NON-bloomed column still works via stats only
+    assert rows(cat.scan("pages_b", [("seq", "=", 7)]), "url") == rows(
+        cat.read("pages_b").filter(F.col("seq") == 7), "url")
