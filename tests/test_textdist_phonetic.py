@@ -248,3 +248,36 @@ def test_double_metaphone_blocking(spark):
 
     assert dm_recall >= ng_recall
     assert dm_recall >= 0.75
+
+
+def test_jaro_winkler_np_bucketing_invariant():
+    """The adaptive length-bucketed dispatch (jaro_winkler_np) must be
+    bit-identical to one unbucketed core call, on a batch big enough to
+    produce MULTIPLE buckets (> _JW_BUCKET_MIN rows, heterogeneous
+    lengths, long outliers, empties) — the 2,010-case scalar-parity test
+    above stays below the flush threshold and only covers the
+    single-bucket path."""
+    import random
+
+    import numpy as np
+
+    from hamerkop_spark.functions.textdist import (
+        _JW_BUCKET_MIN,
+        _jaro_winkler_np_core,
+        jaro_winkler_np,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdefghij "
+    n = _JW_BUCKET_MIN * 3 + 17
+    def name():
+        ln = rng.choice([0, 1, 3, 7, 12, 15, 22, 30, 64])
+        return "".join(rng.choice(alpha) for _ in range(ln))
+    xs = np.array([name() for _ in range(n)], dtype="U")
+    ys = np.array([name() for _ in range(n)], dtype="U")
+    got = jaro_winkler_np(xs, ys)
+    ref = _jaro_winkler_np_core(xs, ys)
+    assert np.array_equal(got, ref)  # bucketing is a pure reordering
+    for i in rng.sample(range(n), 200):  # and both match the scalar law
+        assert abs(got[i] - jaro_winkler_py(str(xs[i]), str(ys[i]))) < 1e-12
