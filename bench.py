@@ -103,6 +103,19 @@ SCALING_KB_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_KB_MULT", "6"))
 SCALING_CORES = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
 )
+# IDENTICAL task decomposition at both levels: the ArrowEvalPython
+# runner costs ~0.25 s of setup PER TASK (measured: a no-op pandas UDF
+# scales linearly with partition count, workers reused), so sizing
+# partitions to defaultParallelism gave the lo level 4 tasks and the hi
+# level 16 — equal ABSOLUTE overhead per level, which deflates the
+# efficiency ratio by ~5 points at post-JW-bucketing walls. With the
+# same task count at both levels the per-task overhead scales with
+# 1/cores exactly like the work, and the ratio compares pure capacity —
+# which is also the honest scaling experiment: same work units, more
+# workers. 2x the hi level keeps its granularity unchanged.
+SCALING_TASKS = int(os.environ.get(
+    "SPARK_GRAFT_SCALING_TASKS", str(2 * max(SCALING_CORES))
+))
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
 # paired samples per level per round: 3 ratios -> the median discards
 # one bad window in either direction
@@ -208,7 +221,7 @@ def build_scoring_inputs(spark, variants: int):
     pairs = scoring_projection(
         build_pairs(chains, cands, kb),
         keep=["doc_id", "chain_id", "entity_id"],
-    ).repartition(spark.sparkContext.defaultParallelism * 2).cache()
+    ).repartition(SCALING_TASKS).cache()
     n_pairs = pairs.count()
     block_dt = time.time() - t0
     return pairs, n_pairs, block_dt
@@ -227,7 +240,7 @@ def scoring_workload(spark, variants: int) -> tuple[int, float, float]:
     return n_pairs, block_dt, score_dt
 
 
-def new_session(cores: int):
+def new_session(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -239,7 +252,7 @@ def new_session(cores: int):
     from hamerkop_spark.session import get_spark
 
     s = get_spark(app_name=f"hamerkop-bench-{cores}", cores=cores,
-                  shuffle_partitions=max(8, 2 * cores))
+                  shuffle_partitions=shuffle_partitions or max(8, 2 * cores))
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -372,7 +385,9 @@ def run_scaling_level(
     from hamerkop_spark.operators.features import extract_features
 
     t0 = time.time()
-    spark = new_session(cores)
+    # fixed shuffle partitioning across levels: the efficiency ratio
+    # must compare one plan at two core counts (see SCALING_TASKS)
+    spark = new_session(cores, shuffle_partitions=max(8, SCALING_TASKS))
     pairs, n_pairs, block_dt = build_scoring_inputs(spark, variants)
     build_done = time.time() - t0
     # JIT/codegen warmup on a SAMPLE of the real cached pairs (same
