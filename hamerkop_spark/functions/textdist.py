@@ -126,6 +126,10 @@ def jaro_winkler_np(
     n = len(xs)
     if n == 0:
         return np.empty(0, dtype=np.float64)
+    if n <= _JW_BUCKET_MIN:
+        # would flush as ONE bucket anyway — skip the sort, the two
+        # fancy-index input copies, and the output scatter
+        return _jaro_winkler_np_core(xs, ys, prefix_weight)
     key = np.maximum(np.char.str_len(xs), np.char.str_len(ys))
     order = np.argsort(key, kind="stable")
     sk = key[order]

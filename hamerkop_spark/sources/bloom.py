@@ -22,7 +22,7 @@ Scale note: blooms are built driver-side from the freshly written
 files (same caveat as the footer-stats pass in catalog.py — at real
 cluster scale both run inside the write tasks; the FORMAT, and every
 probe-side guarantee, is identical either way). Size is bounded:
-``m <= _M_CAP`` bits (128 KiB raw) per column per file; the sidecar is
+``m <= _M_CAP`` bits (1 MiB packed) per column per file; the sidecar is
 zlib-compressed, and the manifest JSON carries only {m, k, n, path}.
 """
 
@@ -34,7 +34,8 @@ import zlib
 import numpy as np
 
 # ~1% false-positive rate at the design point; m capped so a single
-# column's bloom never exceeds 128 KiB raw per file
+# column's bloom never exceeds 1 MiB packed per file (2^23 bits holds
+# ~875k keys at the design FPR — a full-size crawl parquet file)
 _FPP = 0.01
 _M_CAP = 1 << 23  # bits
 _M_MIN = 1 << 10
@@ -83,42 +84,73 @@ def size_for(n: int, fpp: float = _FPP) -> tuple[int, int]:
     return m, k
 
 
-def build(values) -> tuple[int, int, int, bytes] | None:
+def value_tag(v) -> str | None:
+    """'int' / 'str' for supported values, None otherwise. The tag is
+    recorded at build time so the probe side can refuse literals of a
+    DIFFERENT type: Spark compares a mistyped literal through implicit
+    casts ('0501' = 501L is TRUE; '042' = 42 vs a string column is
+    TRUE), which str()-of-literal hashing cannot reproduce — hashing it
+    anyway would prune files that match after the cast."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    return None
+
+
+def build(values) -> tuple[int, int, int, bytes, str] | None:
     """Build a bloom over an iterable of column values (nulls and
     unsupported types are dropped). Returns (m, k, n_hashed,
-    packed_bits) or None when nothing hashable remains."""
+    packed_bits, vtag) or None when nothing hashable remains."""
     strs = [s for v in values if v is not None
             for s in (bloom_norm(v),) if s is not None]
     if not strs:
         return None
+    vtag = next(
+        t for v in values for t in (value_tag(v),) if t is not None
+    )
     m, k = size_for(len(strs))
     bits = np.zeros(m, dtype=bool)
     bits[_positions(_hash64(strs), m, k)] = True
-    return m, k, len(strs), np.packbits(bits).tobytes()
+    return m, k, len(strs), np.packbits(bits).tobytes(), vtag
 
 
-def any_might_contain(packed: bytes, m: int, k: int, values) -> bool:
+def any_might_contain(packed: bytes, m: int, k: int, values,
+                      vtag: str | None = None) -> bool:
     """True unless the bloom PROVES every literal absent — the file-
     survival test for ``col IN (values)`` (and ``=`` as a 1-list). Any
-    unsupported literal type returns True (nothing provable about it)."""
+    unsupported literal, or one whose type differs from the build-side
+    ``vtag`` (Spark would compare it through an implicit cast the
+    str() hash cannot mirror), returns True: nothing provable.
+
+    Probes index the packed bytes directly — no bitmap unpack — so a
+    plan touching hundreds of files tests k*len(values) bits per file
+    instead of allocating an m-bool array per probe."""
     strs = []
     for v in values:
+        if vtag is not None and value_tag(v) != vtag:
+            return True
         s = bloom_norm(v)
         if s is None:
             return True
         strs.append(s)
     if not strs:
         return True
-    bits = np.unpackbits(
-        np.frombuffer(packed, dtype=np.uint8), count=m
-    ).astype(bool)
+    buf = np.frombuffer(packed, dtype=np.uint8)
     pos = _positions(_hash64(strs), m, k).reshape(k, len(strs))
-    return bool(bits[pos].all(axis=0).any())
+    byte = pos >> np.uint64(3)
+    bit = (buf[byte] >> (np.uint64(7) - (pos & np.uint64(7)))) & 1
+    # packbits is MSB-first: bit index b of the bitmap lives at
+    # byte b>>3, mask 1 << (7 - (b & 7)) — round-trip tested
+    return bool((bit != 0).all(axis=0).any())
 
 
-def might_contain(packed: bytes, m: int, k: int, value) -> bool:
+def might_contain(packed: bytes, m: int, k: int, value,
+                  vtag: str | None = None) -> bool:
     """True unless the bloom PROVES absence of this one value."""
-    return any_might_contain(packed, m, k, [value])
+    return any_might_contain(packed, m, k, [value], vtag)
 
 
 def write_sidecar(path: str, packed: bytes) -> None:

@@ -322,18 +322,29 @@ def _build_manifest(
         want = [c for c in (bloom_for or [])
                 if c in set(pf.schema_arrow.names)]
         if want:
+            import hashlib
+
             data = pf.read(columns=want)
             blooms = {}
             for c in want:
                 built = _bloom.build(data.column(c).to_pylist())
                 if built is None:
                     continue  # all-null or unsupported type: no bloom
-                m, k, n, packed = built
+                m, k, n, packed, vtag = built
+                # sidecar name keyed by a digest of (rel path, column):
+                # flattening rel with separator substitution can collide
+                # across partition dirs (values may themselves contain
+                # the substitute), and a collision points a file at
+                # another file's bloom = silent false negatives
+                key = hashlib.sha1(
+                    f"{rel}\x00{c}".encode()
+                ).hexdigest()[:16]
                 side_rel = os.path.join(
-                    "_blooms", rel.replace(os.sep, "__") + f".{c}.bf"
+                    "_blooms", f"{key}-{os.path.basename(rel)}.{c}.bf"
                 )
                 _bloom.write_sidecar(os.path.join(abs_dir, side_rel), packed)
-                blooms[c] = {"m": m, "k": k, "n": n, "path": side_rel}
+                blooms[c] = {"m": m, "k": k, "n": n, "path": side_rel,
+                             "vtag": vtag}
             if blooms:
                 entry["bloom"] = blooms
         return entry
@@ -806,8 +817,14 @@ class IcebergishCatalog:
                     packed = bloom_cache.get(p)
                     if packed is None:
                         packed = bloom_cache[p] = _bloom.read_sidecar(p)
+                    # vtag gates mistyped literals (Spark compares those
+                    # through implicit casts the hash cannot mirror); a
+                    # manifest without one (pre-tag writer) never prunes
+                    vtag = bl.get("vtag")
+                    if vtag is None:
+                        return True
                     return _bloom.any_might_contain(
-                        packed, bl["m"], bl["k"], vals
+                        packed, bl["m"], bl["k"], vals, vtag=vtag
                     )
                 except Exception:
                     return True

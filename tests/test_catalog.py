@@ -699,3 +699,43 @@ def test_bloom_ignores_range_ops_and_unbloooms_stay_unpruned(spark, cat):
     # equality on a NON-bloomed column still works via stats only
     assert rows(cat.scan("pages_b", [("seq", "=", 7)]), "url") == rows(
         cat.read("pages_b").filter(F.col("seq") == 7), "url")
+
+
+def test_bloom_mistyped_literal_never_false_negative(spark, cat):
+    """Review repro: int column bloomed, probed with a STRING literal
+    that Spark implicitly casts ('0501' -> 501). The bloom must refuse
+    to prune (vtag mismatch), keeping scan() == read().filter()."""
+    df1 = spark.createDataFrame([(i, "a") for i in range(0, 1000, 2)],
+                                "id long, g string")
+    df2 = spark.createDataFrame([(i, "b") for i in range(1, 1000, 2)],
+                                "id long, g string")
+    cat.commit("t_cast", df1.coalesce(1), bloom_for=["id"])
+    cat.commit("t_cast", df2.coalesce(1), mode="append", bloom_for=["id"])
+    got = rows(cat.scan("t_cast", [("id", "=", "0501")]), "g")
+    ref = rows(cat.read("t_cast").filter(F.col("id") == "0501"), "g")
+    assert got == ref == [("b",)]
+    # and the plan shows it kept both files (nothing provable)
+    plan = cat.scan_plan("t_cast", [("id", "=", "0501")])
+    assert plan["files_scanned"] == plan["files_total"] == 2
+    # properly typed literal still prunes to one file
+    plan = cat.scan_plan("t_cast", [("id", "=", 501)])
+    assert plan["files_scanned"] == 1
+
+
+def test_bloom_sidecar_names_unique_across_partition_dirs(spark, cat):
+    """Sidecar filenames are digest-keyed on (relative path, column):
+    files in different partition dirs (which share Spark's part-file
+    basenames) must never map onto one another's blooms."""
+    df = spark.createDataFrame(
+        [(f"u{i}", f"g__h={i % 3}", i % 2) for i in range(300)],
+        "url string, g string, h int")
+    cat.commit("t_pd", df.repartition(2), partition_by=["g", "h"],
+               bloom_for=["url"])
+    snap = cat.current_snapshot("t_pd")
+    man = cat._load_manifest("t_pd", snap["data_dirs"][0])
+    paths = [e["bloom"]["url"]["path"] for e in man["files"]
+             if "bloom" in e]
+    assert len(paths) == len(set(paths)) > 1
+    # and every lookup still finds its row through the right bloom
+    got = rows(cat.scan("t_pd", [("url", "=", "u123")]), "h")
+    assert got == [(1,)]
