@@ -1,0 +1,312 @@
+"""Blocking-scheme construction and auditing beyond the reference's
+index families (SURVEY.md §2.4 is fully covered by operators/blocking.py;
+this module adds the classic alternatives a web-scale linkage run
+chooses between, plus the metrics used to make that choice).
+
+* Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD '95): total-
+  order the records on a sorting key and emit every pair within a
+  sliding window of `w` ranks. Here the global rank is computed
+  scalably — range-repartition + per-partition Arrow-batched local
+  index + tiny per-partition base offsets — never a single-partition
+  window; the window pairing itself is an equi-join on a uniform
+  integer key (rank), so it is skew-free by construction.
+* Graph meta-blocking (Papadakis et al., TKDE '14): re-weight the
+  implicit comparison graph of an existing block collection (CBS =
+  common-blocks count) after size-purging the hot blocks, then prune
+  to each node's top-k neighbours (Cardinality Node Pruning). This is
+  the standard recipe for taming redundancy-positive block collections
+  (token blocking over web text) whose raw pair count is quadratic in
+  hot-block sizes.
+* Blocking quality metrics (Christen, "Data Matching", 2012 — public
+  textbook definitions): reduction ratio, pairs completeness, pairs
+  quality per candidate source — the numbers that justify a blocking
+  key at 10^12 documents, where re-running a bad scheme is the cost of
+  a small country.
+
+The reference has no blocking evaluator and blocks only through
+driver-side dict indexes (hamerkop/kb.py:132-305); both operators here
+are therefore new capability, expressed as native DataFrame plans (the
+only Python is the Arrow-batched partition indexer, which touches each
+row once and carries no per-row logic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def global_sorted_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Dense 1-based global rank of `df` under the total order
+    `order_cols` — the DataFrame form of zipWithIndex, without ever
+    collapsing to one partition.
+
+    Plan: repartitionByRange on the order columns (contiguous,
+    non-overlapping ranges) -> sortWithinPartitions -> one
+    mapInPandas pass that stamps (partition id, local index) — Arrow
+    batches arrive in partition order, so the local index is a
+    vectorized arange per batch -> per-partition row counts (one tiny
+    job, #partitions rows to the driver) give each partition's base
+    offset; rank = base[pid] + local index + 1.
+
+    The rank is invariant to where the range sampler places partition
+    boundaries as long as `order_cols` is a total order — callers must
+    include a unique tiebreaker column. `persist=True` caches the
+    indexed table so the counts job doesn't re-run the sort.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    out_schema = StructType(
+        list(rp.schema.fields)
+        + [StructField("_pid", LongType()), StructField("_lrk", LongType())]
+    )
+
+    def add_index(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = np.int64(pid)
+            pdf["_lrk"] = np.arange(off, off + len(pdf), dtype="int64")
+            off += len(pdf)
+            yield pdf
+
+    indexed = rp.mapInPandas(add_index, out_schema)
+    if persist:
+        indexed = indexed.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in indexed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:
+        return indexed.withColumn(
+            rank_col, (F.col("_lrk") + F.lit(1)).cast("bigint")
+        ).drop("_pid", "_lrk")
+    bases, acc = {}, 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_map = F.create_map(
+        *[F.lit(v) for kv in sorted(bases.items()) for v in kv]
+    )
+    return indexed.withColumn(
+        rank_col,
+        (base_map[F.col("_pid")] + F.col("_lrk") + F.lit(1)).cast("bigint"),
+    ).drop("_pid", "_lrk")
+
+
+def sorted_neighborhood_candidates(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    source: str = "sorted_neighborhood",
+) -> DataFrame:
+    """Sorted-neighborhood blocking: pair every two records whose global
+    ranks under (key, id) differ by less than `window`.
+
+    Output: (a_id, b_id, a_key, b_key, rank_dist, source) with a before
+    b in the sort order and rank_dist in [1, window-1].
+
+    Scale shape: the only shuffles are the range partition for the rank
+    (dominated by the sort any SN implementation needs) and an
+    equi-join on the rank integer — perfectly uniform, so no block-key
+    skew exists by construction; total output is exactly
+    (window-1) * n minus the tail, independent of key distribution.
+    That key-independence is SN's classic advantage over equality
+    blocking on skewed web-text keys.
+    """
+    slim = records.select(
+        F.col(id_col).alias("rec_id"), F.col(key_col).alias("sn_key")
+    ).where(F.col(key_col).isNotNull())
+    ranked = global_sorted_rank(slim, ["sn_key", "rec_id"])
+    left = ranked.select(
+        F.col("rec_id").alias("a_id"),
+        F.col("sn_key").alias("a_key"),
+        F.col("rank"),
+    ).withColumn(
+        "rank_dist", F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
+    ).withColumn("probe_rank", F.col("rank") + F.col("rank_dist"))
+    right = ranked.select(
+        F.col("rec_id").alias("b_id"),
+        F.col("sn_key").alias("b_key"),
+        F.col("rank").alias("probe_rank"),
+    )
+    return (
+        left.join(right, "probe_rank")
+        .select("a_id", "b_id", "a_key", "b_key", "rank_dist")
+        .withColumn("source", F.lit(source))
+    )
+
+
+def meta_blocking_cnp(
+    blocks: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "record_id",
+    top_k: int = 5,
+    max_block_size: int = 100,
+) -> DataFrame:
+    """Graph meta-blocking with CBS weighting and Cardinality Node
+    Pruning over an existing block collection (one row per
+    (block key, record) assignment).
+
+    Stages (each a bounded DataFrame op):
+      1. block purging — drop singleton blocks (no pairs) and blocks
+         larger than `max_block_size` (the standard guard that keeps
+         the within-block self-join quadratic term bounded: cost <=
+         #blocks * max_block_size^2, regardless of key skew);
+      2. edge weighting — within-block self-join (a < b), then CBS =
+         number of shared blocks per pair (groupBy count: map-side
+         combinable, integer weight — deterministic across engines);
+      3. CNP — keep an edge iff it ranks in the top `top_k` neighbours
+         of EITHER endpoint by (CBS desc, neighbour id asc). The
+         per-node window is bounded: a node's degree after purging is
+         at most (#blocks it appears in) * (max_block_size - 1).
+
+    Output: (a_id, b_id, cbs). Integer weights and deterministic
+    tie-breaks make the result hash-stable for the oracle gate.
+    """
+    b = (
+        blocks.select(
+            F.col(key_col).alias("bk"), F.col(id_col).alias("rid")
+        )
+        .where(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+        .distinct()
+    )
+    sizes = b.groupBy("bk").agg(F.count("*").alias("bsz"))
+    kept = b.join(
+        sizes.where(
+            (F.col("bsz") >= 2) & (F.col("bsz") <= max_block_size)
+        ).select("bk"),
+        "bk",
+    )
+    pairs = (
+        kept.select("bk", F.col("rid").alias("a_id"))
+        .join(kept.select("bk", F.col("rid").alias("b_id")), "bk")
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+    edges = pairs.groupBy("a_id", "b_id").agg(F.count("*").alias("cbs"))
+    directed = edges.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr"), "cbs"
+    ).unionByName(
+        edges.select(
+            F.col("b_id").alias("node"), F.col("a_id").alias("nbr"), "cbs"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cbs"), "nbr")
+    survivors = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(
+            F.least("node", "nbr").alias("a_id"),
+            F.greatest("node", "nbr").alias("b_id"),
+        )
+        .distinct()
+    )
+    return survivors.join(edges, ["a_id", "b_id"]).select(
+        "a_id", "b_id", "cbs"
+    )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold_pairs: DataFrame,
+    total_possible_pairs: int | None = None,
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Blocking quality metrics per candidate source plus an '__all__'
+    union row (definitions: Christen 2012, ch. 7):
+
+      pairs completeness  PC = |C ∩ M| / |M|   (blocking recall)
+      pairs quality       PQ = |C ∩ M| / |C|   (blocking precision)
+      reduction ratio     RR = 1 - |C| / total_possible_pairs
+
+    `candidates` needs (a_id, b_id[, source]); `gold_pairs` needs
+    (a_id, b_id). Pairs are canonicalized (least/greatest) and
+    deduplicated per source before counting, so generators that emit
+    both orientations aren't double-counted. Ratios are emitted as
+    fixed-point millionths (BIGINT) — floor(x*1e6 + 0.5) uses only
+    IEEE-identical ops, so the row hashes match any ANSI oracle.
+
+    One shuffle per metric table (groupBy source after a broadcast-or-
+    hash join against the gold set, which is small by definition —
+    labeled pairs are human-produced).
+    """
+    canon = candidates.select(
+        (
+            F.lit("__all__")
+            if source_col is None
+            else F.col(source_col)
+        ).alias("src"),
+        F.least("a_id", "b_id").alias("a"),
+        F.greatest("a_id", "b_id").alias("b"),
+    )
+    if source_col is not None:
+        canon = canon.unionByName(
+            canon.select(F.lit("__all__").alias("src"), "a", "b")
+        )
+    canon = canon.distinct()
+    gold = (
+        gold_pairs.select(
+            F.least("a_id", "b_id").alias("a"),
+            F.greatest("a_id", "b_id").alias("b"),
+        )
+        .distinct()
+        .withColumn("is_match", F.lit(1).cast("bigint"))
+    )
+    n_gold = gold.count()
+    joined = canon.join(gold, ["a", "b"], "left")
+    agg = joined.groupBy("src").agg(
+        F.count("*").alias("n_candidates"),
+        F.coalesce(F.sum("is_match"), F.lit(0)).alias("n_true_positives"),
+    )
+
+    def _fp(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    out = agg.withColumn("n_gold", F.lit(n_gold).cast("bigint")).withColumn(
+        "pc_fp",
+        F.when(
+            F.lit(n_gold) > 0,
+            _fp(F.col("n_true_positives").cast("double") / F.lit(float(n_gold))),
+        ).otherwise(F.lit(None).cast("bigint")),
+    ).withColumn(
+        "pq_fp",
+        _fp(
+            F.col("n_true_positives").cast("double")
+            / F.col("n_candidates").cast("double")
+        ),
+    )
+    if total_possible_pairs:
+        out = out.withColumn(
+            "rr_fp",
+            _fp(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / F.lit(float(total_possible_pairs))
+            ),
+        )
+    else:
+        out = out.withColumn("rr_fp", F.lit(None).cast("bigint"))
+    return out.select(
+        F.col("src").alias("source"),
+        "n_candidates",
+        "n_true_positives",
+        "n_gold",
+        "pc_fp",
+        "pq_fp",
+        "rr_fp",
+    )

@@ -268,3 +268,102 @@ def tune_margin(
         )
     best = max(results, key=lambda x: (x["f1"], -x["margin"]))
     return {"best_margin": best["margin"], "results": results}
+
+
+def fit_platt(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    smooth: bool = True,
+    **fit_kw,
+) -> dict:
+    """Platt scaling (Platt 1999): map a raw match score s to a
+    calibrated probability sigmoid(a*s + b) by fitting a 1-D logistic
+    regression on labeled pairs.
+
+    `smooth=True` applies Platt's out-of-sample target regularization —
+    positives train toward (N+ + 1)/(N+ + 2) and negatives toward
+    1/(N- + 2) instead of hard {0,1} — which keeps the MAP fit from
+    saturating on separable score distributions (the common case for a
+    well-tuned linear ranker, resolve.py linear_match_score).
+
+    Reuses `fit_logistic`, so small labeled sets fit on the driver and
+    corpus-scale ones take the distributed gradient path automatically;
+    gradients are identical because d/dz BCE(p, t) = p - t holds for
+    soft targets too. Returns {"a", "b", "n", "train_accuracy"}.
+    """
+    base = scored.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    if smooth:
+        row = base.agg(
+            F.sum(F.when(F.col("label") > 0.5, 1).otherwise(0)).alias("np"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n_pos = row["np"] or 0
+        n_neg = (row["n"] or 0) - n_pos
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        base = base.withColumn(
+            "label",
+            F.when(F.col("label") > 0.5, F.lit(t_pos)).otherwise(F.lit(t_neg)),
+        )
+    m = fit_logistic(base, ["s"], **fit_kw)
+    return {
+        "a": m["weights"]["s"],
+        "b": m["bias"],
+        "n": m["n"],
+        "train_accuracy": m["train_accuracy"],
+    }
+
+
+def calibrated_probability(score_col, a: float, b: float):
+    """Column expression sigmoid(clip(a*s + b, ±30)) — same clipping as
+    training, all codegen'd (no UDF)."""
+    z = F.lit(float(a)) * F.col(score_col) + F.lit(float(b))
+    z = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), z))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def calibration_bins(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: bucket predicted probabilities into
+    `n_bins` equal-width bins and compare mean prediction with observed
+    positive rate per bin — the standard calibration audit (and the
+    input to ECE = sum_b n_b/N * |mean_p_b - pos_rate_b|).
+
+    To stay hash-stable across engines, probabilities are fixed-pointed
+    first (floor(p*1e6 + 0.5) as BIGINT): the bin id, the per-bin sum
+    and the derived means are then exact integer arithmetic — float
+    SUM order never enters. Output: (bin, n, n_pos, mean_prob_fp,
+    pos_rate_fp), one shuffle (groupBy bin, map-side combinable).
+    """
+    p_fp = F.floor(
+        F.col(prob_col).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    step = int(1_000_000 // n_bins)
+    binned = scored.select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(p_fp / F.lit(step)).cast("int")
+        ).alias("bin"),
+        p_fp.alias("p_fp"),
+        F.col(label_col).cast("bigint").alias("label"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.floor(F.sum("p_fp") / F.count("*")).cast("bigint").alias(
+                "mean_prob_fp"
+            ),
+            F.floor(F.sum("label") * F.lit(1_000_000) / F.count("*"))
+            .cast("bigint")
+            .alias("pos_rate_fp"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Sorted-neighborhood blocking, meta-blocking (CNP), blocking quality
+metrics, and Platt calibration (operators/blocking_eval.py, train.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hamerkop_spark.operators.blocking_eval import (
+    blocking_quality,
+    global_sorted_rank,
+    meta_blocking_cnp,
+    sorted_neighborhood_candidates,
+)
+from hamerkop_spark.operators.train import (
+    calibrated_probability,
+    calibration_bins,
+    fit_platt,
+)
+from tests.conftest import rows
+
+
+def test_global_sorted_rank_matches_total_order(spark):
+    data = [("m", 3), ("a", 1), ("m", 1), ("z", 9), ("b", 4), ("m", 2)]
+    df = spark.createDataFrame(data, "k string, i int")
+    got = {
+        (r["k"], r["i"]): r["rank"]
+        for r in global_sorted_rank(df, ["k", "i"], num_partitions=3).collect()
+    }
+    expected = {kv: n + 1 for n, kv in enumerate(sorted(data))}
+    assert got == expected
+
+
+def test_global_sorted_rank_empty(spark):
+    df = spark.createDataFrame([], "k string, i int")
+    assert global_sorted_rank(df, ["k", "i"]).count() == 0
+
+
+def test_sorted_neighborhood_pairs_exact(spark):
+    recs = [(i, key) for i, key in enumerate(["ann", "anna", "bob", "bobby", "carl", "carla"])]
+    df = spark.createDataFrame(recs, "rid int, name string")
+    got = rows(
+        sorted_neighborhood_candidates(df, "name", "rid", window=3),
+        "a_id", "b_id", "rank_dist",
+    )
+    order = [r[0] for r in sorted(recs, key=lambda r: (r[1], r[0]))]
+    expected = sorted(
+        (order[i], order[i + d], d)
+        for i in range(len(order))
+        for d in (1, 2)
+        if i + d < len(order)
+    )
+    assert got == expected
+    # output size is key-distribution independent: (w-1)*n - tail
+    assert len(got) == 2 * len(recs) - 3
+
+
+def test_meta_blocking_purges_and_weights(spark):
+    # block "hot" exceeds max_block_size and must not contribute pairs;
+    # (1,2) share two surviving blocks -> cbs 2; (1,3)/(2,3) share one.
+    blocks = [("x", 1), ("x", 2), ("y", 1), ("y", 2), ("y", 3)] + [
+        ("hot", i) for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(blocks, "block_key string, record_id int")
+    got = rows(
+        meta_blocking_cnp(df, top_k=5, max_block_size=5), "a_id", "b_id", "cbs"
+    )
+    assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+
+
+def test_meta_blocking_cnp_topk_union(spark):
+    # node 0 co-blocks with 1..4 at weights 4,3,2,1 (via distinct keys);
+    # top_k=2 keeps 0's edges to 1 and 2 — but the edge (0,3) survives
+    # via node 3's own top-k (3 has only one neighbour), CNP union rule.
+    blocks = []
+    for nbr, w in [(1, 4), (2, 3), (3, 2)]:
+        for j in range(w):
+            blocks.append((f"k{nbr}_{j}", 0))
+            blocks.append((f"k{nbr}_{j}", nbr))
+    df = spark.createDataFrame(blocks, "block_key string, record_id int")
+    got = rows(meta_blocking_cnp(df, top_k=2), "a_id", "b_id", "cbs")
+    assert got == [(0, 1, 4), (0, 2, 3), (0, 3, 2)]
+
+
+def test_blocking_quality_metrics(spark):
+    cand = spark.createDataFrame(
+        [(1, 2, "s1"), (3, 4, "s1"), (2, 1, "s1"), (5, 6, "s2")],
+        "a_id int, b_id int, source string",
+    )
+    gold = spark.createDataFrame([(2, 1), (5, 6), (7, 8)], "a_id int, b_id int")
+    got = {
+        r["source"]: r
+        for r in blocking_quality(cand, gold, total_possible_pairs=100).collect()
+    }
+    s1 = got["s1"]  # dedup (1,2)/(2,1) -> 2 candidates, 1 tp
+    assert (s1["n_candidates"], s1["n_true_positives"], s1["n_gold"]) == (2, 1, 3)
+    assert s1["pc_fp"] == math.floor(1 / 3 * 1e6 + 0.5)
+    assert s1["pq_fp"] == 500000
+    assert s1["rr_fp"] == math.floor((1 - 2 / 100) * 1e6 + 0.5)
+    al = got["__all__"]
+    assert (al["n_candidates"], al["n_true_positives"]) == (3, 2)
+
+
+def test_fit_platt_calibrates_separable_scores(spark):
+    pts = [(float(s), 1 if s > 0 else 0) for s in range(-20, 21) if s != 0]
+    df = spark.createDataFrame(pts * 5, "score double, label int")
+    m = fit_platt(df, iterations=200)
+    assert m["a"] > 0 and m["n"] == len(pts) * 5
+    probe = spark.createDataFrame(
+        [(-10.0,), (0.0,), (10.0,)], "score double"
+    ).select(calibrated_probability("score", m["a"], m["b"]).alias("p"))
+    lo, mid, hi = [r["p"] for r in probe.collect()]
+    assert lo < 0.2 and hi > 0.8 and lo < mid < hi
+    # smoothing keeps the fit off the saturation rails
+    assert 0.001 < lo and hi < 0.999
+
+
+def test_calibration_bins_exact(spark):
+    data = [(0.05, 0), (0.08, 1), (0.55, 1), (0.52, 0), (0.58, 1), (0.99, 1)]
+    df = spark.createDataFrame(data, "prob double, label int")
+    got = rows(
+        calibration_bins(df, n_bins=10), "bin", "n", "n_pos",
+        "mean_prob_fp", "pos_rate_fp",
+    )
+    assert got == [
+        (0, 2, 1, 65000, 500000),
+        (5, 3, 2, 550000, 666666),
+        (9, 1, 1, 990000, 1000000),
+    ]
