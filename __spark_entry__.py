@@ -1786,6 +1786,135 @@ def q_c1_cascade_coref(spark, sf):
     return out.select("doc_id", "mention_id", "chain_id")
 
 
+def q_block_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernández & Stolfo '95,
+    operators/blocking_eval.sorted_neighborhood_candidates): global
+    range-partitioned rank + window-w rank equi-join. Key = phone
+    country code (25 ties per key) so the rank's tiebreaker matters."""
+    from hamerkop_spark.operators.blocking_eval import (
+        sorted_neighborhood_candidates,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            "-", "c_mktsegment", F.lpad(F.col("c_nationkey").cast("string"), 2, "0")
+        ).alias("cc"),
+    )
+    return sorted_neighborhood_candidates(
+        cust, key_col="cc", id_col="c_custkey", window=4
+    )
+
+
+def q_block_meta_cnp(spark, sf):
+    """Graph meta-blocking, CBS + cardinality node pruning (Papadakis
+    TKDE '14, operators/blocking_eval.meta_blocking_cnp) over token
+    blocking of part names."""
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_cnp
+
+    # bounded record set (deterministic, SF-stable): keeps token-block
+    # sizes under the purge cap so the CNP stage stays non-degenerate
+    # at every SF instead of purging everything at sf0.1+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    blocks = part.select(
+        F.explode(F.split(F.lower("p_name"), " ")).alias("block_key"),
+        F.col("p_partkey").alias("record_id"),
+    )
+    return meta_blocking_cnp(blocks, top_k=3, max_block_size=100)
+
+
+def q_block_quality(spark, sf):
+    """Blocking quality metrics (Christen 2012 ch.7,
+    operators/blocking_eval.blocking_quality): PC / PQ / RR per
+    candidate source + '__all__', fixed-point millionths."""
+    from hamerkop_spark.operators.blocking_eval import (
+        blocking_quality,
+        sorted_neighborhood_candidates,
+    )
+
+    recs = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.concat_ws(
+                "-",
+                "c_mktsegment",
+                F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+            ).alias("cc"),
+        )
+    )
+    n = recs.count()
+    sn = sorted_neighborhood_candidates(
+        recs, key_col="cc", id_col="c_custkey", window=3, source="sn"
+    ).select("a_id", "b_id", "source")
+    a = recs.select(
+        F.col("c_custkey").alias("a_id"), F.col("c_nationkey").alias("nk")
+    )
+    b = recs.select(
+        F.col("c_custkey").alias("b_id"), F.col("c_nationkey").alias("nk")
+    )
+    nation_block = (
+        a.join(b, "nk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit("nation_block").alias("source"))
+    )
+    gold = recs.select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") + 10).alias("b_id"),
+    ).join(recs.select(F.col("c_custkey").alias("b_id")), "b_id")
+    return blocking_quality(
+        sn.unionByName(nation_block),
+        gold,
+        total_possible_pairs=n * (n - 1) // 2,
+    )
+
+
+def q_calibration_bins(spark, sf):
+    """Reliability-diagram bins (operators/train.calibration_bins):
+    fixed-point probabilities -> equal-width bins -> per-bin mean
+    prediction vs observed positive rate, all integer-exact."""
+    from hamerkop_spark.operators.train import calibration_bins
+
+    li = _t(spark, sf, "lineitem")
+    scored = li.select(
+        ((F.col("l_partkey") % 997) / F.lit(996.0)).alias("prob"),
+        (F.col("l_orderkey") % 3 == 0).cast("int").alias("label"),
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
+FS_M = {"g1": 0.95, "g2": 0.9, "g3": 0.8}
+FS_U = {"g1": 0.5, "g2": 0.33, "g3": 0.14}
+
+
+def q_fs_match_weight(spark, sf):
+    """Fellegi-Sunter composite match weight (operators/linkage
+    .fs_match_weight): per-field agreement indicators -> fixed-point
+    integer log2 likelihood-ratio sum (no UDF, no float per row)."""
+    from hamerkop_spark.operators.linkage import fs_match_weight
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("chain_id"),
+        (F.col("c_custkey") % 25).alias("bkey"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        (F.col("s_suppkey") % 25).alias("bkey"),
+    )
+    cmp_df = cust.join(supp, "bkey").select(
+        "chain_id",
+        "entity_id",
+        (F.col("chain_id") % 2 == F.col("entity_id") % 2).cast("int").alias("g1"),
+        (F.col("chain_id") % 3 == F.col("entity_id") % 3).cast("int").alias("g2"),
+        (F.col("chain_id") % 7 == F.col("entity_id") % 7).cast("int").alias("g3"),
+    )
+    return fs_match_weight(cmp_df, ["g1", "g2", "g3"], FS_M, FS_U)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -1823,7 +1952,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_search": q_ann_cosine_search,
-        # --- recorded in round 4; these 25 fill out this round's 50 ---
+        # --- new in round 5 (blocking_eval / linkage / calibration):
+        # recorded immediately so they never start life stale ---
+        "block_sorted_neighborhood": q_block_sorted_neighborhood,
+        "block_meta_cnp": q_block_meta_cnp,
+        "block_quality": q_block_quality,
+        "calibration_bins": q_calibration_bins,
+        "fs_match_weight": q_fs_match_weight,
+        # --- recorded in round 4; the first 20 fill out this round's
+        # 50; the last 5 spill into the tail and join the must-lead
+        # set for round 6 ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1844,13 +1982,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
         "r6_cascade_resolver": q_r6_cascade_resolver,
         "t14_doc_type": q_t14_doc_type,
+        # --- position 51 onward: NOT recorded this round. Everything
+        # below (t15_entity_origin through c1_cascade_coref, 30 rows)
+        # was last recorded in round 4 and MUST lead the round-6
+        # registry (driver records the first 50; no row may go two
+        # consecutive rounds unrecorded) ---
         "t15_entity_origin": q_t15_entity_origin,
         "t5_remove_double_letter": q_t5_remove_double_letter,
         "t2_unicode_punct": q_t2_unicode_punct,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        # --- recorded in round 4; tail 25 age one round and MUST lead
-        # the round-6 registry ---
         "b_phonetic_soundex": q_b_phonetic_soundex,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2121,9 +2262,158 @@ def _candidate_sets_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from hamerkop_spark.functions.phonetic import soundex_portable_sql
+    from hamerkop_spark.operators.linkage import fs_weight_constants
 
     punct = PUNCT_CLASS.replace("'", "''")
+    fsw = fs_weight_constants(FS_M, FS_U)
+    fs_terms = " + ".join(
+        f"CASE WHEN g{i} = 1 THEN {fsw[f'g{i}'][0]} ELSE {fsw[f'g{i}'][1]} END"
+        for i in (1, 2, 3)
+    )
     return {
+        "block_sorted_neighborhood": """
+            WITH r AS (
+              SELECT c_custkey AS rec_id,
+                     c_mktsegment || '-' || lpad(c_nationkey::VARCHAR, 2, '0')
+                       AS k
+              FROM customer
+            ), ranked AS (
+              SELECT rec_id, k,
+                     row_number() OVER (ORDER BY k, rec_id) AS rnk
+              FROM r
+            )
+            SELECT a.rec_id AS a_id, b.rec_id AS b_id,
+                   a.k AS a_key, b.k AS b_key,
+                   (b.rnk - a.rnk)::INT AS rank_dist,
+                   'sorted_neighborhood' AS source
+            FROM ranked a
+            JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        """,
+        "block_meta_cnp": """
+            WITH b AS (
+              SELECT DISTINCT tok AS bk, p_partkey AS rid
+              FROM (SELECT p_partkey,
+                           unnest(string_split(lower(p_name), ' ')) AS tok
+                    FROM part
+                    WHERE p_partkey % 10 = 0 AND p_partkey < 5000)
+            ), sizes AS (
+              SELECT bk, count(*) AS bsz FROM b GROUP BY bk
+            ), kept AS (
+              SELECT b.bk, b.rid FROM b JOIN sizes USING (bk)
+              WHERE bsz >= 2 AND bsz <= 100
+            ), pairs AS (
+              SELECT x.bk, x.rid AS a_id, y.rid AS b_id
+              FROM kept x JOIN kept y ON x.bk = y.bk AND x.rid < y.rid
+            ), edges AS (
+              SELECT a_id, b_id, count(*) AS cbs FROM pairs
+              GROUP BY a_id, b_id
+            ), directed AS (
+              SELECT a_id AS node, b_id AS nbr, cbs FROM edges
+              UNION ALL
+              SELECT b_id AS node, a_id AS nbr, cbs FROM edges
+            ), rk AS (
+              SELECT node, nbr,
+                     row_number() OVER (
+                       PARTITION BY node ORDER BY cbs DESC, nbr) AS rn
+              FROM directed
+            ), surv AS (
+              SELECT DISTINCT least(node, nbr) AS a_id,
+                              greatest(node, nbr) AS b_id
+              FROM rk WHERE rn <= 3
+            )
+            SELECT s.a_id, s.b_id, e.cbs
+            FROM surv s JOIN edges e USING (a_id, b_id)
+        """,
+        "block_quality": """
+            WITH recs AS (
+              SELECT c_custkey, c_nationkey,
+                     c_mktsegment || '-' || lpad(c_nationkey::VARCHAR, 2, '0')
+                       AS cc
+              FROM customer WHERE c_custkey % 10 = 0
+            ), ranked AS (
+              SELECT c_custkey AS rec_id, cc,
+                     row_number() OVER (ORDER BY cc, c_custkey) AS rnk
+              FROM recs
+            ), sn AS (
+              SELECT 'sn' AS src,
+                     least(a.rec_id, b.rec_id) AS a,
+                     greatest(a.rec_id, b.rec_id) AS b
+              FROM ranked a
+              JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+            ), nb AS (
+              SELECT 'nation_block' AS src, x.c_custkey AS a, y.c_custkey AS b
+              FROM recs x JOIN recs y
+                ON x.c_nationkey = y.c_nationkey
+               AND x.c_custkey < y.c_custkey
+            ), canon0 AS (
+              SELECT DISTINCT src, a, b
+              FROM (SELECT * FROM sn UNION ALL SELECT * FROM nb)
+            ), canon AS (
+              SELECT src, a, b FROM canon0
+              UNION
+              SELECT '__all__' AS src, a, b FROM canon0
+            ), gold AS (
+              SELECT x.c_custkey AS a, x.c_custkey + 10 AS b
+              FROM recs x JOIN recs y ON y.c_custkey = x.c_custkey + 10
+            ), tot AS (
+              SELECT count(*)::DOUBLE AS nn FROM recs
+            ), g AS (
+              SELECT count(*) AS n_gold FROM gold
+            ), agg AS (
+              SELECT c.src, count(*) AS n_candidates,
+                     sum(CASE WHEN gd.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_true_positives
+              FROM canon c
+              LEFT JOIN gold gd ON c.a = gd.a AND c.b = gd.b
+              GROUP BY c.src
+            )
+            SELECT src AS source, n_candidates, n_true_positives,
+                   (SELECT n_gold FROM g) AS n_gold,
+                   floor(n_true_positives::DOUBLE
+                         / (SELECT n_gold FROM g)::DOUBLE
+                         * 1000000.0 + 0.5)::BIGINT AS pc_fp,
+                   floor(n_true_positives::DOUBLE / n_candidates::DOUBLE
+                         * 1000000.0 + 0.5)::BIGINT AS pq_fp,
+                   floor((1.0 - n_candidates::DOUBLE
+                          / (SELECT floor(nn * (nn - 1) / 2) FROM tot))
+                         * 1000000.0 + 0.5)::BIGINT AS rr_fp
+            FROM agg
+        """,
+        "calibration_bins": """
+            WITH s AS (
+              SELECT (l_partkey % 997)::DOUBLE / 996.0 AS prob,
+                     CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS label
+              FROM lineitem
+            ), b AS (
+              SELECT least(9, floor(
+                       floor(prob * 1000000.0 + 0.5) / 100000)::INT) AS bin,
+                     floor(prob * 1000000.0 + 0.5)::BIGINT AS p_fp,
+                     label
+              FROM s
+            )
+            SELECT bin, count(*) AS n, sum(label)::BIGINT AS n_pos,
+                   floor(sum(p_fp)::DOUBLE / count(*))::BIGINT
+                     AS mean_prob_fp,
+                   floor((sum(label) * 1000000)::DOUBLE / count(*))::BIGINT
+                     AS pos_rate_fp
+            FROM b GROUP BY bin
+        """,
+        "fs_match_weight": f"""
+            WITH cmp AS (
+              SELECT c_custkey AS chain_id, s_suppkey AS entity_id,
+                     CASE WHEN c_custkey % 2 = s_suppkey % 2
+                          THEN 1 ELSE 0 END AS g1,
+                     CASE WHEN c_custkey % 3 = s_suppkey % 3
+                          THEN 1 ELSE 0 END AS g2,
+                     CASE WHEN c_custkey % 7 = s_suppkey % 7
+                          THEN 1 ELSE 0 END AS g3
+              FROM customer
+              JOIN supplier ON c_custkey % 25 = s_suppkey % 25
+            )
+            SELECT chain_id, entity_id, g1, g2, g3,
+                   ({fs_terms})::BIGINT AS fs_weight_fp
+            FROM cmp
+        """,
         "p15_tristate_cascade": """
             WITH ent AS (
               SELECT c_custkey, lower(c_mktsegment) AS origin,

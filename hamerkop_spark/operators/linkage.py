@@ -1,0 +1,195 @@
+"""Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+JASA 1969) with EM parameter estimation (Winkler 1988, "Using the EM
+algorithm for weight computation in the Fellegi-Sunter model").
+
+The reference resolves purely through deterministic cascades plus a
+trained linear scorer (hamerkop/resolver.py:61-210); it has no
+probabilistic-linkage model. This module adds the classic one:
+
+* ``fs_match_weight`` — the log2 likelihood-ratio match weight of a
+  candidate pair given per-field agreement indicators and (m, u)
+  probabilities.  The per-field agreement / disagreement weights are
+  folded to fixed-point integers on the driver, so the per-row work is
+  a codegen'd integer CASE-sum — hash-stable across engines and free
+  of float-accumulation order effects.
+* ``fit_fs_em`` — unsupervised (m, u, p) estimation by EM over binary
+  agreement vectors.  Scale shape: ONE distributed pass histograms the
+  agreement patterns (groupBy over k 0/1 columns -> at most 2^k rows,
+  map-side combinable), then EM iterates driver-side over the tiny
+  pattern-count table with numpy.  Iteration cost is therefore
+  independent of the number of pairs — the standard trick that makes
+  EM linkage viable at web scale (the 100-TB cost is the single
+  histogram shuffle, which any estimator needs).
+* ``field_agreement`` — null-safe 0/1 agreement indicator.
+
+Weights from ``fit_fs_em`` feed straight back into
+``fs_match_weight``; thresholding / margin tuning reuses
+operators/train.py (tune_margin) and resolve.py's NIL gating.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP_SCALE = 1_000_000
+
+# Probabilities are clipped away from {0, 1} so log-weights stay finite
+# and EM never paints itself into a degenerate corner.
+_EPS = 1e-6
+
+
+def field_agreement(a, b):
+    """0/1 agreement indicator for one comparison field: 1 iff both
+    sides are non-null and equal (<=> is null-safe; null vs anything
+    counts as disagreement, the conventional conservative choice)."""
+    return (
+        F.when(F.col(a).isNull() | F.col(b).isNull(), F.lit(0))
+        .otherwise((F.col(a) == F.col(b)).cast("int"))
+    )
+
+
+def fs_weight_constants(
+    m: dict[str, float], u: dict[str, float]
+) -> dict[str, tuple[int, int]]:
+    """Fixed-point (agreement, disagreement) log2 weights per field:
+    aw = log2(m/u), dw = log2((1-m)/(1-u)), each floor(w*1e6 + 0.5).
+
+    Computed once on the driver in Python floats; per-row scoring is
+    then pure integer arithmetic, so Spark and any ANSI oracle produce
+    bit-identical weights.
+    """
+    out = {}
+    for f in m:
+        mi = min(max(float(m[f]), _EPS), 1.0 - _EPS)
+        ui = min(max(float(u[f]), _EPS), 1.0 - _EPS)
+        aw = math.log2(mi / ui)
+        dw = math.log2((1.0 - mi) / (1.0 - ui))
+        out[f] = (
+            math.floor(aw * FP_SCALE + 0.5),
+            math.floor(dw * FP_SCALE + 0.5),
+        )
+    return out
+
+
+def fs_match_weight(
+    comparisons: DataFrame,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    weight_col: str = "fs_weight_fp",
+) -> DataFrame:
+    """Append the Fellegi-Sunter composite match weight to a comparison
+    table whose ``fields`` columns are 0/1 agreement indicators.
+
+    weight = sum_i  [ gamma_i * log2(m_i/u_i)
+                      + (1-gamma_i) * log2((1-m_i)/(1-u_i)) ]
+
+    emitted as fixed-point millionths (BIGINT).  All per-row work is a
+    codegen'd integer CASE-sum — no UDF, no shuffle, no float."""
+    consts = fs_weight_constants({f: m[f] for f in fields}, u)
+    expr = None
+    for f in fields:
+        aw, dw = consts[f]
+        term = F.when(F.col(f) == 1, F.lit(aw)).otherwise(F.lit(dw))
+        expr = term if expr is None else expr + term
+    return comparisons.withColumn(weight_col, expr.cast("bigint"))
+
+
+def agreement_pattern_counts(
+    comparisons: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Histogram of agreement patterns: one row per distinct 0/1 vector
+    with its pair count.  The single shuffle of the EM path; map-side
+    combinable, output bounded by 2^k rows regardless of input size."""
+    cols = [F.col(f).cast("int").alias(f) for f in fields]
+    return comparisons.select(*cols).groupBy(fields).agg(
+        F.count("*").alias("n")
+    )
+
+
+def fit_fs_em(
+    comparisons: DataFrame,
+    fields: list[str],
+    iterations: int = 100,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    tol: float = 1e-9,
+) -> dict:
+    """Estimate Fellegi-Sunter parameters by EM under the standard
+    conditional-independence model:
+
+        P(gamma) = p * prod_i m_i^g_i (1-m_i)^(1-g_i)
+                 + (1-p) * prod_i u_i^g_i (1-u_i)^(1-g_i)
+
+    E-step/M-step run over the *pattern histogram* (<= 2^k rows pulled
+    to the driver, numpy-vectorized), so the distributed cost is one
+    groupBy pass over the pairs no matter how many iterations run.
+
+    Returns {"p", "m", "u", "n", "iterations", "converged"} — feed
+    m/u into ``fs_match_weight`` to score.
+
+    ``len(fields)`` is capped at 20 (2^20 pattern rows ~ driver-safe);
+    more comparison fields than that is a modeling smell anyway.
+    """
+    import numpy as np
+
+    if len(fields) > 20:
+        raise ValueError(
+            f"fit_fs_em supports at most 20 fields, got {len(fields)}"
+        )
+    hist = agreement_pattern_counts(comparisons, fields).collect()
+    if not hist:
+        raise ValueError("fit_fs_em: empty comparison table")
+    gam = np.array([[r[f] for f in fields] for r in hist], dtype=np.float64)
+    cnt = np.array([r["n"] for r in hist], dtype=np.float64)
+    n_total = float(cnt.sum())
+
+    p = float(init_p)
+    m = np.full(len(fields), float(init_m))
+    u = np.full(len(fields), float(init_u))
+    it_done, converged = 0, False
+    for it in range(iterations):
+        # E-step: responsibility of the match class per pattern
+        # (log-space for numeric safety on long vectors).
+        log_m = gam @ np.log(m) + (1.0 - gam) @ np.log(1.0 - m)
+        log_u = gam @ np.log(u) + (1.0 - gam) @ np.log(1.0 - u)
+        a = np.log(p) + log_m
+        b = np.log1p(-p) + log_u
+        hi = np.maximum(a, b)
+        g = np.exp(a - hi) / (np.exp(a - hi) + np.exp(b - hi))
+        # M-step: count-weighted means
+        gm = g * cnt
+        gu = (1.0 - g) * cnt
+        p_new = gm.sum() / n_total
+        m_new = (gam * gm[:, None]).sum(axis=0) / max(gm.sum(), _EPS)
+        u_new = (gam * gu[:, None]).sum(axis=0) / max(gu.sum(), _EPS)
+        p_new = min(max(p_new, _EPS), 1.0 - _EPS)
+        m_new = np.clip(m_new, _EPS, 1.0 - _EPS)
+        u_new = np.clip(u_new, _EPS, 1.0 - _EPS)
+        delta = max(
+            abs(p_new - p),
+            float(np.abs(m_new - m).max()),
+            float(np.abs(u_new - u).max()),
+        )
+        p, m, u = p_new, m_new, u_new
+        it_done = it + 1
+        if delta < tol:
+            converged = True
+            break
+    # Canonical orientation: the "match" class is the one whose members
+    # agree more; EM from a symmetric start can converge to the
+    # label-swapped optimum (classic mixture identifiability).
+    if float(m.sum()) < float(u.sum()):
+        m, u, p = u, m, 1.0 - p
+    return {
+        "p": float(p),
+        "m": {f: float(m[i]) for i, f in enumerate(fields)},
+        "u": {f: float(u[i]) for i, f in enumerate(fields)},
+        "n": int(n_total),
+        "iterations": it_done,
+        "converged": converged,
+    }

@@ -1,0 +1,101 @@
+"""Fellegi-Sunter probabilistic linkage (operators/linkage.py)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hamerkop_spark.operators.linkage import (
+    FP_SCALE,
+    agreement_pattern_counts,
+    field_agreement,
+    fit_fs_em,
+    fs_match_weight,
+    fs_weight_constants,
+)
+
+
+def _synth_pairs(n, p, m, u, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        is_match = rng.random() < p
+        probs = m if is_match else u
+        rows.append(tuple(int(rng.random() < pi) for pi in probs))
+    return rows
+
+
+def test_fs_weight_constants_exact():
+    c = fs_weight_constants({"f": 0.9}, {"f": 0.1})
+    assert c["f"][0] == math.floor(math.log2(9.0) * FP_SCALE + 0.5)
+    assert c["f"][1] == math.floor(math.log2(0.1 / 0.9) * FP_SCALE + 0.5)
+
+
+def test_fs_match_weight_integer_sum(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 0), (2, 0, 0), (3, 1, 1)], "pid int, g1 int, g2 int"
+    )
+    m = {"g1": 0.9, "g2": 0.8}
+    u = {"g1": 0.1, "g2": 0.4}
+    consts = fs_weight_constants(m, u)
+    got = {
+        r["pid"]: r["fs_weight_fp"]
+        for r in fs_match_weight(df, ["g1", "g2"], m, u).collect()
+    }
+    aw1, dw1 = consts["g1"]
+    aw2, dw2 = consts["g2"]
+    assert got == {1: aw1 + dw2, 2: dw1 + dw2, 3: aw1 + aw2}
+
+
+def test_field_agreement_null_safe(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), (None, "x"), (None, None)], "a string, b string"
+    )
+    vals = [r["g"] for r in df.select(field_agreement("a", "b").alias("g")).collect()]
+    assert vals == [1, 0, 0, 0]
+
+
+def test_agreement_pattern_counts_bounded(spark):
+    rows = _synth_pairs(2000, 0.3, [0.9, 0.8], [0.1, 0.3])
+    df = spark.createDataFrame(rows, "g1 int, g2 int")
+    hist = agreement_pattern_counts(df, ["g1", "g2"]).collect()
+    assert len(hist) <= 4
+    assert sum(r["n"] for r in hist) == 2000
+
+
+def test_fit_fs_em_recovers_mixture(spark):
+    true_p, true_m, true_u = 0.25, [0.92, 0.85, 0.95], [0.08, 0.25, 0.04]
+    rows = _synth_pairs(40000, true_p, true_m, true_u, seed=11)
+    df = spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+    fit = fit_fs_em(df, ["g1", "g2", "g3"], iterations=300)
+    assert abs(fit["p"] - true_p) < 0.03
+    for i, f in enumerate(["g1", "g2", "g3"]):
+        assert abs(fit["m"][f] - true_m[i]) < 0.05, (f, fit["m"])
+        assert abs(fit["u"][f] - true_u[i]) < 0.05, (f, fit["u"])
+    assert fit["n"] == 40000
+    # fitted params must rank a full-agreement pair above a full-miss
+    scored = fs_match_weight(
+        spark.createDataFrame([(1, 1, 1), (0, 0, 0)], "g1 int, g2 int, g3 int"),
+        ["g1", "g2", "g3"],
+        fit["m"],
+        fit["u"],
+    ).collect()
+    w = {tuple(r[f] for f in ["g1", "g2", "g3"]): r["fs_weight_fp"] for r in scored}
+    assert w[(1, 1, 1)] > 0 > w[(0, 0, 0)]
+
+
+def test_fit_fs_em_label_swap_canonicalized(spark):
+    # symmetric init (m == u) relies on the canonical orientation step
+    rows = _synth_pairs(20000, 0.5, [0.9, 0.9], [0.1, 0.1], seed=3)
+    df = spark.createDataFrame(rows, "g1 int, g2 int")
+    fit = fit_fs_em(df, ["g1", "g2"], init_m=0.6, init_u=0.4, iterations=300)
+    assert fit["m"]["g1"] > fit["u"]["g1"]
+
+
+def test_fit_fs_em_guards(spark):
+    df = spark.createDataFrame([], "g1 int")
+    with pytest.raises(ValueError):
+        fit_fs_em(df, ["g1"])
+    with pytest.raises(ValueError):
+        fit_fs_em(df.withColumn("x", F.lit(1)), [f"f{i}" for i in range(21)])
