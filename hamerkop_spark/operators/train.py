@@ -33,6 +33,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# fixed-point scale shared by calibration_bins / calibrate_linear_scores
+FP_SCALE = 1_000_000
+
 
 def fit_logistic(
     labeled: DataFrame,
@@ -367,3 +370,49 @@ def calibration_bins(
             .alias("pos_rate_fp"),
         )
     )
+
+
+def calibrate_linear_scores(
+    labeled: DataFrame,
+    weights: dict[str, float],
+    bias: float,
+    n_bins: int = 10,
+    **fit_kw,
+) -> dict:
+    """End-to-end calibration audit of the pipeline's linear match
+    scorer (the north rule's "calibrated logistic-combination match
+    decision"): score labeled pairs with the same literal-weight column
+    expression linear_resolver uses, Platt-fit score -> probability,
+    then measure expected calibration error from the reliability bins.
+
+    Returns {"a", "b", "ece", "n", "bins"} where ece =
+    sum_b n_b/N * |mean_prob_b - pos_rate_b| over non-empty bins (both
+    in probability units). Two distributed passes (one Platt fit, one
+    bin aggregate); everything else is per-bin driver arithmetic.
+    """
+    score = F.lit(float(bias))
+    for col, wgt in weights.items():
+        score = score + F.lit(float(wgt)) * F.col(col)
+    scored = labeled.withColumn("match_score", score)
+    platt = fit_platt(scored, score_col="match_score", **fit_kw)
+    probed = scored.select(
+        calibrated_probability("match_score", platt["a"], platt["b"]).alias(
+            "prob"
+        ),
+        F.col("label"),
+    )
+    bins = sorted(
+        (r.asDict() for r in calibration_bins(probed, n_bins=n_bins).collect()),
+        key=lambda r: r["bin"],
+    )
+    n = sum(b["n"] for b in bins)
+    ece = (
+        sum(
+            b["n"] * abs(b["mean_prob_fp"] - b["pos_rate_fp"])
+            for b in bins
+        )
+        / (n * float(FP_SCALE))
+        if n
+        else 0.0
+    )
+    return {"a": platt["a"], "b": platt["b"], "ece": ece, "n": n, "bins": bins}

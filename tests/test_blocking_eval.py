@@ -126,3 +126,32 @@ def test_calibration_bins_exact(spark):
         (5, 3, 2, 550000, 666666),
         (9, 1, 1, 990000, 1000000),
     ]
+
+
+def test_calibrate_linear_scores_e2e(spark, tmp_path):
+    """North-rule 'calibrated logistic-combination match decision':
+    Platt-calibrate the flagship linear scorer on pipeline-produced
+    labeled pairs and check the reliability audit comes back sane."""
+    from hamerkop_spark.operators.train import (
+        calibrate_linear_scores,
+        training_rows_from_gold,
+    )
+    from hamerkop_spark.plans.pipeline import (
+        DEFAULT_BIAS,
+        DEFAULT_WEIGHTS,
+        run_pipeline,
+    )
+    from hamerkop_spark.synth import make_corpus
+
+    c = make_corpus(spark, n_docs=30, seed=21, misspell_prob=0.3)
+    r = run_pipeline(spark, c, str(tmp_path / "cal"), resume=False)
+    labeled = training_rows_from_gold(
+        r["scored_pairs"], c["ground_truth"], r["mentions_chained"]
+    )
+    audit = calibrate_linear_scores(labeled, DEFAULT_WEIGHTS, DEFAULT_BIAS)
+    assert audit["a"] > 0 and audit["n"] > 100
+    # calibrated probabilities track observed match rates
+    assert audit["ece"] < 0.15, audit
+    # bins table is the fixed-point reliability diagram
+    assert all(0 <= b["bin"] <= 9 for b in audit["bins"])
+    assert sum(b["n"] for b in audit["bins"]) == audit["n"]
