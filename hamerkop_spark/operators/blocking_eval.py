@@ -198,7 +198,13 @@ def meta_blocking_cnp(
         .join(kept.select("bk", F.col("rid").alias("b_id")), "bk")
         .where(F.col("a_id") < F.col("b_id"))
     )
-    edges = pairs.groupBy("a_id", "b_id").agg(F.count("*").alias("cbs"))
+    # edges fans out three ways (both union branches + the final weight
+    # re-attach); persist the post-aggregation table — it is the SMALL
+    # side (pairs collapsed to weights, bounded by the purge cap) — so
+    # the quadratic within-block self-join runs once, not per branch
+    edges = (
+        pairs.groupBy("a_id", "b_id").agg(F.count("*").alias("cbs")).persist()
+    )
     directed = edges.select(
         F.col("a_id").alias("node"), F.col("b_id").alias("nbr"), "cbs"
     ).unionByName(
