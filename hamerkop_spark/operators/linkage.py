@@ -193,3 +193,58 @@ def fit_fs_em(
         "iterations": it_done,
         "converged": converged,
     }
+
+
+def fs_resolver(
+    m: dict[str, float],
+    u: dict[str, float],
+    fields: list[str] | None = None,
+    threshold_fp: int = 0,
+    margin_fp: int = 0,
+):
+    """Fellegi-Sunter decision stage in the resolver-cascade contract
+    (operators/resolve.py: pairs -> (decisions, remaining)): per chain,
+    argmax of the composite match weight with a NIL threshold and an
+    optional runner-up ambiguity margin, both in fixed-point millionths
+    of a log2 unit.
+
+    Drop-in alongside linear_resolver — e.g. after EM estimation:
+
+        fit = fit_fs_em(pairs, fields)
+        cascade_resolver(pairs, [fs_resolver(fit["m"], fit["u"])])
+
+    Deterministic tie-break by entity_id; all scoring stays in codegen
+    (integer CASE-sum + one window)."""
+    from pyspark.sql import Window
+
+    from hamerkop_spark.operators.resolve import CHAIN
+
+    flds = fields or list(m)
+
+    def run(pairs: DataFrame):
+        scored = fs_match_weight(pairs, flds, m, u)
+        w = Window.partitionBy(*CHAIN).orderBy(
+            F.desc("fs_weight_fp"), F.col("entity_id")
+        )
+        ranked = scored.withColumn("rn", F.row_number().over(w))
+        accept = (F.col("rn") == 1) & (
+            F.col("fs_weight_fp") >= F.lit(int(threshold_fp))
+        )
+        if margin_fp > 0:
+            ranked = ranked.withColumn(
+                "next_w", F.lead("fs_weight_fp").over(w)
+            )
+            accept = accept & (
+                F.col("next_w").isNull()
+                | (
+                    F.col("fs_weight_fp") - F.col("next_w")
+                    >= F.lit(int(margin_fp))
+                )
+            )
+        decisions = ranked.where(accept).select(*CHAIN, "entity_id")
+        remaining = scored.drop("fs_weight_fp").join(
+            decisions.select(*CHAIN), CHAIN, "left_anti"
+        )
+        return decisions, remaining
+
+    return run

@@ -99,3 +99,43 @@ def test_fit_fs_em_guards(spark):
         fit_fs_em(df, ["g1"])
     with pytest.raises(ValueError):
         fit_fs_em(df.withColumn("x", F.lit(1)), [f"f{i}" for i in range(21)])
+
+
+def test_fs_resolver_in_cascade(spark):
+    from hamerkop_spark.operators.linkage import fs_resolver
+    from hamerkop_spark.operators.resolve import cascade_resolver
+
+    m = {"g1": 0.9, "g2": 0.9}
+    u = {"g1": 0.1, "g2": 0.1}
+    # chain (d1,1): e10 agrees twice (positive weight), e11 never ->
+    # decided to e10. chain (d1,2): all candidates disagree -> NIL.
+    pairs = spark.createDataFrame(
+        [
+            ("d1", 1, "e10", 1, 1),
+            ("d1", 1, "e11", 0, 0),
+            ("d1", 2, "e20", 0, 0),
+            ("d1", 2, "e21", 0, 0),
+        ],
+        "doc_id string, chain_id int, entity_id string, g1 int, g2 int",
+    )
+    out = cascade_resolver(pairs, [fs_resolver(m, u, threshold_fp=0)])
+    got = {(r["doc_id"], r["chain_id"]): r["entity_id"] for r in out.collect()}
+    assert got == {("d1", 1): "e10"}
+
+
+def test_fs_resolver_margin_abstains(spark):
+    from hamerkop_spark.operators.linkage import fs_resolver, fs_weight_constants
+
+    m = {"g1": 0.9}
+    u = {"g1": 0.1}
+    aw, _ = fs_weight_constants(m, u)["g1"]
+    pairs = spark.createDataFrame(
+        [("d", 1, "a", 1), ("d", 1, "b", 1), ("d", 2, "c", 1), ("d", 2, "d", 0)],
+        "doc_id string, chain_id int, entity_id string, g1 int",
+    )
+    dec, rem = fs_resolver(m, u, margin_fp=aw)(pairs)
+    got = {(r["doc_id"], r["chain_id"]): r["entity_id"] for r in dec.collect()}
+    # chain 1: both candidates tie -> margin gate abstains;
+    # chain 2: gap == aw - dw > aw (dw negative) -> decided
+    assert got == {("d", 2): "c"}
+    assert rem.where("chain_id = 1").count() == 2
