@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def global_sorted_rank(
@@ -114,6 +114,8 @@ def sorted_neighborhood_candidates(
     id_col: str,
     window: int = 5,
     source: str = "sorted_neighborhood",
+    strategy: str = "local",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking: pair every two records whose global
     ranks under (key, id) differ by less than `window`.
@@ -121,34 +123,188 @@ def sorted_neighborhood_candidates(
     Output: (a_id, b_id, a_key, b_key, rank_dist, source) with a before
     b in the sort order and rank_dist in [1, window-1].
 
-    Scale shape: the only shuffles are the range partition for the rank
-    (dominated by the sort any SN implementation needs) and an
-    equi-join on the rank integer — perfectly uniform, so no block-key
-    skew exists by construction; total output is exactly
-    (window-1) * n minus the tail, independent of key distribution.
-    That key-independence is SN's classic advantage over equality
-    blocking on skewed web-text keys.
+    Key-independence: total output is exactly (window-1) * n minus the
+    tail, whatever the key distribution — SN's classic advantage over
+    equality blocking on skewed web-text keys (measured with a 30%-hot
+    key in scripts/sn_scale.py).
+
+    Two physical strategies, identical output:
+
+    * ``local`` (default) — range-partition + sortWithinPartitions,
+      then pair INSIDE each sorted partition with vectorized shifted
+      slices; the only cross-partition data is each partition's first
+      (window-1) rows, collected once (#partitions * (window-1) rows)
+      and broadcast so every partition can pair its tail against its
+      true global successors, walking forward across empty/short
+      partitions. Beyond the sort — which any SN implementation needs —
+      total extra movement is that boundary sliver: no (window-1)-fold
+      row expansion, no second shuffle.
+
+    * ``join`` — global rank (``global_sorted_rank``) + explode of
+      rank distances + equi-join on the probe rank. Kept as the
+      all-DataFrame cross-check path; it shuffles (window-1)*n rows.
     """
     slim = records.select(
         F.col(id_col).alias("rec_id"), F.col(key_col).alias("sn_key")
     ).where(F.col(key_col).isNotNull())
-    ranked = global_sorted_rank(slim, ["sn_key", "rec_id"])
-    left = ranked.select(
-        F.col("rec_id").alias("a_id"),
-        F.col("sn_key").alias("a_key"),
-        F.col("rank"),
-    ).withColumn(
-        "rank_dist", F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
-    ).withColumn("probe_rank", F.col("rank") + F.col("rank_dist"))
-    right = ranked.select(
-        F.col("rec_id").alias("b_id"),
-        F.col("sn_key").alias("b_key"),
-        F.col("rank").alias("probe_rank"),
+    if strategy == "join":
+        ranked = global_sorted_rank(slim, ["sn_key", "rec_id"])
+        left = ranked.select(
+            F.col("rec_id").alias("a_id"),
+            F.col("sn_key").alias("a_key"),
+            F.col("rank"),
+        ).withColumn(
+            "rank_dist", F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
+        ).withColumn("probe_rank", F.col("rank") + F.col("rank_dist"))
+        right = ranked.select(
+            F.col("rec_id").alias("b_id"),
+            F.col("sn_key").alias("b_key"),
+            F.col("rank").alias("probe_rank"),
+        )
+        return (
+            left.join(right, "probe_rank")
+            .select("a_id", "b_id", "a_key", "b_key", "rank_dist")
+            .withColumn("source", F.lit(source))
+        )
+    if strategy != "local":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    spark = slim.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # persist is CORRECTNESS-critical, not just a cache: the heads pass
+    # and the pairing pass must see the SAME partition boundaries, and
+    # RangePartitioner's sample seed folds in the RDD id, so two
+    # separate executions of this plan can draw different boundaries
+    # (observed: 186/45k pairs crossing into the wrong neighborhood).
+    # Persisting pins one materialized partitioning — and sorts once
+    # instead of once per pass.
+    rp = (
+        slim.repartitionByRange(n_part, "sn_key", "rec_id")
+        .sortWithinPartitions("sn_key", "rec_id")
+        .persist()
     )
-    return (
-        left.join(right, "probe_rank")
-        .select("a_id", "b_id", "a_key", "b_key", "rank_dist")
-        .withColumn("source", F.lit(source))
+
+    # Boundary sliver: the first (window-1) rows of every partition, in
+    # global order. Tiny by construction; collected once, broadcast to
+    # all tasks. Partitions are identified by their FIRST ROW's sort
+    # key, NOT TaskContext.partitionId(): the task partition id is
+    # stage-local, so when this subtree is embedded under a union the
+    # second branch's tasks see offset ids and would walk the wrong
+    # successors (observed: 69 broken boundary pairs via the __all__
+    # union branch in blocking_quality). First rows are unique and
+    # range-ordered, so they index the partition sequence exactly.
+    head_schema = StructType(
+        [StructField("_pid", LongType())] + list(rp.schema.fields)
+    )
+    w1 = window - 1
+
+    def take_heads(batches):
+        from pyspark import TaskContext
+
+        # pid here is safe: this runs as its own collect action, where
+        # the stage IS the cache scan — but it is only used to GROUP
+        # rows per partition, never carried into the pairing pass
+        pid = TaskContext.get().partitionId()
+        left = w1
+        for pdf in batches:
+            if left <= 0:
+                break
+            chunk = pdf.iloc[:left].copy()
+            chunk.insert(0, "_pid", np.int64(pid))
+            left -= len(chunk)
+            yield chunk
+
+    heads_rows = rp.mapInPandas(take_heads, head_schema).collect()
+    by_pid: dict[int, list] = {}
+    for r in heads_rows:
+        by_pid.setdefault(r["_pid"], []).append((r["rec_id"], r["sn_key"]))
+    # partition sequence in global order, keyed by first-row sort key
+    entries = [by_pid[p] for p in sorted(by_pid)]
+    first_keys = [(rows[0][1], rows[0][0]) for rows in entries]  # (key, id)
+    heads_bc = spark.sparkContext.broadcast((first_keys, entries))
+
+    out_schema = StructType(
+        [
+            StructField("a_id", rp.schema["rec_id"].dataType),
+            StructField("b_id", rp.schema["rec_id"].dataType),
+            StructField("a_key", rp.schema["sn_key"].dataType),
+            StructField("b_key", rp.schema["sn_key"].dataType),
+            StructField("rank_dist", IntegerType()),
+        ]
+    )
+
+    def pair_local(batches):
+        import pandas as pd
+
+        def emit(ids, keys, m):
+            # pairs whose a-side is ids[:m]; successors are in-array
+            for d in range(1, window):
+                hi = min(m, len(ids) - d)
+                if hi <= 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "a_id": ids[:hi],
+                        "b_id": ids[d : d + hi],
+                        "a_key": keys[:hi],
+                        "b_key": keys[d : d + hi],
+                        "rank_dist": np.full(hi, d, dtype="int32"),
+                    }
+                )
+
+        my_first = None
+        pend_ids = pend_keys = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["rec_id"].to_numpy()
+            keys = pdf["sn_key"].to_numpy()
+            if my_first is None:
+                my_first = (keys[0], ids[0])
+            if pend_ids is not None:
+                ids = np.concatenate([pend_ids, ids])
+                keys = np.concatenate([pend_keys, keys])
+            # every row except the last (window-1) has its full
+            # successor window in hand — emit those, carry the rest
+            m = len(ids) - w1
+            if m > 0:
+                yield from emit(ids, keys, m)
+                pend_ids, pend_keys = ids[m:], keys[m:]
+            else:
+                pend_ids, pend_keys = ids, keys
+        if pend_ids is None:
+            return
+        # flush the carried tail against the true global successors:
+        # locate THIS partition in the global sequence by its first
+        # row's sort key, then walk forward through later partitions'
+        # head slivers (short or empty partitions contribute what they
+        # have)
+        import bisect
+
+        first_keys, entries = heads_bc.value
+        i = bisect.bisect_left(first_keys, my_first)
+        assert i < len(first_keys) and first_keys[i] == my_first, (
+            "sorted-neighborhood boundary map out of sync with the "
+            "persisted partitioning"
+        )
+        succ: list = []
+        q = i + 1
+        while len(succ) < w1 and q < len(entries):
+            succ.extend(entries[q])
+            q += 1
+        succ = succ[:w1]
+        n_pend = len(pend_ids)
+        if succ:
+            pend_ids = np.concatenate(
+                [pend_ids, np.array([s[0] for s in succ], dtype=pend_ids.dtype)]
+            )
+            pend_keys = np.concatenate(
+                [pend_keys, np.array([s[1] for s in succ], dtype=object)]
+            )
+        yield from emit(pend_ids, pend_keys, n_pend)
+
+    return rp.mapInPandas(pair_local, out_schema).withColumn(
+        "source", F.lit(source)
     )
 
 

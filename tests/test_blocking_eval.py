@@ -155,3 +155,85 @@ def test_calibrate_linear_scores_e2e(spark, tmp_path):
     # bins table is the fixed-point reliability diagram
     assert all(0 <= b["bin"] <= 9 for b in audit["bins"])
     assert sum(b["n"] for b in audit["bins"]) == audit["n"]
+
+
+def test_sn_local_equals_join_strategy(spark):
+    import random
+
+    rng = random.Random(5)
+    recs = [(i, f"k{rng.randrange(7)}") for i in range(500)]
+    df = spark.createDataFrame(recs, "rid int, name string").repartition(13)
+    cols = ("a_id", "b_id", "a_key", "b_key", "rank_dist")
+    local = rows(
+        sorted_neighborhood_candidates(df, "name", "rid", window=6), *cols
+    )
+    join = rows(
+        sorted_neighborhood_candidates(
+            df, "name", "rid", window=6, strategy="join"
+        ),
+        *cols,
+    )
+    assert local == join
+    assert len(local) == 5 * 500 - 15
+
+
+def test_sn_local_short_and_empty_partitions(spark):
+    # more partitions than rows: the boundary walk must cross several
+    # short/empty partitions to find each tail row's true successors
+    df = spark.createDataFrame([(i, "x") for i in range(7)], "rid int, name string")
+    got = rows(
+        sorted_neighborhood_candidates(
+            df, "name", "rid", window=5, num_partitions=16
+        ),
+        "a_id", "b_id", "rank_dist",
+    )
+    expected = sorted(
+        (i, j, j - i) for i in range(7) for j in range(i + 1, min(i + 5, 7))
+    )
+    assert got == expected
+
+
+def test_sn_local_multi_arrow_batch(spark):
+    # force multiple Arrow batches per partition: the carry buffer must
+    # stitch pairs across batch boundaries
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(200)], "rid int, name string"
+        )
+        got = rows(
+            sorted_neighborhood_candidates(
+                df, "name", "rid", window=4, num_partitions=2
+            ),
+            "a_id", "b_id", "rank_dist",
+        )
+        order = [r[0] for r in sorted([(i, f"g{i % 3}") for i in range(200)],
+                                      key=lambda r: (r[1], r[0]))]
+        expected = sorted(
+            (order[i], order[i + d], d)
+            for i in range(200)
+            for d in (1, 2, 3)
+            if i + d < 200
+        )
+        assert got == expected
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sn_local_correct_under_union_self_reference(spark):
+    # regression: TaskContext.partitionId() is stage-local, so a union
+    # embedding the SN subtree twice used to offset the second branch's
+    # ids and break its boundary pairs (blocking_quality __all__ path)
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(300)], "rid int, name string"
+    ).repartition(11)
+    sn = sorted_neighborhood_candidates(df, "name", "rid", window=4).select(
+        "a_id", "b_id"
+    )
+    doubled = sn.unionByName(sn)
+    assert doubled.distinct().count() == 3 * 300 - 6
+    assert doubled.count() == 2 * (3 * 300 - 6)
