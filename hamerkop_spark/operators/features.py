@@ -343,6 +343,19 @@ def token_jaccard_feature() -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def monge_elkan_feature() -> Column:
+    """Symmetric Monge-Elkan with the Jaro-Winkler inner kernel over
+    the distinct flattened token sets of both sides — the classic
+    hybrid similarity (token reordering + per-token typos at once);
+    no reference analog (its string features are whole-string only,
+    features.py:69-116). Same Arrow batching as jaro_winkler_feature."""
+    from hamerkop_spark.functions.textdist import monge_elkan_udf
+
+    a = F.array_distinct(F.flatten(F.col("chain_toks")))
+    b = F.array_distinct(F.flatten(F.col("entity_toks")))
+    return monge_elkan_udf(a, b)
+
+
 def embedding_cosine_feature() -> Column:
     """north_rule "cosine over name/context embedding features": cosine
     between per-side embedding columns `chain_emb` / `entity_emb`
@@ -376,6 +389,7 @@ EXTENDED_FEATURES = {
     **STANDARD_FEATURES,
     "f_token_jaccard": token_jaccard_feature,
     "f_emb_cosine": embedding_cosine_feature,
+    "f_monge_elkan": monge_elkan_feature,
 }
 
 

@@ -177,3 +177,56 @@ def test_hashed_embedding_plan_hashes_each_gram_once(spark):
     out = add_hashed_embedding(df, "name", "emb", dim=32)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("xxhash64") == 2, plan
+
+
+def test_monge_elkan_matches_scalar_oracle(spark):
+    from hamerkop_spark.functions.textdist import monge_elkan_py, monge_elkan_udf
+
+    cases = [
+        (["jon", "q", "smith"], ["smith", "jonathan"]),
+        (["acme", "corp"], ["acme", "corp"]),
+        (["a"], ["b"]),
+        ([], ["x"]),
+        (["kitten", "sitting"], ["sitting", "kitten", "mitten"]),
+        (["new", "york", "city"], ["york", "new"]),
+    ]
+    df = spark.createDataFrame(cases, "xs array<string>, ys array<string>")
+    got = [
+        r["me"]
+        for r in df.select(monge_elkan_udf("xs", "ys").alias("me")).collect()
+    ]
+    for (xs, ys), g in zip(cases, got):
+        assert abs(g - monge_elkan_py(xs, ys)) < 1e-12, (xs, ys, g)
+    # identical token sets score 1.0; disjoint unlike tokens score low
+    assert got[1] == 1.0
+    assert got[3] == 0.0
+
+
+def test_monge_elkan_feature_in_extended_bundle(spark):
+    from hamerkop_spark.operators.features import EXTENDED_FEATURES
+
+    assert "f_monge_elkan" in EXTENDED_FEATURES
+
+
+def test_monge_elkan_randomized_vs_scalar(spark):
+    import random
+
+    from hamerkop_spark.functions.textdist import monge_elkan_py, monge_elkan_udf
+
+    rng = random.Random(42)
+    vocab = ["smith", "smyth", "jon", "john", "acme", "corp", "x", "ü", ""]
+    cases = [
+        (
+            [rng.choice(vocab) for _ in range(rng.randrange(0, 5))],
+            [rng.choice(vocab) for _ in range(rng.randrange(0, 5))],
+        )
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(cases, "xs array<string>, ys array<string>")
+    got = [
+        r["me"]
+        for r in df.select(monge_elkan_udf("xs", "ys").alias("me")).collect()
+    ]
+    for (xs, ys), g in zip(cases, got):
+        want = monge_elkan_py([x.lower() for x in xs], [y.lower() for y in ys])
+        assert abs(g - want) < 1e-12, (xs, ys, g, want)
