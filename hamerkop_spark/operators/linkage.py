@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FP_SCALE = 1_000_000
@@ -245,6 +245,131 @@ def fs_resolver(
         remaining = scored.drop("fs_weight_fp").join(
             decisions.select(*CHAIN), CHAIN, "left_anti"
         )
+        return decisions, remaining
+
+    return run
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    left_col: str = "chain_id",
+    right_col: str = "entity_id",
+    score_col: str = "match_score",
+) -> DataFrame:
+    """One round of locally-dominant pair extraction: keep (l, r) iff r
+    is l's best candidate AND l is r's best, under the deterministic
+    total order (score desc, left asc, right asc).
+
+    "Mutual best" is the classic symmetric-argmax one-to-one filter
+    (a.k.a. locally dominant edges — Preis '99 / Manne & Bisseling '07
+    distributed greedy matching). Scores must be non-null; ties are
+    broken by the id columns, so the order is total and the result is
+    deterministic.
+
+    Scale shape: two hash-partitioned window row_numbers (one per side)
+    — no driver state, no per-group sequential work, skew bounded by
+    the largest candidate list per record.
+    """
+    wl = Window.partitionBy(left_col).orderBy(
+        F.desc(score_col), F.asc(right_col)
+    )
+    wr = Window.partitionBy(right_col).orderBy(
+        F.desc(score_col), F.asc(left_col)
+    )
+    return (
+        pairs.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )
+
+
+def one_to_one_assignment(
+    pairs: DataFrame,
+    left_col: str = "chain_id",
+    right_col: str = "entity_id",
+    score_col: str = "match_score",
+    max_rounds: int | None = None,
+    round_col: str = "match_round",
+) -> DataFrame:
+    """Greedy maximum-weight one-to-one matching over a scored bipartite
+    candidate table, computed as iterated locally-dominant extraction:
+    each round keeps every mutual-best pair, removes both endpoints,
+    and repeats on the shrinking remainder.
+
+    Under the total order (score desc, left, right) this reproduces the
+    SEQUENTIAL greedy matching exactly (the globally best remaining
+    edge is always mutual-best, and removing locally dominant edges
+    never changes later greedy choices) — but each round is a fully
+    distributed pair of window passes instead of a driver-side sort.
+    Greedy matching is a 1/2-approximation of the optimal assignment;
+    the reference resolves each mention independently
+    (resolver.py:192-213) and has no one-to-one stage — this is the
+    standard Fellegi-Sunter one-to-one restriction for A-file/B-file
+    record linkage.
+
+    Rounds needed: O(log n) in expectation on random score orders;
+    `max_rounds` caps the loop (pass None to run to fixpoint). Each
+    round localCheckpoints the remainder so lineage stays flat.
+
+    Returns matched pairs (all input columns) plus `round_col` = the
+    1-indexed round the pair was extracted in.
+    """
+    remaining = pairs
+    matched: DataFrame | None = None
+    rnd = 0
+    while True:
+        rnd += 1
+        best = mutual_best_match(
+            remaining, left_col, right_col, score_col
+        ).withColumn(round_col, F.lit(rnd))
+        best = best.localCheckpoint(eager=True)
+        matched = best if matched is None else matched.unionByName(best)
+        if max_rounds is not None and rnd >= max_rounds:
+            break
+        if best.isEmpty():
+            break
+        remaining = (
+            remaining.join(
+                best.select(left_col), left_col, "left_anti"
+            ).join(best.select(right_col), right_col, "left_anti")
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+    return matched
+
+
+def one_to_one_resolver(
+    score_col: str = "match_score",
+    threshold: float | None = None,
+    max_rounds: int | None = None,
+):
+    """One-to-one assignment as a resolver-cascade stage
+    (operators/resolve.py contract: pairs -> (decisions, remaining)):
+    run greedy matching between chains and entities, decide every
+    matched chain, leave unmatched chains' pairs for later stages.
+
+    `threshold` drops pairs scoring below it BEFORE matching (NIL
+    gate); unmatched chains stay in the pool rather than resolving to
+    a worse candidate — the one-to-one constraint is the whole point.
+    """
+    from hamerkop_spark.operators.resolve import CHAIN
+
+    def run(pairs: DataFrame):
+        pool = pairs
+        if threshold is not None:
+            pool = pool.where(F.col(score_col) >= F.lit(float(threshold)))
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in CHAIN])
+        flat = pool.withColumn("_chain_key", key)
+        m = one_to_one_assignment(
+            flat,
+            left_col="_chain_key",
+            right_col="entity_id",
+            score_col=score_col,
+            max_rounds=max_rounds,
+        )
+        decisions = m.select(*CHAIN, "entity_id")
+        remaining = pairs.join(decisions.select(*CHAIN), CHAIN, "left_anti")
         return decisions, remaining
 
     return run

@@ -191,3 +191,108 @@ def resolver_report(
             "n_false_alarm"
         ),
     )
+
+
+def cluster_pair_counts(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_key"
+) -> DataFrame:
+    """Pair-counting contingency totals between two clusterings of the
+    same item set — the shared core of adjusted Rand and pairwise
+    P/R/F1 (Hubert & Arabie 1985; Menestrina et al. VLDB'10 eval
+    survey). pred/gold: (key, cluster); items are inner-joined on key
+    so both sides see the same universe.
+
+    Returns ONE row of exact BIGINT totals:
+      n           — items in the common universe
+      both_pairs  — sum_ij C(n_ij, 2): pairs co-clustered in BOTH
+      pred_pairs  — sum_i  C(a_i, 2):  pairs co-clustered in pred
+      gold_pairs  — sum_j  C(b_j, 2):  pairs co-clustered in gold
+
+    Scale shape: one inner join on the item key, then a single
+    groupBy(pred, gold) count — C(n,2) sums are computed from the
+    contingency cells, never by materializing item pairs, so cost is
+    O(items) + O(distinct cluster intersections), not O(pairs). All
+    counts are exact integers — no float accumulation.
+    """
+    j = pred.select(F.col(key).alias("k"), F.col("cluster").alias("pc")).join(
+        gold.select(F.col(key).alias("k"), F.col("cluster").alias("gc")), "k"
+    )
+    cells = j.groupBy("pc", "gc").agg(F.count("*").alias("nij"))
+
+    def pairs2(c):
+        # sum n*(n-1) exactly in BIGINT, halve with an integer shift —
+        # no float accumulation anywhere on the exact-count path
+        return F.shiftright(F.sum(F.col(c) * (F.col(c) - 1)).cast("bigint"), 1)
+
+    per_pred = cells.groupBy("pc").agg(F.sum("nij").alias("ai"))
+    per_gold = cells.groupBy("gc").agg(F.sum("nij").alias("bj"))
+    both = cells.agg(
+        F.sum("nij").cast("bigint").alias("n"), pairs2("nij").alias("both_pairs")
+    )
+    return (
+        both.crossJoin(per_pred.agg(pairs2("ai").alias("pred_pairs")))
+        .crossJoin(per_gold.agg(pairs2("bj").alias("gold_pairs")))
+    )
+
+
+def pairwise_cluster_prf(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_key"
+) -> DataFrame:
+    """Pairwise precision/recall/F1 between a predicted clustering and a
+    gold clustering, from pair counts (the north-rule metric computed
+    cluster-to-cluster instead of against a labeled-pairs table —
+    pairwise_f1 above handles the labeled-pairs form).
+
+    P = both/pred_pairs, R = both/gold_pairs, F1 = 2PR/(P+R), emitted
+    as fixed-point millionths (BIGINT) alongside the exact counts; the
+    float path is division-only on exact integers, so any ANSI engine
+    reproduces the hash.
+    """
+    c = cluster_pair_counts(pred, gold, key)
+    p = F.col("both_pairs").cast("double") / F.col("pred_pairs").cast("double")
+    r = F.col("both_pairs").cast("double") / F.col("gold_pairs").cast("double")
+
+    def _fp(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    return (
+        c.withColumn("p_fp", _fp(p))
+        .withColumn("r_fp", _fp(r))
+        .withColumn(
+            "f1_fp", _fp(F.lit(2.0) * p * r / (p + r))
+        )
+    )
+
+
+def adjusted_rand_index(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_key"
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two
+    clusterings, chance-corrected pair counting:
+
+        ARI = (Index - Expected) / (Max - Expected)
+        Index    = sum_ij C(n_ij,2)
+        Expected = sum_i C(a_i,2) * sum_j C(b_j,2) / C(n,2)
+        Max      = (sum_i C(a_i,2) + sum_j C(b_j,2)) / 2
+
+    Emitted as fixed-point millionths plus the exact integer pair
+    counts. Degenerate case (Max == Expected: both clusterings all-
+    singleton or all-one-cluster) emits null. The float expression is
+    written in one fixed evaluation order over exact integers so
+    engines agree bit-for-bit.
+    """
+    c = cluster_pair_counts(pred, gold, key)
+    total2 = F.shiftright(F.col("n") * (F.col("n") - 1), 1).cast("double")
+    a2 = F.col("pred_pairs").cast("double")
+    b2 = F.col("gold_pairs").cast("double")
+    idx = F.col("both_pairs").cast("double")
+    expected = a2 * b2 / total2
+    mx = (a2 + b2) / F.lit(2.0)
+    ari = (idx - expected) / (mx - expected)
+    return c.withColumn(
+        "ari_fp",
+        F.when(
+            mx - expected != 0,
+            F.floor(ari * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        ),
+    )

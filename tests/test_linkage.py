@@ -6,6 +6,8 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import rows
+
 from hamerkop_spark.operators.linkage import (
     FP_SCALE,
     agreement_pattern_counts,
@@ -139,3 +141,135 @@ def test_fs_resolver_margin_abstains(spark):
     # chain 2: gap == aw - dw > aw (dw negative) -> decided
     assert got == {("d", 2): "c"}
     assert rem.where("chain_id = 1").count() == 2
+
+
+# ---------------------------------------------------------------- one-to-one
+
+
+def _seq_greedy(edges):
+    """Sequential greedy matching oracle: sort by (score desc, l, r),
+    accept when both endpoints free. Returns {(l, r): round} where
+    round is the locally-dominant extraction round (computed after)."""
+    taken_l, taken_r, out = set(), set(), []
+    for s, l, r in sorted(((s, l, r) for l, r, s in edges),
+                          key=lambda t: (-t[0], t[1], t[2])):
+        if l not in taken_l and r not in taken_r:
+            taken_l.add(l)
+            taken_r.add(r)
+            out.append((l, r, s))
+    return out
+
+
+def _dominant_rounds(edges):
+    """Round number per matched pair under iterated locally-dominant
+    extraction (reference implementation, driver-side)."""
+    remaining = list(edges)
+    rounds = {}
+    rnd = 0
+    while remaining:
+        rnd += 1
+        best_l, best_r = {}, {}
+        for l, r, s in remaining:
+            k = (-s, r)
+            if l not in best_l or k < best_l[l][0]:
+                best_l[l] = (k, r)
+            k2 = (-s, l)
+            if r not in best_r or k2 < best_r[r][0]:
+                best_r[r] = (k2, l)
+        dom = [(l, r, s) for l, r, s in remaining
+               if best_l[l][1] == r and best_r[r][1] == l]
+        if not dom:
+            break
+        for l, r, s in dom:
+            rounds[(l, r)] = rnd
+        matched_l = {l for l, _, _ in dom}
+        matched_r = {r for _, r, _ in dom}
+        remaining = [e for e in remaining
+                     if e[0] not in matched_l and e[1] not in matched_r]
+    return rounds
+
+
+def test_mutual_best_match_basic(spark):
+    from hamerkop_spark.operators.linkage import mutual_best_match
+
+    # l1's best is r1 (9) and r1's best is l1 -> kept.
+    # l2's best is r1 (8) but r1 prefers l1 -> dropped.
+    df = spark.createDataFrame(
+        [("l1", "r1", 9), ("l2", "r1", 8), ("l2", "r2", 3), ("l3", "r2", 3)],
+        "chain_id string, entity_id string, match_score int",
+    )
+    got = rows(mutual_best_match(df), "chain_id", "entity_id")
+    # ties on r2 (3 vs 3): left tiebreak asc -> l2 wins r2; l2's best is
+    # r1 though, so neither (l2,r2) nor (l3,r2) is mutual-best round 1.
+    assert got == [("l1", "r1")]
+
+
+def test_one_to_one_matches_sequential_greedy(spark):
+    import random
+
+    from hamerkop_spark.operators.linkage import one_to_one_assignment
+
+    rng = random.Random(41)
+    for trial in range(4):
+        edges = set()
+        for _ in range(220):
+            edges.add((f"l{rng.randrange(40)}", f"r{rng.randrange(35)}",
+                       rng.randrange(50)))
+        edges = sorted(edges)
+        df = spark.createDataFrame(
+            edges, "chain_id string, entity_id string, match_score int"
+        )
+        got = one_to_one_assignment(df).orderBy("chain_id").collect()
+        want = _seq_greedy(edges)
+        assert sorted((r.chain_id, r.entity_id, r.match_score) for r in got) \
+            == sorted(want), f"trial {trial}"
+        # round column matches the reference dominant-rounds trace
+        want_rounds = _dominant_rounds(edges)
+        for r in got:
+            assert r.match_round == want_rounds[(r.chain_id, r.entity_id)]
+
+
+def test_one_to_one_max_rounds_prefix(spark):
+    from hamerkop_spark.operators.linkage import one_to_one_assignment
+
+    # chain of strictly decreasing scores forces one match per round:
+    # (l0,r0,100) dominates; then (l1,r1,99)... 4 rounds needed.
+    edges = []
+    for i in range(4):
+        edges.append((f"l{i}", f"r{i}", 100 - i))
+        if i + 1 < 4:
+            edges.append((f"l{i + 1}", f"r{i}", 100 - i))
+    df = spark.createDataFrame(
+        edges, "chain_id string, entity_id string, match_score int"
+    )
+    full = one_to_one_assignment(df)
+    assert full.count() == 4
+    capped = one_to_one_assignment(df, max_rounds=2)
+    assert capped.count() == 2
+    assert capped.agg({"match_round": "max"}).collect()[0][0] == 2
+
+
+def test_one_to_one_resolver_stage(spark):
+    from hamerkop_spark.operators.linkage import one_to_one_resolver
+    from hamerkop_spark.operators.resolve import cascade_resolver
+
+    pairs = spark.createDataFrame(
+        [
+            ("d1", 1, "e1", 0.9),
+            ("d1", 1, "e2", 0.5),
+            ("d1", 2, "e1", 0.8),   # loses e1 to chain 1, stays NIL
+            ("d2", 1, "e2", 0.2),   # below threshold -> never matched
+        ],
+        "doc_id string, chain_id int, entity_id string, match_score double",
+    )
+    stage = one_to_one_resolver(threshold=0.3)
+    decisions, remaining = stage(pairs)
+    got = rows(decisions, "doc_id", "chain_id", "entity_id")
+    assert got == [("d1", 1, "e1")]
+    # chain (d1,2) lost e1 to chain (d1,1) and has no other candidate;
+    # chain (d2,1) had only a sub-threshold pair — both left for later
+    # stages instead of resolving to a worse candidate
+    assert rows(remaining, "doc_id", "chain_id") == [("d1", 2), ("d2", 1)]
+    # and composes with the cascade contract
+    dec = cascade_resolver(pairs, [stage])
+    assert dec.count() == 1

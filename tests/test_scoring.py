@@ -1,6 +1,8 @@
 """Eval metrics: pairwise F1, MUC, B3 (values mirror the reference's
 tests/test_coref.py math), candidate recall, resolver report."""
 
+import math
+
 import pytest
 
 from hamerkop_spark.operators import scoring as SC
@@ -105,3 +107,87 @@ def test_pairwise_f1_dropped_mention_counts_as_fn(spark):
     assert (r.tp, r.fp, r.fn) == (1, 0, 1)
     assert r.dropped_pairs == 2
     assert r.recall == 0.5
+
+
+# ------------------------------------------------- pair-counting metrics
+
+
+def _clusters_df(spark, assign):
+    return spark.createDataFrame(
+        [(k, c) for k, c in assign.items()], "mention_key string, cluster string"
+    )
+
+
+def test_cluster_pair_counts_exact(spark):
+    from hamerkop_spark.operators.scoring import cluster_pair_counts
+
+    # pred: {a,b,c} {d,e}   gold: {a,b} {c,d,e}
+    pred = _clusters_df(
+        spark, {"a": "p1", "b": "p1", "c": "p1", "d": "p2", "e": "p2"}
+    )
+    gold = _clusters_df(
+        spark, {"a": "g1", "b": "g1", "c": "g2", "d": "g2", "e": "g2"}
+    )
+    r = cluster_pair_counts(pred, gold, "mention_key").collect()[0]
+    assert (r.n, r.pred_pairs, r.gold_pairs) == (5, 4, 4)
+    # co-clustered in both: (a,b) and (d,e)
+    assert r.both_pairs == 2
+
+
+def test_pairwise_cluster_prf_values(spark):
+    from hamerkop_spark.operators.scoring import pairwise_cluster_prf
+
+    pred = _clusters_df(
+        spark, {"a": "p1", "b": "p1", "c": "p1", "d": "p2", "e": "p2"}
+    )
+    gold = _clusters_df(
+        spark, {"a": "g1", "b": "g1", "c": "g2", "d": "g2", "e": "g2"}
+    )
+    r = pairwise_cluster_prf(pred, gold, "mention_key").collect()[0]
+    assert r.p_fp == 500000      # 2/4
+    assert r.r_fp == 500000      # 2/4
+    assert r.f1_fp == 500000
+
+
+def test_pairwise_prf_perfect_and_disjoint(spark):
+    from hamerkop_spark.operators.scoring import pairwise_cluster_prf
+
+    same = _clusters_df(spark, {"a": "x", "b": "x", "c": "y"})
+    r = pairwise_cluster_prf(same, same, "mention_key").collect()[0]
+    assert (r.p_fp, r.r_fp, r.f1_fp) == (1000000, 1000000, 1000000)
+
+
+def test_adjusted_rand_matches_hand_formula(spark):
+    from hamerkop_spark.operators.scoring import adjusted_rand_index
+
+    pred = _clusters_df(
+        spark, {"a": "p1", "b": "p1", "c": "p1", "d": "p2", "e": "p2"}
+    )
+    gold = _clusters_df(
+        spark, {"a": "g1", "b": "g1", "c": "g2", "d": "g2", "e": "g2"}
+    )
+    r = adjusted_rand_index(pred, gold, "mention_key").collect()[0]
+    # idx=2, a2=4, b2=4, C(5,2)=10 -> e=1.6, max=4 -> ari=(2-1.6)/(4-1.6)
+    want = (2 - 1.6) / (4 - 1.6)
+    assert r.ari_fp == math.floor(want * 1e6 + 0.5)
+
+
+def test_adjusted_rand_identity_and_degenerate(spark):
+    from hamerkop_spark.operators.scoring import adjusted_rand_index
+
+    same = _clusters_df(spark, {"a": "x", "b": "x", "c": "y", "d": "z"})
+    assert adjusted_rand_index(same, same, "mention_key").collect()[0].ari_fp \
+        == 1000000
+    # all singletons vs all singletons: Max == Expected == 0 -> null
+    singl = _clusters_df(spark, {"a": "1", "b": "2", "c": "3"})
+    assert adjusted_rand_index(singl, singl, "mention_key").collect()[0].ari_fp \
+        is None
+
+
+def test_adjusted_rand_universe_is_key_intersection(spark):
+    from hamerkop_spark.operators.scoring import cluster_pair_counts
+
+    pred = _clusters_df(spark, {"a": "p", "b": "p", "zz": "p"})
+    gold = _clusters_df(spark, {"a": "g", "b": "g", "yy": "g"})
+    r = cluster_pair_counts(pred, gold, "mention_key").collect()[0]
+    assert r.n == 2 and r.both_pairs == 1

@@ -1,0 +1,130 @@
+"""TF-IDF cosine and SoftTFIDF (functions/tfidf.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from hamerkop_spark.functions.tfidf import (
+    soft_tfidf_pairs,
+    tfidf_cosine_pairs,
+    tfidf_norms,
+    tfidf_weights,
+    token_idf,
+)
+
+CORPUS = [
+    ("r1", ["acme", "corp"]),
+    ("r2", ["acme", "corporation"]),
+    ("r3", ["smith", "household", "goods"]),
+    ("r4", ["acme", "corp", "intl"]),
+    ("r5", ["smith", "corp"]),
+]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    recs = spark.createDataFrame(CORPUS, "record_id string, tokens array<string>")
+    idf = token_idf(recs, "tokens")
+    w = tfidf_weights(recs, idf).localCheckpoint()
+    n = tfidf_norms(w).localCheckpoint()
+    return recs, idf, w, n
+
+
+def _py_idf_fp(n, df):
+    return math.floor(math.log1p(n / df) * 1e6)
+
+
+def _py_weights():
+    n = len(CORPUS)
+    df = {}
+    for _, toks in CORPUS:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for rid, toks in CORPUS:
+        v = {}
+        for t in toks:
+            v[t] = v.get(t, 0) + 1
+        out[rid] = {t: c * _py_idf_fp(n, df[t]) for t, c in v.items()}
+    return out
+
+
+def _py_cosine_fp(a, b):
+    w = _py_weights()
+    dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+    na = math.sqrt(sum(x * x for x in w[a].values()))
+    nb = math.sqrt(sum(x * x for x in w[b].values()))
+    return math.floor(dot / na / nb * 1e6 + 0.5)
+
+
+def test_token_idf_values(spark, vectors):
+    _, idf, _, _ = vectors
+    got = dict((r.token, (r.df_cnt, r.idf_fp)) for r in idf.collect())
+    assert got["acme"] == (3, _py_idf_fp(5, 3))
+    assert got["goods"] == (1, _py_idf_fp(5, 1))
+    assert got["corp"] == (3, _py_idf_fp(5, 3))
+
+
+def test_tfidf_cosine_matches_hand_formula(spark, vectors):
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r4"), ("r3", "r5"), ("r1", "r3")],
+        "a_id string, b_id string",
+    )
+    out = {
+        (r.a_id, r.b_id): r.tfidf_cosine_fp
+        for r in tfidf_cosine_pairs(pairs, w, n).collect()
+    }
+    for a, b in [("r1", "r2"), ("r1", "r4"), ("r3", "r5")]:
+        assert out[(a, b)] == _py_cosine_fp(a, b), (a, b)
+    # r1 and r3 share no token
+    assert out[("r1", "r3")] == 0
+
+
+def test_tfidf_cosine_self_is_one(spark, vectors):
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame([("r3", "r3")], "a_id string, b_id string")
+    assert tfidf_cosine_pairs(pairs, w, n).collect()[0].tfidf_cosine_fp == 1000000
+
+
+def test_soft_tfidf_theta_one_reduces_to_cosine(spark, vectors):
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r4"), ("r3", "r5"), ("r1", "r3")],
+        "a_id string, b_id string",
+    )
+    hard = {
+        (r.a_id, r.b_id): r.tfidf_cosine_fp / 1e6
+        for r in tfidf_cosine_pairs(pairs, w, n).collect()
+    }
+    soft = {
+        (r.a_id, r.b_id): r.soft_tfidf
+        for r in soft_tfidf_pairs(pairs, w, n, theta=1.0).collect()
+    }
+    for k in hard:
+        assert abs(hard[k] - soft[k]) < 2e-6, k
+
+
+def test_soft_tfidf_credits_close_tokens(spark, vectors):
+    _, _, w, n = vectors
+    # corp vs corporation: JW ~ 0.87 — invisible to hard cosine on the
+    # non-acme component, credited by the soft kernel at theta 0.8
+    pairs = spark.createDataFrame([("r1", "r2")], "a_id string, b_id string")
+    hard = tfidf_cosine_pairs(pairs, w, n).collect()[0].tfidf_cosine_fp / 1e6
+    soft = soft_tfidf_pairs(pairs, w, n, theta=0.8).collect()[0].soft_tfidf
+    assert soft > hard + 0.05
+
+
+def test_soft_tfidf_no_close_tokens_is_zero(spark, vectors):
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame([("r1", "r3")], "a_id string, b_id string")
+    assert soft_tfidf_pairs(pairs, w, n, theta=0.95).collect()[0].soft_tfidf == 0.0
+
+
+def test_min_df_prunes_vocabulary(spark, vectors):
+    recs, _, _, _ = vectors
+    idf2 = token_idf(recs, "tokens", min_df=2)
+    toks = {r.token for r in idf2.collect()}
+    assert "goods" not in toks and "acme" in toks
