@@ -1915,6 +1915,119 @@ def q_fs_match_weight(spark, sf):
     return fs_match_weight(cmp_df, ["g1", "g2", "g3"], FS_M, FS_U)
 
 
+def _assignment_pairs(spark, sf, cap_chain=None, cap_ent=None):
+    """Shared bipartite fixture for the assignment queries: block
+    customers x suppliers on key%25, deterministic integer score."""
+    cust = _t(spark, sf, "customer")
+    if cap_chain:
+        cust = cust.where(F.col("c_custkey") < cap_chain)
+    supp = _t(spark, sf, "supplier")
+    if cap_ent:
+        supp = supp.where(F.col("s_suppkey") < cap_ent)
+    c = cust.select(
+        F.col("c_custkey").alias("chain_id"), (F.col("c_custkey") % 25).alias("bkey")
+    )
+    s = supp.select(
+        F.col("s_suppkey").alias("entity_id"), (F.col("s_suppkey") % 25).alias("bkey")
+    )
+    return c.join(s, "bkey").select(
+        "chain_id",
+        "entity_id",
+        ((F.col("chain_id") * 7 + F.col("entity_id") * 13) % 97).alias(
+            "match_score"
+        ),
+    )
+
+
+def q_r10_mutual_best(spark, sf):
+    """Mutual-best (locally dominant) one-to-one filter
+    (operators/linkage.mutual_best_match): keep (chain, entity) iff
+    each is the other's argmax under (score desc, id asc) — two window
+    row_numbers, no driver state."""
+    from hamerkop_spark.operators.linkage import mutual_best_match
+
+    return mutual_best_match(_assignment_pairs(spark, sf))
+
+
+def q_r11_one_to_one(spark, sf):
+    """Greedy one-to-one assignment via iterated locally-dominant
+    extraction (operators/linkage.one_to_one_assignment), first 3
+    rounds — the oracle unrolls the same 3 rounds, so the row set AND
+    per-pair match_round must agree exactly."""
+    from hamerkop_spark.operators.linkage import one_to_one_assignment
+
+    pairs = _assignment_pairs(spark, sf, cap_chain=2000, cap_ent=500)
+    return one_to_one_assignment(pairs, max_rounds=3)
+
+
+def q_c8_cluster_ari(spark, sf):
+    """Adjusted Rand Index between two clusterings of the customer set
+    (operators/scoring.adjusted_rand_index): exact BIGINT pair counts
+    from the contingency cells, chance-corrected in one fixed float
+    evaluation order."""
+    from hamerkop_spark.operators.scoring import adjusted_rand_index
+
+    cust = _t(spark, sf, "customer")
+    pred = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.col("c_mktsegment").alias("cluster"),
+    )
+    gold = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        (F.col("c_nationkey") % 7).cast("string").alias("cluster"),
+    )
+    return adjusted_rand_index(pred, gold)
+
+
+def q_c9_pairwise_prf(spark, sf):
+    """Pairwise precision/recall/F1 between two clusterings
+    (operators/scoring.pairwise_cluster_prf) — the north-rule metric in
+    cluster-vs-cluster form, pair counts exact, ratios fixed-point."""
+    from hamerkop_spark.operators.scoring import pairwise_cluster_prf
+
+    cust = _t(spark, sf, "customer")
+    pred = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.col("c_mktsegment").alias("cluster"),
+    )
+    gold = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("-"), (F.col("c_nationkey") % 3).cast("string")
+        ).alias("cluster"),
+    )
+    return pairwise_cluster_prf(pred, gold)
+
+
+def q_f_tfidf_cosine(spark, sf):
+    """TF-IDF cosine name/document similarity (functions/tfidf):
+    corpus IDF fixed-pointed per token (the B3 convention), per-record
+    sparse vectors built once, pair dot via (record, token) equi-join.
+    Cohen et al. 2003's strongest exact-kernel name measure."""
+    from hamerkop_spark.functions.tfidf import (
+        tfidf_cosine_pairs,
+        tfidf_norms,
+        tfidf_weights,
+        token_idf,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.slice(F.split(F.col("text"), " "), 1, 10).alias("tokens"),
+    )
+    idf = token_idf(docs, "tokens")
+    w = tfidf_weights(docs, idf)
+    n = tfidf_norms(w)
+    a = docs.where(F.col("record_id") % 10 == 0).select(
+        F.col("record_id").alias("a_id"), (F.col("record_id") % 5).alias("bk")
+    )
+    b = docs.where(F.col("record_id") % 7 == 3).select(
+        F.col("record_id").alias("b_id"), (F.col("record_id") % 5).alias("bk")
+    )
+    pairs = a.join(b, "bk").select("a_id", "b_id")
+    return tfidf_cosine_pairs(pairs, w, n)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -1959,8 +2072,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_quality": q_block_quality,
         "calibration_bins": q_calibration_bins,
         "fs_match_weight": q_fs_match_weight,
-        # --- recorded in round 4; the first 20 fill out this round's
-        # 50; the last 5 spill into the tail and join the must-lead
+        # --- new in round 5, late session (assignment / cluster
+        # metrics / tfidf): recorded immediately ---
+        "r10_mutual_best": q_r10_mutual_best,
+        "r11_one_to_one": q_r11_one_to_one,
+        "c8_cluster_ari": q_c8_cluster_ari,
+        "c9_pairwise_prf": q_c9_pairwise_prf,
+        "f_tfidf_cosine": q_f_tfidf_cosine,
+        # --- recorded in round 4; the first 15 fill out this round's
+        # 50; the last 10 spill into the tail and join the must-lead
         # set for round 6 ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -2270,6 +2390,73 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN g{i} = 1 THEN {fsw[f'g{i}'][0]} ELSE {fsw[f'g{i}'][1]} END"
         for i in (1, 2, 3)
     )
+
+    # Bipartite fixture shared by the assignment oracles (mirrors
+    # _assignment_pairs): customers x suppliers blocked on key%25.
+    def _pairs_cte(cap_chain=None, cap_ent=None):
+        wc = f"WHERE c_custkey < {cap_chain}" if cap_chain else ""
+        ws = f"WHERE s_suppkey < {cap_ent}" if cap_ent else ""
+        return f"""pairs AS (
+              SELECT c_custkey AS chain_id, s_suppkey AS entity_id,
+                     (c_custkey * 7 + s_suppkey * 13) % 97 AS match_score
+              FROM (SELECT c_custkey FROM customer {wc}) c
+              JOIN (SELECT s_suppkey FROM supplier {ws}) s
+                ON c_custkey % 25 = s_suppkey % 25
+            )"""
+
+    _MUTUAL_QUALIFY = """
+              QUALIFY row_number() OVER (PARTITION BY chain_id
+                        ORDER BY match_score DESC, entity_id) = 1
+                 AND row_number() OVER (PARTITION BY entity_id
+                        ORDER BY match_score DESC, chain_id) = 1"""
+
+    def _one_to_one_sql(rounds, cap_chain, cap_ent):
+        """Unrolled iterated locally-dominant matching: each round is a
+        mutual-best QUALIFY over the previous remainder, then both
+        matched endpoints leave the pool."""
+        ctes = [
+            _pairs_cte(cap_chain, cap_ent),
+            "rem0 AS (SELECT chain_id, entity_id, match_score FROM pairs)",
+        ]
+        sel = []
+        for k in range(1, rounds + 1):
+            ctes.append(f"""r{k} AS (
+              SELECT chain_id, entity_id, match_score FROM rem{k - 1}
+              {_MUTUAL_QUALIFY}
+            )""")
+            ctes.append(f"""rem{k} AS (
+              SELECT e.* FROM rem{k - 1} e
+              WHERE NOT EXISTS (SELECT 1 FROM r{k} m
+                                WHERE m.chain_id = e.chain_id)
+                AND NOT EXISTS (SELECT 1 FROM r{k} m
+                                WHERE m.entity_id = e.entity_id)
+            )""")
+            sel.append(
+                f"SELECT chain_id, entity_id, match_score, "
+                f"{k} AS match_round FROM r{k}"
+            )
+        return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+    # Pair-counting cluster-metric core (mirrors cluster_pair_counts):
+    # contingency cells -> exact BIGINT C(n,2) sums via integer shift.
+    def _pair_counts_sql(pred_expr, gold_expr):
+        return f"""j AS (
+              SELECT c_custkey AS k, {pred_expr} AS pc, {gold_expr} AS gc
+              FROM customer
+            ), cells AS (
+              SELECT pc, gc, count(*) AS nij FROM j GROUP BY pc, gc
+            ), tot AS (
+              SELECT sum(nij)::BIGINT AS n,
+                     (sum(nij * (nij - 1))::BIGINT >> 1) AS both_pairs
+              FROM cells
+            ), pa AS (
+              SELECT (sum(ai * (ai - 1))::BIGINT >> 1) AS pred_pairs
+              FROM (SELECT sum(nij) AS ai FROM cells GROUP BY pc)
+            ), ga AS (
+              SELECT (sum(bj * (bj - 1))::BIGINT >> 1) AS gold_pairs
+              FROM (SELECT sum(nij) AS bj FROM cells GROUP BY gc)
+            )"""
+
     return {
         "block_sorted_neighborhood": """
             WITH r AS (
@@ -2413,6 +2600,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT chain_id, entity_id, g1, g2, g3,
                    ({fs_terms})::BIGINT AS fs_weight_fp
             FROM cmp
+        """,
+        "r10_mutual_best": f"""
+            WITH {_pairs_cte()}
+            SELECT chain_id, entity_id, match_score FROM pairs
+            {_MUTUAL_QUALIFY}
+        """,
+        "r11_one_to_one": _one_to_one_sql(3, 2000, 500),
+        "c8_cluster_ari": f"""
+            WITH {_pair_counts_sql(
+                "c_mktsegment", "(c_nationkey % 7)::VARCHAR")}
+            SELECT n, both_pairs, pred_pairs, gold_pairs,
+                   CASE WHEN (pred_pairs::DOUBLE + gold_pairs::DOUBLE) / 2.0
+                             - pred_pairs::DOUBLE * gold_pairs::DOUBLE
+                               / (((n * (n - 1)) >> 1)::DOUBLE) <> 0
+                        THEN floor(
+                          (both_pairs::DOUBLE
+                           - pred_pairs::DOUBLE * gold_pairs::DOUBLE
+                             / (((n * (n - 1)) >> 1)::DOUBLE))
+                          / ((pred_pairs::DOUBLE + gold_pairs::DOUBLE) / 2.0
+                             - pred_pairs::DOUBLE * gold_pairs::DOUBLE
+                               / (((n * (n - 1)) >> 1)::DOUBLE))
+                          * 1000000.0 + 0.5)::BIGINT
+                   END AS ari_fp
+            FROM tot, pa, ga
+        """,
+        "c9_pairwise_prf": f"""
+            WITH {_pair_counts_sql(
+                "c_mktsegment",
+                "c_mktsegment || '-' || (c_nationkey % 3)::VARCHAR")}
+            SELECT n, both_pairs, pred_pairs, gold_pairs,
+                   floor(both_pairs::DOUBLE / pred_pairs::DOUBLE
+                         * 1000000.0 + 0.5)::BIGINT AS p_fp,
+                   floor(both_pairs::DOUBLE / gold_pairs::DOUBLE
+                         * 1000000.0 + 0.5)::BIGINT AS r_fp,
+                   floor(2.0 * (both_pairs::DOUBLE / pred_pairs::DOUBLE)
+                             * (both_pairs::DOUBLE / gold_pairs::DOUBLE)
+                         / (both_pairs::DOUBLE / pred_pairs::DOUBLE
+                            + both_pairs::DOUBLE / gold_pairs::DOUBLE)
+                         * 1000000.0 + 0.5)::BIGINT AS f1_fp
+            FROM tot, pa, ga
+        """,
+        "f_tfidf_cosine": """
+            WITH docs AS (
+              SELECT doc_id AS record_id,
+                     (string_split(text, ' '))[1:10] AS tokens
+              FROM documents
+            ), nrec AS (SELECT count(*)::DOUBLE AS n FROM docs),
+            tok AS (
+              SELECT record_id, unnest(tokens) AS token FROM docs
+            ), idf AS (
+              SELECT token,
+                     floor(ln(1 + (SELECT n FROM nrec) / count(DISTINCT record_id))
+                           * 1000000.0)::BIGINT AS idf_fp
+              FROM tok GROUP BY token
+            ), wts AS (
+              SELECT t.record_id, t.token, t.tf * i.idf_fp AS w_fp
+              FROM (SELECT record_id, token, count(*) AS tf
+                    FROM tok GROUP BY record_id, token) t
+              JOIN idf i USING (token)
+            ), nrm AS (
+              SELECT record_id, sum(w_fp * w_fp)::BIGINT AS norm2
+              FROM wts GROUP BY record_id
+            ), a AS (
+              SELECT record_id AS a_id, record_id % 5 AS bk
+              FROM docs WHERE record_id % 10 = 0
+            ), b AS (
+              SELECT record_id AS b_id, record_id % 5 AS bk
+              FROM docs WHERE record_id % 7 = 3
+            ), p AS (SELECT a_id, b_id FROM a JOIN b USING (bk)),
+            dots AS (
+              SELECT p.a_id, p.b_id,
+                     sum(wa.w_fp * wb.w_fp)::BIGINT AS dot
+              FROM p
+              JOIN wts wa ON wa.record_id = p.a_id
+              JOIN wts wb ON wb.record_id = p.b_id AND wb.token = wa.token
+              GROUP BY p.a_id, p.b_id
+            )
+            SELECT p.a_id, p.b_id,
+                   COALESCE(
+                     floor(d.dot::DOUBLE / sqrt(na.norm2::DOUBLE)
+                           / sqrt(nb.norm2::DOUBLE)
+                           * 1000000.0 + 0.5)::BIGINT,
+                     0) AS tfidf_cosine_fp
+            FROM p
+            LEFT JOIN dots d USING (a_id, b_id)
+            JOIN nrm na ON na.record_id = p.a_id
+            JOIN nrm nb ON nb.record_id = p.b_id
         """,
         "p15_tristate_cascade": """
             WITH ent AS (
