@@ -2028,6 +2028,37 @@ def q_f_tfidf_cosine(spark, sf):
     return tfidf_cosine_pairs(pairs, w, n)
 
 
+def q_er_golden_record(spark, sf):
+    """Survivorship: modal non-null value per (cluster, attribute) with
+    deterministic tie-breaks (operators/canonical.golden_record) —
+    melt, count, window argmax, conditional re-widen. `grade` is
+    nullable so the null-survives-only-when-all-null rule is covered."""
+    from hamerkop_spark.operators.canonical import golden_record
+
+    cust = _t(spark, sf, "customer")
+    recs = cust.select(
+        (F.col("c_nationkey") % 5).cast("string").alias("cluster"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("c_custkey") % 7 != 0, (F.col("c_custkey") % 3).cast("string")
+        ).alias("grade"),
+    )
+    return golden_record(recs, ["segment", "grade"])
+
+
+def q_er_rep_name(spark, sf):
+    """Canonical surface form per cluster
+    (operators/canonical.representative_name): most frequent name,
+    ties to longest then lexicographically smallest."""
+    from hamerkop_spark.operators.canonical import representative_name
+
+    part = _t(spark, sf, "part")
+    mentions = part.select(
+        F.col("p_brand").alias("cluster"), F.col("p_name").alias("name")
+    )
+    return representative_name(mentions)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2079,8 +2110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_cluster_ari": q_c8_cluster_ari,
         "c9_pairwise_prf": q_c9_pairwise_prf,
         "f_tfidf_cosine": q_f_tfidf_cosine,
-        # --- recorded in round 4; the first 15 fill out this round's
-        # 50; the last 10 spill into the tail and join the must-lead
+        "er_golden_record": q_er_golden_record,
+        "er_rep_name": q_er_rep_name,
+        # --- recorded in round 4; the first 13 fill out this round's
+        # 50; the rest spill into the tail and join the must-lead
         # set for round 6 ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -2687,6 +2720,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dots d USING (a_id, b_id)
             JOIN nrm na ON na.record_id = p.a_id
             JOIN nrm nb ON nb.record_id = p.b_id
+        """,
+        "er_golden_record": """
+            WITH recs AS (
+              SELECT (c_nationkey % 5)::VARCHAR AS cluster,
+                     c_mktsegment AS segment,
+                     CASE WHEN c_custkey % 7 <> 0
+                          THEN (c_custkey % 3)::VARCHAR END AS grade
+              FROM customer
+            ), sizes AS (
+              SELECT cluster, count(*) AS cluster_size
+              FROM recs GROUP BY cluster
+            ), melted AS (
+              SELECT cluster, 'segment' AS attr, segment AS val
+              FROM recs WHERE segment IS NOT NULL
+              UNION ALL
+              SELECT cluster, 'grade', grade
+              FROM recs WHERE grade IS NOT NULL
+            ), counted AS (
+              SELECT cluster, attr, val, count(*) AS n
+              FROM melted GROUP BY cluster, attr, val
+            ), winners AS (
+              SELECT cluster, attr, val FROM counted
+              QUALIFY row_number() OVER (PARTITION BY cluster, attr
+                        ORDER BY n DESC, val) = 1
+            ), wide AS (
+              SELECT cluster,
+                     max(CASE WHEN attr = 'segment' THEN val END) AS segment,
+                     max(CASE WHEN attr = 'grade' THEN val END) AS grade
+              FROM winners GROUP BY cluster
+            )
+            SELECT s.cluster, s.cluster_size, w.segment, w.grade
+            FROM sizes s LEFT JOIN wide w USING (cluster)
+        """,
+        "er_rep_name": """
+            WITH counted AS (
+              SELECT p_brand AS cluster, p_name AS name, count(*) AS n
+              FROM part WHERE p_name IS NOT NULL
+              GROUP BY p_brand, p_name
+            )
+            SELECT cluster, name AS rep_name FROM counted
+            QUALIFY row_number() OVER (PARTITION BY cluster
+                      ORDER BY n DESC, length(name) DESC, name) = 1
         """,
         "p15_tristate_cascade": """
             WITH ent AS (
