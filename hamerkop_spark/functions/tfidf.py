@@ -209,3 +209,39 @@ def soft_tfidf_pairs(
         )
         .drop("_num", "_na", "_nb")
     )
+
+
+def attach_tfidf_cosine(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    min_df: int = 1,
+    soft_theta: float | None = None,
+) -> DataFrame:
+    """End-to-end feature attachment: build IDF/weights/norms from
+    `records` ONCE and append `tfidf_cosine_fp` (and `soft_tfidf` when
+    `soft_theta` is set) to the candidate-pair table.
+
+    The weights/norms tables are localCheckpoint'd before use: Catalyst
+    does not reuse the weights subtree across the two join branches of
+    the dot product (observed two full builds in the plan audit —
+    PLANS.md round-5 late addendum), and the soft kernel would add a
+    third. The checkpoint pins one materialization for all consumers.
+
+    This is the bundle-style entry point for corpus-weighted name
+    similarity; the Column-expression features in operators/features.py
+    can't carry corpus state, so this composes at the table level
+    instead (join on the pair ids), like candidate generators do.
+    """
+    idf = token_idf(records, tokens_col, min_df=min_df)
+    w = tfidf_weights(records, idf, id_col, tokens_col).localCheckpoint(
+        eager=False
+    )
+    n = tfidf_norms(w, id_col).localCheckpoint(eager=False)
+    out = tfidf_cosine_pairs(pairs, w, n, a_id, b_id, id_col)
+    if soft_theta is not None:
+        out = soft_tfidf_pairs(out, w, n, a_id, b_id, id_col, soft_theta)
+    return out

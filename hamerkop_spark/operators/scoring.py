@@ -296,3 +296,54 @@ def adjusted_rand_index(
             F.floor(ari * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
         ),
     )
+
+
+def v_measure(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_key", beta: float = 1.0
+) -> Row:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg,
+    EMNLP 2007) between two clusterings:
+
+        h = 1 - H(gold|pred) / H(gold)    (each pred cluster pure)
+        c = 1 - H(pred|gold) / H(pred)    (each gold cluster whole)
+        V = (1+beta) h c / (beta h + c)
+
+    Entropies are computed distributively from the contingency cells
+    (sum of n·ln n aggregates — one groupBy, no pair materialization).
+    Returns Python floats: entropy is irreducibly float, so this is a
+    REPORTING metric (pytest-gated), not a hash-exact oracle row — use
+    adjusted_rand_index / pairwise_cluster_prf for those.
+
+    Conventions (matching the published definition): h = 1 when
+    H(gold) = 0, c = 1 when H(pred) = 0, V = 0 when h + c = 0.
+    """
+    import math
+
+    j = pred.select(F.col(key).alias("k"), F.col("cluster").alias("pc")).join(
+        gold.select(F.col(key).alias("k"), F.col("cluster").alias("gc")), "k"
+    )
+    cells = j.groupBy("pc", "gc").agg(F.count("*").alias("nij"))
+    nlogn = F.sum(F.col("_m") * F.log(F.col("_m")))
+    agg = cells.agg(
+        F.sum("nij").alias("n"),
+        F.sum(F.col("nij") * F.log("nij")).alias("s_cells"),
+    ).collect()[0]
+    sa = (
+        cells.groupBy("pc").agg(F.sum("nij").alias("_m"))
+        .agg(nlogn.alias("v")).collect()[0]["v"]
+    )
+    sb = (
+        cells.groupBy("gc").agg(F.sum("nij").alias("_m"))
+        .agg(nlogn.alias("v")).collect()[0]["v"]
+    )
+    n = float(agg["n"])
+    lg = n * math.log(n)
+    # H(gold|pred) = (sa - s_cells)/n ; H(gold) = (lg - sb)/n ; etc.
+    h_gold_given_pred = (sa - float(agg["s_cells"])) / n
+    h_pred_given_gold = (sb - float(agg["s_cells"])) / n
+    h_gold = (lg - sb) / n
+    h_pred = (lg - sa) / n
+    h = 1.0 if h_gold == 0 else 1.0 - h_gold_given_pred / h_gold
+    c = 1.0 if h_pred == 0 else 1.0 - h_pred_given_gold / h_pred
+    v = 0.0 if h + c == 0 else (1 + beta) * h * c / (beta * h + c)
+    return Row(homogeneity=h, completeness=c, v_measure=v, n=int(n))

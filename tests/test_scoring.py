@@ -191,3 +191,56 @@ def test_adjusted_rand_universe_is_key_intersection(spark):
     gold = _clusters_df(spark, {"a": "g", "b": "g", "yy": "g"})
     r = cluster_pair_counts(pred, gold, "mention_key").collect()[0]
     assert r.n == 2 and r.both_pairs == 1
+
+
+def _py_vmeasure(assign_pred, assign_gold):
+    from collections import Counter
+    keys = set(assign_pred) & set(assign_gold)
+    cells = Counter((assign_pred[k], assign_gold[k]) for k in keys)
+    pc = Counter(assign_pred[k] for k in keys)
+    gc = Counter(assign_gold[k] for k in keys)
+    n = len(keys)
+
+    def H(counts):
+        return -sum(c / n * math.log(c / n) for c in counts.values())
+
+    def Hcond(cells, outer_idx):
+        # H(inner | outer): sum over cells -n_ij/n log(n_ij / n_outer)
+        tot = 0.0
+        outer = pc if outer_idx == 0 else gc
+        for (p, g), c in cells.items():
+            o = outer[p if outer_idx == 0 else g]
+            tot -= c / n * math.log(c / o)
+        return tot
+
+    h_gold, h_pred = H(gc), H(pc)
+    h = 1.0 if h_gold == 0 else 1.0 - Hcond(cells, 0) / h_gold
+    c = 1.0 if h_pred == 0 else 1.0 - Hcond(cells, 1) / h_pred
+    v = 0.0 if h + c == 0 else 2 * h * c / (h + c)
+    return h, c, v
+
+
+def test_v_measure_matches_reference_formula(spark):
+    from hamerkop_spark.operators.scoring import v_measure
+
+    ap = {"a": "p1", "b": "p1", "c": "p1", "d": "p2", "e": "p2"}
+    ag = {"a": "g1", "b": "g1", "c": "g2", "d": "g2", "e": "g2"}
+    r = v_measure(_clusters_df(spark, ap), _clusters_df(spark, ag))
+    h, c, v = _py_vmeasure(ap, ag)
+    assert abs(r.homogeneity - h) < 1e-9
+    assert abs(r.completeness - c) < 1e-9
+    assert abs(r.v_measure - v) < 1e-9
+    assert r.n == 5
+
+
+def test_v_measure_identity_and_degenerate(spark):
+    from hamerkop_spark.operators.scoring import v_measure
+
+    same = _clusters_df(spark, {"a": "x", "b": "x", "c": "y"})
+    r = v_measure(same, same)
+    assert (r.homogeneity, r.completeness, r.v_measure) == (1.0, 1.0, 1.0)
+    # one pred cluster vs gold split: perfectly complete, not homogeneous
+    pred = _clusters_df(spark, {"a": "x", "b": "x", "c": "x", "d": "x"})
+    gold = _clusters_df(spark, {"a": "1", "b": "1", "c": "2", "d": "2"})
+    r2 = v_measure(pred, gold)
+    assert r2.completeness == 1.0 and r2.homogeneity == 0.0

@@ -128,3 +128,24 @@ def test_min_df_prunes_vocabulary(spark, vectors):
     idf2 = token_idf(recs, "tokens", min_df=2)
     toks = {r.token for r in idf2.collect()}
     assert "goods" not in toks and "acme" in toks
+
+
+def test_attach_tfidf_cosine_wrapper(spark, vectors):
+    from hamerkop_spark.functions.tfidf import attach_tfidf_cosine
+
+    recs, _, w, n = vectors
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r3")], "a_id string, b_id string"
+    )
+    out = attach_tfidf_cosine(pairs, recs, soft_theta=0.8)
+    got = {(r.a_id, r.b_id): (r.tfidf_cosine_fp, r.soft_tfidf)
+           for r in out.collect()}
+    # matches the component-built result
+    direct = {
+        (r.a_id, r.b_id): r.tfidf_cosine_fp
+        for r in tfidf_cosine_pairs(pairs, w, n).collect()
+    }
+    for k in got:
+        assert got[k][0] == direct[k]
+    assert got[("r1", "r2")][1] > 0.5
+    assert got[("r1", "r3")][1] == 0.0
