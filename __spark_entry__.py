@@ -2028,6 +2028,41 @@ def q_f_tfidf_cosine(spark, sf):
     return tfidf_cosine_pairs(pairs, w, n)
 
 
+def q_fs_three_band(spark, sf):
+    """Fellegi-Sunter three-way decision (F-S 1969 §3): match /
+    clerical-review / non-match bands at error-bounded thresholds
+    (operators/linkage.fs_three_band + fs_model_thresholds). The
+    thresholds come from the model-enumerated sweep, so the oracle
+    embeds the identical literals."""
+    from hamerkop_spark.operators.linkage import (
+        fs_model_thresholds,
+        fs_three_band,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("chain_id"),
+        (F.col("c_custkey") % 25).alias("bkey"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        (F.col("s_suppkey") % 25).alias("bkey"),
+    )
+    cmp_df = cust.join(supp, "bkey").select(
+        "chain_id",
+        "entity_id",
+        (F.col("chain_id") % 2 == F.col("entity_id") % 2).cast("int").alias("g1"),
+        (F.col("chain_id") % 3 == F.col("entity_id") % 3).cast("int").alias("g2"),
+        (F.col("chain_id") % 7 == F.col("entity_id") % 7).cast("int").alias("g3"),
+    )
+    th = fs_model_thresholds(
+        ["g1", "g2", "g3"], FS_M, FS_U, mu=0.05, lam=0.05
+    )
+    return fs_three_band(
+        cmp_df, ["g1", "g2", "g3"], FS_M, FS_U,
+        th["upper_fp"], th["lower_fp"],
+    )
+
+
 def q_er_golden_record(spark, sf):
     """Survivorship: modal non-null value per (cluster, attribute) with
     deterministic tie-breaks (operators/canonical.golden_record) —
@@ -2112,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_tfidf_cosine": q_f_tfidf_cosine,
         "er_golden_record": q_er_golden_record,
         "er_rep_name": q_er_rep_name,
+        "fs_three_band": q_fs_three_band,
         # --- recorded in round 4; the first 13 fill out this round's
         # 50; the rest spill into the tail and join the must-lead
         # set for round 6 ---
@@ -2417,8 +2453,13 @@ def oracle_sql() -> dict[str, str]:
     from hamerkop_spark.functions.phonetic import soundex_portable_sql
     from hamerkop_spark.operators.linkage import fs_weight_constants
 
+    from hamerkop_spark.operators.linkage import fs_model_thresholds
+
     punct = PUNCT_CLASS.replace("'", "''")
     fsw = fs_weight_constants(FS_M, FS_U)
+    fs_band = fs_model_thresholds(
+        ["g1", "g2", "g3"], FS_M, FS_U, mu=0.05, lam=0.05
+    )
     fs_terms = " + ".join(
         f"CASE WHEN g{i} = 1 THEN {fsw[f'g{i}'][0]} ELSE {fsw[f'g{i}'][1]} END"
         for i in (1, 2, 3)
@@ -2720,6 +2761,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dots d USING (a_id, b_id)
             JOIN nrm na ON na.record_id = p.a_id
             JOIN nrm nb ON nb.record_id = p.b_id
+        """,
+        "fs_three_band": f"""
+            WITH cmp AS (
+              SELECT c_custkey AS chain_id, s_suppkey AS entity_id,
+                     CASE WHEN c_custkey % 2 = s_suppkey % 2
+                          THEN 1 ELSE 0 END AS g1,
+                     CASE WHEN c_custkey % 3 = s_suppkey % 3
+                          THEN 1 ELSE 0 END AS g2,
+                     CASE WHEN c_custkey % 7 = s_suppkey % 7
+                          THEN 1 ELSE 0 END AS g3
+              FROM customer
+              JOIN supplier ON c_custkey % 25 = s_suppkey % 25
+            ), scored AS (
+              SELECT chain_id, entity_id, g1, g2, g3,
+                     ({fs_terms})::BIGINT AS fs_weight_fp
+              FROM cmp
+            )
+            SELECT chain_id, entity_id, g1, g2, g3, fs_weight_fp,
+                   CASE WHEN fs_weight_fp >= {fs_band['upper_fp']}
+                          THEN 'match'
+                        WHEN fs_weight_fp <= {fs_band['lower_fp']}
+                          THEN 'non_match'
+                        ELSE 'possible' END AS fs_band
+            FROM scored
         """,
         "er_golden_record": """
             WITH recs AS (

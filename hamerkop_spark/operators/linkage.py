@@ -373,3 +373,142 @@ def one_to_one_resolver(
         return decisions, remaining
 
     return run
+
+
+def fs_three_band(
+    comparisons: DataFrame,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    upper_fp: int,
+    lower_fp: int,
+    band_col: str = "fs_band",
+) -> DataFrame:
+    """The Fellegi-Sunter three-way decision rule (F-S 1969 §3): pairs
+    with composite weight >= `upper_fp` are links, <= `lower_fp` are
+    non-links, and the band between goes to CLERICAL REVIEW — the
+    output every production linkage system queues for humans.
+
+    Thresholds are fixed-point millionths of a log2 unit (the
+    fs_match_weight scale); derive them from target error rates with
+    ``fs_thresholds_for_error``. Appends `fs_weight_fp` and `band_col`
+    ('match' / 'possible' / 'non_match') — pure codegen, no UDF.
+    """
+    if upper_fp < lower_fp:
+        raise ValueError("upper_fp must be >= lower_fp")
+    scored = fs_match_weight(comparisons, fields, m, u)
+    return scored.withColumn(
+        band_col,
+        F.when(F.col("fs_weight_fp") >= F.lit(int(upper_fp)), "match")
+        .when(F.col("fs_weight_fp") <= F.lit(int(lower_fp)), "non_match")
+        .otherwise("possible"),
+    )
+
+
+def fs_thresholds_for_error(
+    comparisons: DataFrame,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    mu: float = 0.001,
+    lam: float = 0.001,
+) -> dict:
+    """Error-bounded threshold selection — the actual theorem of
+    Fellegi & Sunter 1969 (§3.2, the "optimal linkage rule"): given a
+    target false-match rate `mu` (P(link | true non-match)) and false-
+    non-match rate `lam` (P(non-link | true match)), order the
+    agreement patterns by likelihood ratio and sweep cutoffs so the
+    u-mass above the upper threshold <= mu and the m-mass below the
+    lower threshold <= lam. The rule is optimal: it minimizes the
+    clerical-review band at those error levels.
+
+    Distributed cost is ONE groupBy (the same <=2^k agreement-pattern
+    histogram fit_fs_em uses); the sweep runs driver-side over the
+    tiny pattern table with model-implied m/u masses (so thresholds
+    are well-defined even for patterns unseen in the sample).
+
+    Returns {"upper_fp", "lower_fp", "mu_achieved", "lam_achieved",
+    "n_patterns"} ready for ``fs_three_band``.
+    """
+    import numpy as np
+
+    hist = agreement_pattern_counts(comparisons, fields).collect()
+    if not hist:
+        raise ValueError("fs_thresholds_for_error: empty comparison table")
+    gam = np.array([[r[f] for f in fields] for r in hist], dtype=np.float64)
+    return _fs_threshold_sweep(gam, fields, m, u, mu, lam)
+
+
+def fs_model_thresholds(
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    mu: float = 0.001,
+    lam: float = 0.001,
+) -> dict:
+    """``fs_thresholds_for_error`` over ALL 2^k agreement patterns
+    enumerated from the model instead of the observed histogram — no
+    DataFrame needed, so callers (e.g. oracle fixtures) can derive the
+    identical thresholds without touching the cluster. Equivalent to
+    the observed-pattern variant whenever every pattern occurs."""
+    import itertools
+
+    import numpy as np
+
+    gam = np.array(
+        list(itertools.product([0.0, 1.0], repeat=len(fields))),
+        dtype=np.float64,
+    )
+    return _fs_threshold_sweep(gam, fields, m, u, mu, lam)
+
+
+def _fs_threshold_sweep(gam, fields, m, u, mu, lam) -> dict:
+    import numpy as np
+
+    consts = fs_weight_constants({f: m[f] for f in fields}, u)
+    # model-implied class masses per pattern
+    pm = np.exp(
+        gam @ np.log([m[f] for f in fields])
+        + (1.0 - gam) @ np.log([1.0 - m[f] for f in fields])
+    )
+    pu = np.exp(
+        gam @ np.log([u[f] for f in fields])
+        + (1.0 - gam) @ np.log([1.0 - u[f] for f in fields])
+    )
+    w = np.array(
+        [
+            sum(
+                consts[f][0] if row[i] == 1 else consts[f][1]
+                for i, f in enumerate(fields)
+            )
+            for row in gam
+        ],
+        dtype=np.int64,
+    )
+    order = np.argsort(-w, kind="stable")  # best (highest ratio) first
+    pm, pu, w = pm[order], pu[order], w[order]
+    pm = pm / pm.sum()
+    pu = pu / pu.sum()
+    # upper: largest prefix (links) whose u-mass <= mu
+    cum_u = np.cumsum(pu)
+    k_up = int(np.searchsorted(cum_u, mu, side="right"))
+    # lower: largest suffix (non-links) whose m-mass <= lam
+    cum_m_rev = np.cumsum(pm[::-1])
+    k_lo = int(np.searchsorted(cum_m_rev, lam, side="right"))
+    n = len(w)
+    # thresholds sit on pattern-weight boundaries; an empty link set
+    # gets a sentinel above the max weight (nothing auto-links)
+    upper_fp = int(w[k_up - 1]) if k_up > 0 else int(w[0]) + 1
+    lower_fp = int(w[n - k_lo]) if k_lo > 0 else int(w[-1]) - 1
+    if upper_fp < lower_fp:
+        # bands crossed: mu/lam are loose enough that review vanishes;
+        # collapse to a single cut at the upper threshold
+        lower_fp = upper_fp - 1
+        k_lo = n - k_up
+    return {
+        "upper_fp": upper_fp,
+        "lower_fp": lower_fp,
+        "mu_achieved": float(cum_u[k_up - 1]) if k_up > 0 else 0.0,
+        "lam_achieved": float(cum_m_rev[k_lo - 1]) if k_lo > 0 else 0.0,
+        "n_patterns": n,
+    }

@@ -273,3 +273,103 @@ def test_one_to_one_resolver_stage(spark):
     # and composes with the cascade contract
     dec = cascade_resolver(pairs, [stage])
     assert dec.count() == 1
+
+
+# ------------------------------------------------------------- three-band
+
+
+FS2_M = {"f1": 0.9, "f2": 0.8}
+FS2_U = {"f1": 0.1, "f2": 0.2}
+
+
+def _all_patterns_df(spark):
+    return spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0)], "f1 int, f2 int"
+    )
+
+
+def test_fs_thresholds_tight_errors(spark):
+    from hamerkop_spark.operators.linkage import (
+        fs_thresholds_for_error,
+        fs_three_band,
+        fs_weight_constants,
+    )
+
+    df = _all_patterns_df(spark)
+    th = fs_thresholds_for_error(df, ["f1", "f2"], FS2_M, FS2_U,
+                                 mu=0.05, lam=0.05)
+    c = fs_weight_constants(FS2_M, FS2_U)
+    w11 = c["f1"][0] + c["f2"][0]
+    w00 = c["f1"][1] + c["f2"][1]
+    # u-mass: (1,1)=.02 <= .05 < .10 -> only (1,1) auto-links;
+    # m-mass: (0,0)=.02 <= .05 < .10 -> only (0,0) auto-non-links
+    assert th["upper_fp"] == w11
+    assert th["lower_fp"] == w00
+    assert abs(th["mu_achieved"] - 0.02) < 1e-12
+    assert abs(th["lam_achieved"] - 0.02) < 1e-12
+    banded = fs_three_band(df, ["f1", "f2"], FS2_M, FS2_U,
+                           th["upper_fp"], th["lower_fp"])
+    got = {(r.f1, r.f2): r.fs_band for r in banded.collect()}
+    assert got == {
+        (1, 1): "match", (1, 0): "possible",
+        (0, 1): "possible", (0, 0): "non_match",
+    }
+
+
+def test_fs_thresholds_loose_errors_collapse_review_band(spark):
+    from hamerkop_spark.operators.linkage import (
+        fs_thresholds_for_error,
+        fs_three_band,
+    )
+
+    df = _all_patterns_df(spark)
+    th = fs_thresholds_for_error(df, ["f1", "f2"], FS2_M, FS2_U,
+                                 mu=0.5, lam=0.5)
+    assert th["upper_fp"] > th["lower_fp"]
+    banded = fs_three_band(df, ["f1", "f2"], FS2_M, FS2_U,
+                           th["upper_fp"], th["lower_fp"])
+    bands = {(r.f1, r.f2): r.fs_band for r in banded.collect()}
+    # review band collapsed: every pattern auto-decides
+    assert "possible" not in bands.values()
+    assert bands[(1, 1)] == "match" and bands[(0, 0)] == "non_match"
+
+
+def test_fs_three_band_guard(spark):
+    from hamerkop_spark.operators.linkage import fs_three_band
+
+    with pytest.raises(ValueError):
+        fs_three_band(_all_patterns_df(spark), ["f1", "f2"],
+                      FS2_M, FS2_U, upper_fp=0, lower_fp=1)
+
+
+def test_fs_thresholds_on_em_fit_mixture(spark):
+    """End-to-end: synthesize the mixture, fit EM, derive thresholds,
+    band — the match band should be overwhelmingly true matches."""
+    from hamerkop_spark.operators.linkage import (
+        fit_fs_em,
+        fs_three_band,
+        fs_thresholds_for_error,
+    )
+
+    rng = random.Random(23)
+    m_true, u_true = [0.95, 0.9, 0.85], [0.1, 0.15, 0.2]
+    labeled = []
+    for _ in range(20000):
+        is_match = rng.random() < 0.15
+        probs = m_true if is_match else u_true
+        labeled.append(
+            tuple(int(rng.random() < pi) for pi in probs) + (int(is_match),)
+        )
+    df = spark.createDataFrame(labeled, "g1 int, g2 int, g3 int, label int")
+    fields = ["g1", "g2", "g3"]
+    fit = fit_fs_em(df, fields)
+    th = fs_thresholds_for_error(df, fields, fit["m"], fit["u"],
+                                 mu=0.01, lam=0.05)
+    banded = fs_three_band(df, fields, fit["m"], fit["u"],
+                           th["upper_fp"], th["lower_fp"])
+    stats = banded.groupBy("fs_band").agg(
+        F.count("*").alias("n"), F.avg("label").alias("purity")
+    ).collect()
+    by = {r.fs_band: r for r in stats}
+    assert by["match"].purity > 0.8
+    assert by["non_match"].purity < 0.1
