@@ -339,11 +339,16 @@ def v_measure(
     n = float(agg["n"])
     lg = n * math.log(n)
     # H(gold|pred) = (sa - s_cells)/n ; H(gold) = (lg - sb)/n ; etc.
-    h_gold_given_pred = (sa - float(agg["s_cells"])) / n
-    h_pred_given_gold = (sb - float(agg["s_cells"])) / n
-    h_gold = (lg - sb) / n
-    h_pred = (lg - sa) / n
-    h = 1.0 if h_gold == 0 else 1.0 - h_gold_given_pred / h_gold
-    c = 1.0 if h_pred == 0 else 1.0 - h_pred_given_gold / h_pred
+    # Entropies are differences of float sums computed partly JVM-side
+    # and partly driver-side: clamp at zero and treat anything within
+    # float-sum noise of zero AS zero, or a ~1e-13 residual entropy
+    # would turn the 0/0 guard into garbage ratios.
+    eps = 1e-9 * max(1.0, abs(lg) / n)
+    h_gold_given_pred = max(0.0, (sa - float(agg["s_cells"])) / n)
+    h_pred_given_gold = max(0.0, (sb - float(agg["s_cells"])) / n)
+    h_gold = max(0.0, (lg - sb) / n)
+    h_pred = max(0.0, (lg - sa) / n)
+    h = 1.0 if h_gold <= eps else 1.0 - min(h_gold_given_pred, h_gold) / h_gold
+    c = 1.0 if h_pred <= eps else 1.0 - min(h_pred_given_gold, h_pred) / h_pred
     v = 0.0 if h + c == 0 else (1 + beta) * h * c / (beta * h + c)
     return Row(homogeneity=h, completeness=c, v_measure=v, n=int(n))
