@@ -215,6 +215,95 @@ def foreach_batch_linker(
     )
 
 
+def foreach_batch_one_to_one_linker(
+    documents_stream: DataFrame,
+    kb_names: DataFrame,
+    state_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    score_fn=None,
+    max_rounds: int | None = None,
+):
+    """Streaming ONE-TO-ONE entity linking: like foreach_batch_linker,
+    but across the whole stream each KB entity is claimed by at most
+    one chain. Within a batch, candidates are matched greedily
+    (operators/linkage.one_to_one_assignment — best score wins, both
+    endpoints leave); entities claimed by PRIOR batches are excluded
+    up front via an accumulated claimed-entity store, so the stream
+    implements first-batch-first, best-within-batch assignment — the
+    incremental reading of the Fellegi-Sunter one-to-one restriction.
+
+    `score_fn(candidates) -> candidates + match_score` customizes
+    ranking (defaults to -retrieval_rank, i.e. each chain prefers its
+    deterministic first candidate, FirstResolver semantics).
+
+    Replay safety (same contract as foreach_batch_dedup): the
+    decisions sink AND the claimed store are written with dynamic
+    partition overwrite on batch_id, and the store read excludes rows
+    with batch_id >= the current batch — a replayed batch re-derives
+    the identical pool (its own partial claims are invisible to it)
+    and REWRITES its own partitions. Store growth is one tiny
+    (entity_id) partition per batch, bounded by the matching size,
+    not the candidate volume.
+    """
+    from hamerkop_spark.operators.blocking import exact_match_candidates
+    from hamerkop_spark.operators.linkage import one_to_one_assignment
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
+        chains = batch_df.select(
+            F.col("url").alias("doc_id"),
+            F.col("url").alias("chain_id"),
+            F.lit("PER").alias("type"),
+            F.col("text").alias("name"),
+        )
+        cands = exact_match_candidates(chains, kb_names)
+        if score_fn is not None:
+            scored = score_fn(cands)
+        else:
+            scored = cands.withColumn(
+                "match_score", (-F.col("retrieval_rank")).cast("double")
+            )
+        if _fs_exists(spark, state_dir):
+            claimed = (
+                spark.read.parquet(state_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select("entity_id")
+            )
+            pool = scored.join(claimed, "entity_id", "left_anti")
+        else:
+            pool = scored  # first batch
+        matched = one_to_one_assignment(
+            pool,
+            left_col="chain_id",
+            right_col="entity_id",
+            score_col="match_score",
+            max_rounds=max_rounds,
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            matched.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+        (
+            matched.select("entity_id", "batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        documents_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def foreach_batch_dedup(
     documents_stream: DataFrame,
     state_dir: str,

@@ -549,3 +549,96 @@ def test_foreach_batch_dedup_compact_every_guards(spark, tmp_path):
         S.foreach_batch_dedup(stream, "hdfs://nn/store",
                               str(tmp_path / "p2"), str(tmp_path / "c2"),
                               compact_every=4)
+
+
+def test_foreach_batch_one_to_one_linker(spark, tmp_path):
+    """Across the stream each KB entity links at most once: within a
+    batch the better chain wins; later batches cannot re-claim."""
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i, text):
+        return (
+            f"http://x/{i}", ts,
+            bytearray(wrap_text_as_html(text, f"http://x/{i}")), text, "eng",
+        )
+
+    kb_names = spark.createDataFrame(
+        [
+            ("E1", "PER", "John Smith", 0, "john smith"),
+            ("E2", "PER", "Mary Jones", 0, "mary jones"),
+            ("E3", "PER", "Bob Brown", 0, "bob brown"),
+        ],
+        "entity_id string, type string, name string, name_idx int, exact_key string",
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    state = str(tmp_path / "claimed")
+    sink = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = S.foreach_batch_one_to_one_linker(
+            S.stream_documents(spark, d), kb_names, state, sink, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    # batch 1: docs 1 and 2 both name E1 (tie -> chain_id asc wins),
+    # doc 3 names E2
+    spark.createDataFrame(
+        [page(1, "John Smith"), page(2, "John Smith"), page(3, "Mary Jones")],
+        PAGES,
+    ).write.mode("append").parquet(d)
+    run_once()
+    got1 = {(r["chain_id"], r["entity_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert got1 == {("http://x/1", "E1"), ("http://x/3", "E2")}
+
+    # batch 2: E1 is already claimed -> doc 4 stays NIL; doc 5 takes E3
+    spark.createDataFrame(
+        [page(4, "John Smith"), page(5, "Bob Brown")], PAGES
+    ).write.mode("append").parquet(d)
+    run_once()
+    got2 = {(r["chain_id"], r["entity_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert got2 == got1 | {("http://x/5", "E3")}
+    # the claimed store holds exactly the three assigned entities
+    claimed = {r["entity_id"] for r in spark.read.parquet(state).collect()}
+    assert claimed == {"E1", "E2", "E3"}
+
+    # exactly-once: restart with the same checkpoint adds nothing
+    run_once()
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_one_to_one_linker_replay_idempotent(spark, tmp_path):
+    """Replaying batch 0 (fresh checkpoint, same sink AND claimed
+    store) must re-derive the same pool — its own prior claims are
+    invisible (store read excludes batch_id >= current) — and rewrite
+    identical partitions rather than NIL-ing everything or duplicating."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [("http://x/1", ts,
+             bytearray(wrap_text_as_html("John Smith", "u")),
+             "John Smith", "eng")]
+    pages_d = str(tmp_path / "p")
+    spark.createDataFrame(rows, PAGES).write.parquet(pages_d)
+    kb_names = spark.createDataFrame(
+        [("E1", "PER", "john smith", 0, "john smith")],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    state = str(tmp_path / "claimed")
+    sink = str(tmp_path / "sink")
+    for attempt in ("ckpt_a", "ckpt_b"):  # second run replays batch 0
+        q = S.foreach_batch_one_to_one_linker(
+            S.stream_documents(spark, pages_d), kb_names, state, sink,
+            str(tmp_path / attempt),
+        ).start()
+        q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    # the replay must NOT see batch 0's own claim and emit nothing
+    assert [(r["chain_id"], r["entity_id"]) for r in got] == [
+        ("http://x/1", "E1")
+    ]
+    assert spark.read.parquet(state).count() == 1
