@@ -2063,6 +2063,16 @@ def q_fs_three_band(spark, sf):
     )
 
 
+def q_fs_review_sample(spark, sf):
+    """Deterministic stratified clerical-review sample over the
+    three-band output (operators/linkage.sample_for_review): md5-range
+    pre-filter per stratum, then exact top-n by hash order — same rows
+    from any engine, any resume."""
+    from hamerkop_spark.operators.linkage import sample_for_review
+
+    return sample_for_review(q_fs_three_band(spark, sf), 20)
+
+
 def q_er_golden_record(spark, sf):
     """Survivorship: modal non-null value per (cluster, attribute) with
     deterministic tie-breaks (operators/canonical.golden_record) —
@@ -2148,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_record": q_er_golden_record,
         "er_rep_name": q_er_rep_name,
         "fs_three_band": q_fs_three_band,
+        "fs_review_sample": q_fs_review_sample,
         # --- recorded in round 4; the first 13 fill out this round's
         # 50; the rest spill into the tail and join the must-lead
         # set for round 6 ---
@@ -2785,6 +2796,43 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'non_match'
                         ELSE 'possible' END AS fs_band
             FROM scored
+        """,
+        "fs_review_sample": f"""
+            WITH cmp AS (
+              SELECT c_custkey AS chain_id, s_suppkey AS entity_id,
+                     CASE WHEN c_custkey % 2 = s_suppkey % 2
+                          THEN 1 ELSE 0 END AS g1,
+                     CASE WHEN c_custkey % 3 = s_suppkey % 3
+                          THEN 1 ELSE 0 END AS g2,
+                     CASE WHEN c_custkey % 7 = s_suppkey % 7
+                          THEN 1 ELSE 0 END AS g3
+              FROM customer
+              JOIN supplier ON c_custkey % 25 = s_suppkey % 25
+            ), banded AS (
+              SELECT chain_id, entity_id, g1, g2, g3, fs_weight_fp,
+                     CASE WHEN fs_weight_fp >= {fs_band['upper_fp']}
+                            THEN 'match'
+                          WHEN fs_weight_fp <= {fs_band['lower_fp']}
+                            THEN 'non_match'
+                          ELSE 'possible' END AS fs_band
+              FROM (SELECT *, ({fs_terms})::BIGINT AS fs_weight_fp
+                    FROM cmp)
+            ), counts AS (
+              SELECT fs_band, count(*) AS sn FROM banded GROUP BY fs_band
+            ), pre AS (
+              SELECT b.*,
+                     ('0x' || substr(md5(b.chain_id::VARCHAR || chr(31)
+                        || b.entity_id::VARCHAR), 1, 8))::BIGINT AS hv,
+                     least(1.0, 4.0 * 20.0 / c.sn) AS p
+              FROM banded b JOIN counts c USING (fs_band)
+            )
+            SELECT chain_id, entity_id, g1, g2, g3, fs_weight_fp, fs_band
+            FROM pre
+            WHERE hv::DOUBLE / 4294967296.0 < p
+            QUALIFY row_number() OVER (
+              PARTITION BY fs_band
+              ORDER BY hv, chain_id::VARCHAR || chr(31)
+                           || entity_id::VARCHAR) <= 20
         """,
         "er_golden_record": """
             WITH recs AS (

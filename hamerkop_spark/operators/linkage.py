@@ -512,3 +512,48 @@ def _fs_threshold_sweep(gam, fields, m, u, mu, lam) -> dict:
         "lam_achieved": float(cum_m_rev[k_lo - 1]) if k_lo > 0 else 0.0,
         "n_patterns": n,
     }
+
+
+def sample_for_review(
+    banded: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "fs_band",
+    key_cols: tuple[str, ...] = ("chain_id", "entity_id"),
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic stratified sample for the clerical-review queue:
+    up to `n_per_stratum` pairs per stratum (typically the fs_three_band
+    bands), selected by a content hash so every engine — and every
+    resume — draws the SAME sample, with no RNG state.
+
+    Scale shape (two phases, never a full per-stratum sort):
+      1. hash-range pre-filter: per-stratum keep-probability
+         p = min(1, oversample*n/stratum_count) applied as
+         md5-fraction < p — one broadcast join against the tiny
+         stratum-count table, embarrassingly parallel;
+      2. exact top-n window over the ~oversample*n survivors per
+         stratum (small by construction).
+    A stratum smaller than n keeps every row (p = 1). The hash order
+    (integer of the first 8 md5 hex digits, tie-broken by the key
+    string) is reproducible in any ANSI engine — md5 is bit-identical
+    everywhere, unlike engine-specific hash functions.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    hval = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    hfrac = hval.cast("double") / F.lit(float(16 ** 8))
+    counts = banded.groupBy(stratum_col).agg(F.count("*").alias("_sn"))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(oversample)) * F.lit(float(n_per_stratum)) / F.col("_sn"),
+    )
+    pre = (
+        banded.join(F.broadcast(counts), stratum_col)
+        .withColumn("_hv", hval)
+        .where(hfrac < p)
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.asc("_hv"), F.asc(key))
+    return (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(n_per_stratum)))
+        .drop("_sn", "_hv", "_rn")
+    )

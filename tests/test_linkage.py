@@ -373,3 +373,39 @@ def test_fs_thresholds_on_em_fit_mixture(spark):
     by = {r.fs_band: r for r in stats}
     assert by["match"].purity > 0.8
     assert by["non_match"].purity < 0.1
+
+
+# ----------------------------------------------------------- review sample
+
+
+def test_sample_for_review_deterministic_and_capped(spark):
+    from hamerkop_spark.operators.linkage import sample_for_review
+
+    rows_ = [(f"c{i}", f"e{i}", "possible" if i % 3 else "match")
+             for i in range(300)]
+    df = spark.createDataFrame(
+        rows_, "chain_id string, entity_id string, fs_band string"
+    )
+    s1 = sample_for_review(df, 10)
+    s2 = sample_for_review(df, 10)
+    got1 = sorted((r.fs_band, r.chain_id) for r in s1.collect())
+    got2 = sorted((r.fs_band, r.chain_id) for r in s2.collect())
+    assert got1 == got2                      # same sample every run
+    per = {}
+    for band, _ in got1:
+        per[band] = per.get(band, 0) + 1
+    assert per == {"match": 10, "possible": 10}
+
+
+def test_sample_for_review_small_stratum_keeps_all(spark):
+    from hamerkop_spark.operators.linkage import sample_for_review
+
+    df = spark.createDataFrame(
+        [("c1", "e1", "match"), ("c2", "e2", "match"),
+         ("c3", "e3", "non_match")],
+        "chain_id string, entity_id string, fs_band string",
+    )
+    out = sample_for_review(df, 10).collect()
+    assert len(out) == 3                     # p = 1 keeps everything
+    # schema passes through untouched
+    assert set(out[0].asDict()) == {"chain_id", "entity_id", "fs_band"}
