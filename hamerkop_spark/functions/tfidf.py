@@ -126,10 +126,13 @@ def tfidf_cosine_pairs(
         / F.sqrt(F.col("_na").cast("double"))
         / F.sqrt(F.col("_nb").cast("double"))
     )
+    # norms joins are LEFT: a record whose every token was min_df-pruned
+    # (or whose token array is empty) has no norms row, and the feature
+    # contract is "append a 0", never "drop the candidate pair"
     return (
         pairs.join(dots, [a_id, b_id], "left")
-        .join(na, a_id)
-        .join(nb, b_id)
+        .join(na, a_id, "left")
+        .join(nb, b_id, "left")
         .withColumn(
             out_col,
             F.coalesce(
@@ -196,8 +199,8 @@ def soft_tfidf_pairs(
     nb = norms.select(F.col(id_col).alias(b_id), F.col("norm2").alias("_nb"))
     return (
         pairs.join(contrib, [a_id, b_id], "left")
-        .join(na, a_id)
-        .join(nb, b_id)
+        .join(na, a_id, "left")
+        .join(nb, b_id, "left")
         .withColumn(
             out_col,
             F.coalesce(

@@ -315,7 +315,14 @@ def one_to_one_assignment(
     Returns matched pairs (all input columns) plus `round_col` = the
     1-indexed round the pair was extracted in.
     """
-    remaining = pairs
+    # NULL ids or scores would be unremovable by the anti-joins below
+    # (NULL never equals NULL), re-matching forever — drop them up
+    # front instead of spinning (review finding)
+    remaining = pairs.where(
+        F.col(left_col).isNotNull()
+        & F.col(right_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    )
     matched: DataFrame | None = None
     rnd = 0
     while True:
@@ -369,7 +376,12 @@ def one_to_one_resolver(
             max_rounds=max_rounds,
         )
         decisions = m.select(*CHAIN, "entity_id")
-        remaining = pairs.join(decisions.select(*CHAIN), CHAIN, "left_anti")
+        # remove BOTH sides from the pool: a later cascade stage must
+        # not re-assign an entity this stage just claimed, or the
+        # global one-to-one guarantee silently breaks (review finding)
+        remaining = pairs.join(
+            decisions.select(*CHAIN), CHAIN, "left_anti"
+        ).join(decisions.select("entity_id"), "entity_id", "left_anti")
         return decisions, remaining
 
     return run
@@ -466,15 +478,14 @@ def _fs_threshold_sweep(gam, fields, m, u, mu, lam) -> dict:
     import numpy as np
 
     consts = fs_weight_constants({f: m[f] for f in fields}, u)
+    # clamp like fs_weight_constants: a raw 0.0/1.0 probability would
+    # put 0 * log(0) = NaN into the masses and silently degenerate
+    # both cuts (review finding)
+    mv = np.clip([float(m[f]) for f in fields], _EPS, 1.0 - _EPS)
+    uv = np.clip([float(u[f]) for f in fields], _EPS, 1.0 - _EPS)
     # model-implied class masses per pattern
-    pm = np.exp(
-        gam @ np.log([m[f] for f in fields])
-        + (1.0 - gam) @ np.log([1.0 - m[f] for f in fields])
-    )
-    pu = np.exp(
-        gam @ np.log([u[f] for f in fields])
-        + (1.0 - gam) @ np.log([1.0 - u[f] for f in fields])
-    )
+    pm = np.exp(gam @ np.log(mv) + (1.0 - gam) @ np.log(1.0 - mv))
+    pu = np.exp(gam @ np.log(uv) + (1.0 - gam) @ np.log(1.0 - uv))
     w = np.array(
         [
             sum(
@@ -485,8 +496,14 @@ def _fs_threshold_sweep(gam, fields, m, u, mu, lam) -> dict:
         ],
         dtype=np.int64,
     )
-    order = np.argsort(-w, kind="stable")  # best (highest ratio) first
-    pm, pu, w = pm[order], pu[order], w[order]
+    # fs_three_band cuts with >= / <= on the WEIGHT, so the sweep must
+    # treat equal-weight patterns as one indivisible step — otherwise a
+    # cut "between" two tied patterns links more mass than the error
+    # budget allows while under-reporting mu_achieved (review finding)
+    uniq = np.unique(w)[::-1]  # distinct weights, best first
+    pm_w = np.array([pm[w == x].sum() for x in uniq])
+    pu_w = np.array([pu[w == x].sum() for x in uniq])
+    pm, pu, w = pm_w, pu_w, uniq
     pm = pm / pm.sum()
     pu = pu / pu.sum()
     # upper: largest prefix (links) whose u-mass <= mu
@@ -510,7 +527,7 @@ def _fs_threshold_sweep(gam, fields, m, u, mu, lam) -> dict:
         "lower_fp": lower_fp,
         "mu_achieved": float(cum_u[k_up - 1]) if k_up > 0 else 0.0,
         "lam_achieved": float(cum_m_rev[k_lo - 1]) if k_lo > 0 else 0.0,
-        "n_patterns": n,
+        "n_patterns": n,  # distinct weight levels after tie-merge
     }
 
 

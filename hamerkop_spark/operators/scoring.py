@@ -193,6 +193,16 @@ def resolver_report(
     )
 
 
+def _contingency_cells(pred: DataFrame, gold: DataFrame, key: str) -> DataFrame:
+    """(pc, gc, nij) contingency cells over the key intersection — the
+    shared core of every pair-counting / information-theoretic cluster
+    metric here."""
+    j = pred.select(F.col(key).alias("k"), F.col("cluster").alias("pc")).join(
+        gold.select(F.col(key).alias("k"), F.col("cluster").alias("gc")), "k"
+    )
+    return j.groupBy("pc", "gc").agg(F.count("*").alias("nij"))
+
+
 def cluster_pair_counts(
     pred: DataFrame, gold: DataFrame, key: str = "mention_key"
 ) -> DataFrame:
@@ -214,10 +224,7 @@ def cluster_pair_counts(
     O(items) + O(distinct cluster intersections), not O(pairs). All
     counts are exact integers — no float accumulation.
     """
-    j = pred.select(F.col(key).alias("k"), F.col("cluster").alias("pc")).join(
-        gold.select(F.col(key).alias("k"), F.col("cluster").alias("gc")), "k"
-    )
-    cells = j.groupBy("pc", "gc").agg(F.count("*").alias("nij"))
+    cells = _contingency_cells(pred, gold, key)
 
     def pairs2(c):
         # sum n*(n-1) exactly in BIGINT, halve with an integer shift —
@@ -255,12 +262,22 @@ def pairwise_cluster_prf(
     def _fp(x):
         return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("bigint")
 
+    zero = F.lit(0).cast("bigint")
+    # zero-denominator conventions: all-singleton pred/gold has no
+    # pairs to be right or wrong about (P/R := 0), and P=R=0 makes
+    # F1 := 0 — never NULL / ANSI divide-by-zero (review finding)
+    p_fp = F.when(F.col("pred_pairs") > 0, _fp(p)).otherwise(zero)
+    r_fp = F.when(F.col("gold_pairs") > 0, _fp(r)).otherwise(zero)
+    f1_fp = F.when(
+        (F.col("pred_pairs") > 0)
+        & (F.col("gold_pairs") > 0)
+        & (F.col("both_pairs") > 0),
+        _fp(F.lit(2.0) * p * r / (p + r)),
+    ).otherwise(zero)
     return (
-        c.withColumn("p_fp", _fp(p))
-        .withColumn("r_fp", _fp(r))
-        .withColumn(
-            "f1_fp", _fp(F.lit(2.0) * p * r / (p + r))
-        )
+        c.withColumn("p_fp", p_fp)
+        .withColumn("r_fp", r_fp)
+        .withColumn("f1_fp", f1_fp)
     )
 
 
@@ -319,10 +336,10 @@ def v_measure(
     """
     import math
 
-    j = pred.select(F.col(key).alias("k"), F.col("cluster").alias("pc")).join(
-        gold.select(F.col(key).alias("k"), F.col("cluster").alias("gc")), "k"
-    )
-    cells = j.groupBy("pc", "gc").agg(F.count("*").alias("nij"))
+    # three driver actions read the cells: pin ONE materialization so
+    # the join+groupBy lineage doesn't execute three times (review
+    # finding), mirroring attach_tfidf_cosine's checkpoint pattern
+    cells = _contingency_cells(pred, gold, key).localCheckpoint()
     nlogn = F.sum(F.col("_m") * F.log(F.col("_m")))
     agg = cells.agg(
         F.sum("nij").alias("n"),

@@ -249,6 +249,12 @@ def foreach_batch_one_to_one_linker(
     from hamerkop_spark.operators.blocking import exact_match_candidates
     from hamerkop_spark.operators.linkage import one_to_one_assignment
 
+    # the claimed store's schema is pinned at stream definition from
+    # the KB's entity_id type (not inferred from store files — see the
+    # empty-batch note in process())
+    _eid_type = kb_names.schema["entity_id"].dataType.simpleString()
+    _store_schema = f"entity_id {_eid_type}, batch_id int"
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         par = spark.sparkContext.defaultParallelism
@@ -268,8 +274,13 @@ def foreach_batch_one_to_one_linker(
                 "match_score", (-F.col("retrieval_rank")).cast("double")
             )
         if _fs_exists(spark, state_dir):
+            # explicit schema: a batch that matched NOTHING leaves the
+            # store directory with a _SUCCESS marker but no parquet
+            # footers, and schema inference would throw on the next
+            # batch, killing the stream permanently (review finding)
             claimed = (
-                spark.read.parquet(state_dir)
+                spark.read.schema(_store_schema)
+                .parquet(state_dir)
                 .where(F.col("batch_id") < batch_id)
                 .select("entity_id")
             )

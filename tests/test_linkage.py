@@ -266,10 +266,11 @@ def test_one_to_one_resolver_stage(spark):
     decisions, remaining = stage(pairs)
     got = rows(decisions, "doc_id", "chain_id", "entity_id")
     assert got == [("d1", 1, "e1")]
-    # chain (d1,2) lost e1 to chain (d1,1) and has no other candidate;
-    # chain (d2,1) had only a sub-threshold pair — both left for later
-    # stages instead of resolving to a worse candidate
-    assert rows(remaining, "doc_id", "chain_id") == [("d1", 2), ("d2", 1)]
+    # chain (d1,2)'s only candidate was e1, which this stage claimed —
+    # its pair LEAVES the pool (a later stage must not steal e1), so
+    # the chain is NIL; chain (d2,1) had only a sub-threshold pair and
+    # stays for later stages
+    assert rows(remaining, "doc_id", "chain_id") == [("d2", 1)]
     # and composes with the cascade contract
     dec = cascade_resolver(pairs, [stage])
     assert dec.count() == 1
@@ -409,3 +410,64 @@ def test_sample_for_review_small_stratum_keeps_all(spark):
     assert len(out) == 3                     # p = 1 keeps everything
     # schema passes through untouched
     assert set(out[0].asDict()) == {"chain_id", "entity_id", "fs_band"}
+
+
+def test_one_to_one_null_ids_dropped_not_looped(spark):
+    from hamerkop_spark.operators.linkage import one_to_one_assignment
+
+    df = spark.createDataFrame(
+        [("l1", "r1", 5.0), (None, "r9", 9.0), ("l2", None, 8.0),
+         ("l2", "r2", None)],
+        "chain_id string, entity_id string, match_score double",
+    )
+    got = one_to_one_assignment(df).collect()
+    assert [(r.chain_id, r.entity_id) for r in got] == [("l1", "r1")]
+
+
+def test_one_to_one_resolver_blocks_claimed_entities_downstream(spark):
+    from hamerkop_spark.operators.linkage import one_to_one_resolver
+    from hamerkop_spark.operators.resolve import (
+        cascade_resolver,
+        first_resolver,
+    )
+
+    pairs = spark.createDataFrame(
+        [("d", 1, "e1", 0.9), ("d", 2, "e1", 0.8)],
+        "doc_id string, chain_id int, entity_id string, match_score double",
+    )
+    # stage 1 claims e1 for chain 1; stage 2 (first_resolver) must NOT
+    # re-assign e1 to chain 2 — its pool no longer contains e1 pairs
+    dec = cascade_resolver(pairs, [one_to_one_resolver(), first_resolver])
+    got = {(r.doc_id, r.chain_id): r.entity_id for r in dec.collect()}
+    assert got == {("d", 1): "e1"}
+
+
+def test_fs_threshold_sweep_merges_weight_ties(spark):
+    from hamerkop_spark.operators.linkage import fs_model_thresholds
+
+    # symmetric fields -> patterns (1,0) and (0,1) share one weight;
+    # with mu between the one-pattern and the tie-inclusive u-mass the
+    # cut must NOT split the tie: the whole level stays out of the
+    # link band and mu_achieved reports only the (1,1) mass (0.01)
+    th = fs_model_thresholds(
+        ["f1", "f2"], {"f1": 0.9, "f2": 0.9}, {"f1": 0.1, "f2": 0.1},
+        mu=0.12, lam=0.001,
+    )
+    assert abs(th["mu_achieved"] - 0.01) < 1e-12
+    # upper sits at the (1,1) weight, strictly above the tied level
+    from hamerkop_spark.operators.linkage import fs_weight_constants
+    c = fs_weight_constants({"f1": 0.9, "f2": 0.9}, {"f1": 0.1, "f2": 0.1})
+    assert th["upper_fp"] == c["f1"][0] + c["f2"][0]
+
+
+def test_fs_model_thresholds_clamps_degenerate_probs(spark):
+    from hamerkop_spark.operators.linkage import fs_model_thresholds
+
+    th = fs_model_thresholds(
+        ["f1", "f2"], {"f1": 1.0, "f2": 0.8}, {"f1": 0.5, "f2": 0.14},
+        mu=0.1, lam=0.05,
+    )
+    # no NaN degeneracy: the top pattern auto-links (u-mass 0.07 <=
+    # 0.1) and some pattern auto-rejects — pre-fix, NaN masses made
+    # BOTH cuts empty sentinels
+    assert th["mu_achieved"] > 0.0 and th["lam_achieved"] > 0.0

@@ -244,3 +244,18 @@ def test_v_measure_identity_and_degenerate(spark):
     gold = _clusters_df(spark, {"a": "1", "b": "1", "c": "2", "d": "2"})
     r2 = v_measure(pred, gold)
     assert r2.completeness == 1.0 and r2.homogeneity == 0.0
+
+
+def test_pairwise_prf_zero_denominators_are_zero(spark):
+    from hamerkop_spark.operators.scoring import pairwise_cluster_prf
+
+    # all-singleton pred: no predicted pairs -> P := 0, F1 := 0
+    pred = _clusters_df(spark, {"a": "1", "b": "2", "c": "3"})
+    gold = _clusters_df(spark, {"a": "x", "b": "x", "c": "x"})
+    r = pairwise_cluster_prf(pred, gold, "mention_key").collect()[0]
+    assert (r.p_fp, r.r_fp, r.f1_fp) == (0, 0, 0)
+    # disjoint clusterings: both_pairs = 0 -> all three are 0, not NULL
+    p2 = _clusters_df(spark, {"a": "1", "b": "1", "c": "2", "d": "2"})
+    g2 = _clusters_df(spark, {"a": "x", "b": "y", "c": "x", "d": "y"})
+    r2 = pairwise_cluster_prf(p2, g2, "mention_key").collect()[0]
+    assert (r2.p_fp, r2.r_fp, r2.f1_fp) == (0, 0, 0)

@@ -642,3 +642,49 @@ def test_one_to_one_linker_replay_idempotent(spark, tmp_path):
         ("http://x/1", "E1")
     ]
     assert spark.read.parquet(state).count() == 1
+
+
+def test_one_to_one_linker_survives_empty_batch(spark, tmp_path):
+    """A batch with zero KB hits writes an empty (footer-less) store
+    partition; the NEXT batch must still read the store (explicit
+    schema, not inference) and link normally."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+
+    def page(i, text):
+        return (
+            f"http://x/{i}", ts,
+            bytearray(wrap_text_as_html(text, f"http://x/{i}")), text, "eng",
+        )
+
+    kb_names = spark.createDataFrame(
+        [("E1", "PER", "John Smith", 0, "john smith")],
+        "entity_id string, type string, name string, name_idx int, "
+        "exact_key string",
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    state = str(tmp_path / "claimed")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = S.foreach_batch_one_to_one_linker(
+            S.stream_documents(spark, d), kb_names, state, sink, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    # batch 0: nothing matches the KB -> empty store partition
+    spark.createDataFrame([page(1, "nobody here")], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    # batch 1: must not crash on the footer-less store and must link
+    spark.createDataFrame([page(2, "John Smith")], PAGES).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    got = {(r["chain_id"], r["entity_id"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {("http://x/2", "E1")}

@@ -149,3 +149,24 @@ def test_attach_tfidf_cosine_wrapper(spark, vectors):
         assert got[k][0] == direct[k]
     assert got[("r1", "r2")][1] > 0.5
     assert got[("r1", "r3")][1] == 0.0
+
+
+def test_pairs_with_empty_vectors_get_zero_not_dropped(spark, vectors):
+    _, idf, _, _ = vectors
+    # r_empty has no tokens -> no weights, no norms row
+    recs2 = spark.createDataFrame(
+        CORPUS + [("r_empty", [])], "record_id string, tokens array<string>"
+    )
+    from hamerkop_spark.functions.tfidf import attach_tfidf_cosine
+
+    pairs = spark.createDataFrame(
+        [("r1", "r_empty"), ("r_empty", "r2"), ("r1", "r2")],
+        "a_id string, b_id string",
+    )
+    out = attach_tfidf_cosine(pairs, recs2, soft_theta=0.9)
+    got = {(r.a_id, r.b_id): (r.tfidf_cosine_fp, r.soft_tfidf)
+           for r in out.collect()}
+    assert len(got) == 3                       # nothing dropped
+    assert got[("r1", "r_empty")] == (0, 0.0)
+    assert got[("r_empty", "r2")] == (0, 0.0)
+    assert got[("r1", "r2")][0] > 0
