@@ -2063,6 +2063,35 @@ def q_fs_three_band(spark, sf):
     )
 
 
+FS_LVL_M = {"s1": [0.05, 0.15, 0.80], "s2": [0.2, 0.8]}
+FS_LVL_U = {"s1": [0.70, 0.20, 0.10], "s2": [0.8, 0.2]}
+
+
+def q_fs_level_weight(spark, sf):
+    """Winkler multi-level Fellegi-Sunter weight (operators/linkage
+    .fs_match_weight_levels + field_agreement_levels): a 3-level
+    ordinal agreement from a similarity column plus a binary field,
+    scored as a fixed-point integer CASE-sum."""
+    from hamerkop_spark.operators.linkage import (
+        field_agreement_levels,
+        fs_match_weight_levels,
+    )
+
+    pairs = _assignment_pairs(spark, sf)
+    sim = ((F.col("chain_id") * 11 + F.col("entity_id") * 3) % 100) / F.lit(
+        100.0
+    )
+    cmp_df = pairs.select(
+        "chain_id",
+        "entity_id",
+        field_agreement_levels(sim, cuts=(0.5, 0.9)).alias("s1"),
+        (F.col("chain_id") % 5 == F.col("entity_id") % 5).cast("int").alias(
+            "s2"
+        ),
+    )
+    return fs_match_weight_levels(cmp_df, ["s1", "s2"], FS_LVL_M, FS_LVL_U)
+
+
 def q_fs_review_sample(spark, sf):
     """Deterministic stratified clerical-review sample over the
     three-band output (operators/linkage.sample_for_review): md5-range
@@ -2159,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_rep_name": q_er_rep_name,
         "fs_three_band": q_fs_three_band,
         "fs_review_sample": q_fs_review_sample,
+        "fs_level_weight": q_fs_level_weight,
         # --- recorded in round 4; the first 13 fill out this round's
         # 50; the rest spill into the tail and join the must-lead
         # set for round 6 ---
@@ -2464,7 +2494,18 @@ def oracle_sql() -> dict[str, str]:
     from hamerkop_spark.functions.phonetic import soundex_portable_sql
     from hamerkop_spark.operators.linkage import fs_weight_constants
 
-    from hamerkop_spark.operators.linkage import fs_model_thresholds
+    from hamerkop_spark.operators.linkage import (
+        fs_level_weight_constants,
+        fs_model_thresholds,
+    )
+
+    lvl_c = fs_level_weight_constants(FS_LVL_M, FS_LVL_U)
+    lvl_terms = (
+        f"(CASE s1 WHEN 2 THEN {lvl_c['s1'][2]} WHEN 1 THEN {lvl_c['s1'][1]}"
+        f" ELSE {lvl_c['s1'][0]} END"
+        f" + CASE s2 WHEN 1 THEN {lvl_c['s2'][1]}"
+        f" ELSE {lvl_c['s2'][0]} END)"
+    )
 
     punct = PUNCT_CLASS.replace("'", "''")
     fsw = fs_weight_constants(FS_M, FS_U)
@@ -2796,6 +2837,22 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'non_match'
                         ELSE 'possible' END AS fs_band
             FROM scored
+        """,
+        "fs_level_weight": f"""
+            WITH {_pairs_cte()}, lv AS (
+              SELECT chain_id, entity_id,
+                     CASE WHEN ((chain_id * 11 + entity_id * 3) % 100)
+                               / 100.0 >= 0.9 THEN 2
+                          WHEN ((chain_id * 11 + entity_id * 3) % 100)
+                               / 100.0 >= 0.5 THEN 1
+                          ELSE 0 END AS s1,
+                     CASE WHEN chain_id % 5 = entity_id % 5
+                          THEN 1 ELSE 0 END AS s2
+              FROM pairs
+            )
+            SELECT chain_id, entity_id, s1, s2,
+                   {lvl_terms}::BIGINT AS fs_weight_fp
+            FROM lv
         """,
         "fs_review_sample": f"""
             WITH cmp AS (

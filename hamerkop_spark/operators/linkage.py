@@ -574,3 +574,173 @@ def sample_for_review(
         .where(F.col("_rn") <= F.lit(int(n_per_stratum)))
         .drop("_sn", "_hv", "_rn")
     )
+
+
+# --------------------------------------------------------------- multi-level
+
+
+def field_agreement_levels(sim, cuts: tuple[float, ...] = (0.88, 0.95)):
+    """Ordinal agreement level from a similarity column (Winkler 1990,
+    "String Comparator Metrics and Enhanced Decision Rules in the
+    Fellegi-Sunter Model"): binary agree/disagree wastes the signal in
+    approximate string matches, so the comparison takes L = len(cuts)+1
+    levels — 0 below cuts[0], 1 in [cuts[0], cuts[1]), ..., L-1 at the
+    top. Null similarity -> level 0 (conservative, matching
+    field_agreement). Pure CASE expression."""
+    expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        expr = F.when(sim >= F.lit(float(c)), F.lit(i + 1)).otherwise(expr)
+    return F.when(sim.isNull(), F.lit(0)).otherwise(expr).cast("int")
+
+
+def fs_level_weight_constants(
+    m: dict[str, list[float]], u: dict[str, list[float]]
+) -> dict[str, list[int]]:
+    """Fixed-point log2 likelihood-ratio weight per (field, level):
+    w[f][l] = floor(log2(m[f][l] / u[f][l]) * 1e6 + 0.5). Probability
+    vectors are clamped away from 0 and renormalized, so a level never
+    observed in one class still gets a finite weight."""
+    out = {}
+    for f in m:
+        mv = [min(max(float(x), _EPS), 1.0) for x in m[f]]
+        uv = [min(max(float(x), _EPS), 1.0) for x in u[f]]
+        if len(mv) != len(uv):
+            raise ValueError(f"level count mismatch for field {f!r}")
+        sm, su = sum(mv), sum(uv)
+        out[f] = [
+            math.floor(math.log2((a / sm) / (b / su)) * FP_SCALE + 0.5)
+            for a, b in zip(mv, uv)
+        ]
+    return out
+
+
+def fs_match_weight_levels(
+    comparisons: DataFrame,
+    fields: list[str],
+    m: dict[str, list[float]],
+    u: dict[str, list[float]],
+    weight_col: str = "fs_weight_fp",
+) -> DataFrame:
+    """Composite Fellegi-Sunter weight over MULTI-LEVEL agreement
+    columns (values 0..L_f-1): weight = sum_f w[f][gamma_f], emitted
+    fixed-point. Per-row work is an integer CASE-sum per field — same
+    codegen shape as the binary fs_match_weight, hash-stable in any
+    ANSI engine."""
+    consts = fs_level_weight_constants(
+        {f: m[f] for f in fields}, {f: u[f] for f in fields}
+    )
+    expr = None
+    for f in fields:
+        term = F.lit(consts[f][0])
+        for lvl in range(1, len(consts[f])):
+            term = F.when(
+                F.col(f) == lvl, F.lit(consts[f][lvl])
+            ).otherwise(term)
+        expr = term if expr is None else expr + term
+    return comparisons.withColumn(weight_col, expr.cast("bigint"))
+
+
+def fit_fs_em_levels(
+    comparisons: DataFrame,
+    fields: list[str],
+    levels: dict[str, int],
+    iterations: int = 100,
+    init_p: float = 0.1,
+    tol: float = 1e-9,
+) -> dict:
+    """EM for the multi-level Fellegi-Sunter model with categorical
+    emissions: P(gamma) = p * prod_f m_f[gamma_f]
+                        + (1-p) * prod_f u_f[gamma_f].
+
+    Same scale shape as the binary ``fit_fs_em``: ONE distributed
+    groupBy histograms the level-vector patterns (bounded by
+    prod_f levels[f] rows, map-side combinable), then numpy EM runs
+    driver-side over the count table. The init breaks symmetry by
+    making the match class prefer HIGHER levels (linear ramp) — the
+    canonical orientation for ordinal agreement, checked and swapped
+    after convergence like the binary fit.
+
+    Returns {"p", "m", "u", "n", "iterations", "converged"} with m/u
+    as per-field level-probability lists, ready for
+    ``fs_match_weight_levels``.
+    """
+    import numpy as np
+
+    total_patterns = 1
+    for f in fields:
+        if levels[f] < 2:
+            raise ValueError(f"field {f!r} needs >= 2 levels")
+        total_patterns *= levels[f]
+    if total_patterns > 1_000_000:
+        raise ValueError(
+            f"pattern space {total_patterns} too large for the "
+            "driver-side EM table"
+        )
+    hist = agreement_pattern_counts(comparisons, fields).collect()
+    if not hist:
+        raise ValueError("fit_fs_em_levels: empty comparison table")
+    gam = np.array([[r[f] for f in fields] for r in hist], dtype=np.int64)
+    cnt = np.array([r["n"] for r in hist], dtype=np.float64)
+    n_total = float(cnt.sum())
+
+    p = float(init_p)
+    m = {}
+    u = {}
+    for f in fields:
+        L = levels[f]
+        ramp = np.arange(1, L + 1, dtype=np.float64)
+        m[f] = ramp / ramp.sum()          # match class prefers high levels
+        u[f] = ramp[::-1] / ramp.sum()    # non-match prefers low levels
+    it_done, converged = 0, False
+    fi = {f: i for i, f in enumerate(fields)}
+    for it in range(iterations):
+        log_m = np.zeros(len(hist))
+        log_u = np.zeros(len(hist))
+        for f in fields:
+            log_m += np.log(m[f])[gam[:, fi[f]]]
+            log_u += np.log(u[f])[gam[:, fi[f]]]
+        a = np.log(p) + log_m
+        b = np.log1p(-p) + log_u
+        hi = np.maximum(a, b)
+        g = np.exp(a - hi) / (np.exp(a - hi) + np.exp(b - hi))
+        gm = g * cnt
+        gu = (1.0 - g) * cnt
+        p_new = min(max(gm.sum() / n_total, _EPS), 1.0 - _EPS)
+        delta = abs(p_new - p)
+        m_new, u_new = {}, {}
+        for f in fields:
+            L = levels[f]
+            col = gam[:, fi[f]]
+            mm = np.array([gm[col == l].sum() for l in range(L)])
+            uu = np.array([gu[col == l].sum() for l in range(L)])
+            mm = np.clip(mm / max(mm.sum(), _EPS), _EPS, 1.0)
+            uu = np.clip(uu / max(uu.sum(), _EPS), _EPS, 1.0)
+            mm, uu = mm / mm.sum(), uu / uu.sum()
+            delta = max(
+                delta,
+                float(np.abs(mm - m[f]).max()),
+                float(np.abs(uu - u[f]).max()),
+            )
+            m_new[f], u_new[f] = mm, uu
+        p, m, u = p_new, m_new, u_new
+        it_done = it + 1
+        if delta < tol:
+            converged = True
+            break
+    # canonical orientation: the match class is the one whose expected
+    # agreement LEVEL is higher (summed over fields)
+    def mean_level(d):
+        return sum(
+            float((np.arange(len(d[f])) * d[f]).sum()) for f in fields
+        )
+
+    if mean_level(m) < mean_level(u):
+        m, u, p = u, m, 1.0 - p
+    return {
+        "p": float(p),
+        "m": {f: [float(x) for x in m[f]] for f in fields},
+        "u": {f: [float(x) for x in u[f]] for f in fields},
+        "n": int(n_total),
+        "iterations": it_done,
+        "converged": converged,
+    }

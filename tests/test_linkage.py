@@ -471,3 +471,93 @@ def test_fs_model_thresholds_clamps_degenerate_probs(spark):
     # 0.1) and some pattern auto-rejects — pre-fix, NaN masses made
     # BOTH cuts empty sentinels
     assert th["mu_achieved"] > 0.0 and th["lam_achieved"] > 0.0
+
+
+# ------------------------------------------------------------- multi-level
+
+
+def test_field_agreement_levels_cuts(spark):
+    from hamerkop_spark.operators.linkage import field_agreement_levels
+
+    df = spark.createDataFrame(
+        [(0.5,), (0.88,), (0.94,), (0.95,), (1.0,), (None,)], "sim double"
+    )
+    got = [r.lvl for r in df.select(
+        field_agreement_levels(F.col("sim")).alias("lvl")).collect()]
+    assert got == [0, 1, 1, 2, 2, 0]
+
+
+def test_fs_level_weight_constants_and_weight(spark):
+    from hamerkop_spark.operators.linkage import (
+        fs_level_weight_constants,
+        fs_match_weight_levels,
+    )
+
+    m = {"name": [0.05, 0.15, 0.80]}
+    u = {"name": [0.80, 0.15, 0.05]}
+    c = fs_level_weight_constants(m, u)["name"]
+    assert c[0] == math.floor(math.log2(0.05 / 0.80) * 1e6 + 0.5)
+    assert c[1] == 0                       # log2(0.15/0.15) == 0
+    assert c[2] == math.floor(math.log2(0.80 / 0.05) * 1e6 + 0.5)
+    df = spark.createDataFrame([(0,), (1,), (2,)], "name int")
+    got = [r.fs_weight_fp for r in
+           fs_match_weight_levels(df, ["name"], m, u).collect()]
+    assert got == c
+    # binary special case must agree with fs_match_weight
+    from hamerkop_spark.operators.linkage import fs_match_weight
+    m2, u2 = {"g": 0.9}, {"g": 0.1}
+    dfb = spark.createDataFrame([(0,), (1,)], "g int")
+    bin_w = [r.fs_weight_fp for r in
+             fs_match_weight(dfb, ["g"], m2, u2).collect()]
+    lvl_w = [r.fs_weight_fp for r in fs_match_weight_levels(
+        dfb, ["g"], {"g": [0.1, 0.9]}, {"g": [0.9, 0.1]}).collect()]
+    assert bin_w == lvl_w
+
+
+def test_fit_fs_em_levels_recovers_mixture(spark):
+    from hamerkop_spark.operators.linkage import fit_fs_em_levels
+
+    rng = random.Random(17)
+    # three conditionally-independent fields: the categorical mixture
+    # is identifiable (Kruskal) — with only two, EM drifts to the
+    # extremes and tolerances would have to be loose
+    m_true = {"a": [0.05, 0.15, 0.80], "b": [0.10, 0.90],
+              "c": [0.20, 0.80]}
+    u_true = {"a": [0.70, 0.20, 0.10], "b": [0.85, 0.15],
+              "c": [0.75, 0.25]}
+
+    def draw(probs):
+        x, acc = rng.random(), 0.0
+        for i, pr in enumerate(probs):
+            acc += pr
+            if x < acc:
+                return i
+        return len(probs) - 1
+
+    rows_ = []
+    for _ in range(40000):
+        src = m_true if rng.random() < 0.3 else u_true
+        rows_.append((draw(src["a"]), draw(src["b"]), draw(src["c"])))
+    df = spark.createDataFrame(rows_, "a int, b int, c int")
+    fit = fit_fs_em_levels(df, ["a", "b", "c"], {"a": 3, "b": 2, "c": 2},
+                           iterations=300)
+    assert abs(fit["p"] - 0.3) < 0.04
+    for f, truth in m_true.items():
+        for lvl, pr in enumerate(truth):
+            assert abs(fit["m"][f][lvl] - pr) < 0.06, (f, lvl, fit["m"])
+    for f, truth in u_true.items():
+        for lvl, pr in enumerate(truth):
+            assert abs(fit["u"][f][lvl] - pr) < 0.06, (f, lvl, fit["u"])
+
+
+def test_fit_fs_em_levels_guards(spark):
+    from hamerkop_spark.operators.linkage import fit_fs_em_levels
+
+    df = spark.createDataFrame([(0,)], "a int")
+    with pytest.raises(ValueError):
+        fit_fs_em_levels(df, ["a"], {"a": 1})
+    with pytest.raises(ValueError):
+        fit_fs_em_levels(
+            df.select(*[F.lit(0).alias(f"f{i}") for i in range(8)]),
+            [f"f{i}" for i in range(8)], {f"f{i}": 8 for i in range(8)},
+        )
