@@ -2102,6 +2102,25 @@ def q_fs_review_sample(spark, sf):
     return sample_for_review(q_fs_three_band(spark, sf), 20)
 
 
+def q_er_dedupe_plan(spark, sf):
+    """One-call self-dedup plan end to end (plans/dedupe.dedupe_records):
+    blocking self-join -> vectorized JW -> threshold -> CC -> cluster
+    mapping. Exact blocking at threshold 1.0 makes every name group a
+    clique, so the CC component is the group's string-min id — exactly
+    expressible in SQL while still executing the full plan machinery."""
+    from hamerkop_spark.plans.dedupe import dedupe_records
+
+    recs = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("record_id"),
+        F.concat(F.lit("cust "), (F.col("c_custkey") % 400).cast("string"))
+        .alias("name"),
+    )
+    out = dedupe_records(
+        recs, blocking=("exact",), jw_threshold=1.0, max_block=200
+    )
+    return out["clusters"]
+
+
 def q_er_golden_record(spark, sf):
     """Survivorship: modal non-null value per (cluster, attribute) with
     deterministic tie-breaks (operators/canonical.golden_record) —
@@ -2189,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_three_band": q_fs_three_band,
         "fs_review_sample": q_fs_review_sample,
         "fs_level_weight": q_fs_level_weight,
+        "er_dedupe_plan": q_er_dedupe_plan,
         # --- recorded in round 4; the first 13 fill out this round's
         # 50; the rest spill into the tail and join the must-lead
         # set for round 6 ---
@@ -2837,6 +2857,17 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'non_match'
                         ELSE 'possible' END AS fs_band
             FROM scored
+        """,
+        "er_dedupe_plan": """
+            WITH recs AS (
+              SELECT c_custkey AS record_id,
+                     'cust ' || (c_custkey % 400)::VARCHAR AS name
+              FROM customer
+            )
+            SELECT record_id,
+                   min(record_id::VARCHAR) OVER (PARTITION BY name)
+                     AS cluster
+            FROM recs
         """,
         "fs_level_weight": f"""
             WITH {_pairs_cte()}, lv AS (

@@ -1,0 +1,152 @@
+"""One-call record deduplication: the self-linkage (A = B) composition
+of the engine's ER stages — multi-key self-blocking, vectorized
+pairwise scoring, threshold decision, transitive clustering, and
+survivorship — for users who want `dedupe(records)` rather than wiring
+the stages themselves.
+
+The reference links mentions against a KB and has no self-dedup plan;
+this is the standard single-file arrangement (Christen 2012 ch. 2) of
+the same operators:
+
+    records --(multi-key blocking, a<b)--> candidate pairs
+            --(Jaro-Winkler, Arrow-vectorized)--> scored pairs
+            --(threshold)--> match edges
+            --(large-star/small-star CC)--> clusters
+            --(golden_record)--> canonical records
+
+Scale shape: every blocking key is a (key, id) melt + per-key count
+cap (`max_block`) + within-key self-join — cost bounded by
+#keys·cap², never all-pairs; the only Python crossing is the one
+vectorized JW batch over surviving candidates; clustering is the
+measured-to-22M-edges CC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions.phonetic import soundex_key
+from hamerkop_spark.functions.textdist import jaro_winkler_udf
+from hamerkop_spark.operators.canonical import golden_record
+from hamerkop_spark.operators.cc import connected_components
+
+#: blocking key generators: name -> Column producing an ARRAY of keys
+#: (exploded; null/empty elements dropped). Each key namespace is
+#: prefixed so keys from different generators never collide.
+_KEYERS = {
+    "exact": lambda norm: F.array(F.concat(F.lit("x:"), norm)),
+    "soundex": lambda norm: F.transform(
+        F.split(norm, " "),
+        lambda t: F.concat(F.lit("s:"), soundex_key(t)),
+    ),
+    "token": lambda norm: F.transform(
+        F.array_distinct(F.split(norm, " ")),
+        lambda t: F.concat(F.lit("t:"), t),
+    ),
+}
+
+
+def dedupe_records(
+    records: DataFrame,
+    id_col: str = "record_id",
+    name_col: str = "name",
+    attrs: list[str] | None = None,
+    blocking: tuple[str, ...] = ("exact", "soundex", "token"),
+    jw_threshold: float = 0.92,
+    max_block: int = 100,
+) -> dict:
+    """Deduplicate a single record table by name similarity.
+
+    :param records: one row per input record; `name_col` non-null rows
+        participate, others come back as singleton clusters.
+    :param attrs: columns to canonicalize into the golden record
+        (defaults to just `name_col`).
+    :param blocking: subset of {"exact", "soundex", "token"} — keys are
+        unioned, so recall is the union of the generators' reach.
+    :param jw_threshold: Jaro-Winkler decision threshold on the
+        normalized names.
+    :param max_block: per-key pair-generation cap; a hotter key is
+        skipped (the standard block-purge bound — a stop-word token
+        must not generate cap² pairs).
+    :return: {"pairs": scored candidate pairs (a_id, b_id, jw),
+              "clusters": (id, cluster),
+              "golden": one canonical row per cluster,
+              "n_pairs": int, "n_clusters": int}
+    """
+    unknown = set(blocking) - set(_KEYERS)
+    if unknown:
+        raise ValueError(f"unknown blocking generators: {sorted(unknown)}")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
+    recs = records.withColumn("_norm", norm)
+    keyed_src = recs.where(
+        F.col("_norm").isNotNull() & (F.col("_norm") != "")
+    ).select(F.col(id_col).alias("_id"), "_norm")
+
+    melted = None
+    for gen in blocking:
+        part = keyed_src.select(
+            "_id", F.explode(_KEYERS[gen](F.col("_norm"))).alias("_key")
+        ).where(F.col("_key").isNotNull() & (F.col("_key") != ""))
+        melted = part if melted is None else melted.unionByName(part)
+    melted = melted.distinct()
+    ok_keys = (
+        melted.groupBy("_key")
+        .agg(F.count("*").alias("_kn"))
+        .where((F.col("_kn") > 1) & (F.col("_kn") <= max_block))
+        .select("_key")
+    )
+    keyed = melted.join(ok_keys, "_key")
+    a = keyed.select("_key", F.col("_id").alias("a_id"))
+    b = keyed.select("_key", F.col("_id").alias("b_id"))
+    cand = (
+        a.join(b, "_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    na = keyed_src.select(
+        F.col("_id").alias("a_id"), F.col("_norm").alias("_na")
+    )
+    nb = keyed_src.select(
+        F.col("_id").alias("b_id"), F.col("_norm").alias("_nb")
+    )
+    scored = (
+        cand.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jw", jaro_winkler_udf(F.col("_na"), F.col("_nb")))
+        .drop("_na", "_nb")
+    )
+    edges = scored.where(F.col("jw") >= F.lit(float(jw_threshold))).select(
+        F.col("a_id").cast("string").alias("src"),
+        F.col("b_id").cast("string").alias("dst"),
+    )
+    nodes = records.select(F.col(id_col).cast("string").alias("node"))
+    comps = connected_components(edges, nodes=nodes)
+    # CC runs on string node ids; map components back onto the
+    # ORIGINAL id column/type so callers join without surprises
+    clusters = records.select(
+        id_col, F.col(id_col).cast("string").alias("_jk")
+    ).join(
+        comps.select(
+            F.col("node").alias("_jk"), F.col("component").alias("cluster")
+        ),
+        "_jk",
+    ).drop("_jk")
+    golden_attrs = list(attrs) if attrs else [name_col]
+    with_cluster = records.withColumn(
+        "_jk", F.col(id_col).cast("string")
+    ).join(
+        clusters.withColumn("_jk", F.col(id_col).cast("string")).select(
+            "_jk", "cluster"
+        ),
+        "_jk",
+    ).drop("_jk")
+    golden = golden_record(with_cluster, golden_attrs)
+    return {
+        "pairs": scored,
+        "clusters": clusters,
+        "golden": golden,
+        "n_pairs": scored.count(),
+        "n_clusters": golden.count(),
+    }

@@ -1,0 +1,93 @@
+"""One-call self-dedup plan (plans/dedupe.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from hamerkop_spark.plans.dedupe import dedupe_records
+
+
+@pytest.fixture(scope="module")
+def noisy(spark):
+    data = [
+        (1, "John Smith", "NYC"),
+        (2, "Jon Smith", "NYC"),          # typo dup of 1
+        (3, "JOHN  SMITH", "Boston"),     # case/space dup of 1
+        (4, "Mary Jones", "LA"),
+        (5, "Marie Jones", None),         # near dup of 4
+        (6, "Completely Different", "SF"),
+        (7, None, "X"),                   # null name -> singleton
+    ]
+    return spark.createDataFrame(data, "record_id int, name string, city string")
+
+
+def test_dedupe_clusters_and_golden(spark, noisy):
+    # JW("mary jones", "marie jones") = 0.882 — threshold below it
+    out = dedupe_records(noisy, attrs=["name", "city"], jw_threshold=0.85)
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    assert cl[1] == cl[2] == cl[3]
+    assert cl[4] == cl[5]
+    assert len({cl[1], cl[4], cl[6], cl[7]}) == 4
+    assert out["n_clusters"] == 4
+    g = {r.cluster: (r.cluster_size, r.name, r.city)
+         for r in out["golden"].collect()}
+    # john cluster: 3 rows, modal city NYC (2 vs 1); names all distinct
+    # post-normalization variants -> value-asc tiebreak on raw strings
+    assert g[cl[1]][0] == 3 and g[cl[1]][2] == "NYC"
+    # null-name record survives as its own singleton with its city
+    assert g[cl[7]] == (1, None, "X")
+
+
+def test_dedupe_block_cap_prevents_blowup(spark):
+    # 200 records share the token "corp": cap 100 skips that key, but
+    # the exact key still pairs the two true duplicates
+    data = [(i, f"unique{i} corp") for i in range(200)]
+    data += [(500, "acme holdings"), (501, "acme holdings")]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    out = dedupe_records(df, max_block=100, jw_threshold=0.95)
+    pairs = rows(out["pairs"], "a_id", "b_id")
+    assert (500, 501) in pairs
+    # the hot "t:corp" key generated no pairs
+    assert out["n_pairs"] < 50
+
+
+def test_dedupe_unknown_generator_raises(spark, noisy):
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, blocking=("exact", "canopy"))
+
+
+def test_dedupe_pairwise_f1_on_synthetic_dups(spark):
+    """150 base names, each duplicated with a deterministic character
+    edit — pairwise F1 of the plan's clusters vs truth must be >= 0.95."""
+    import random
+
+    from hamerkop_spark.operators.scoring import pairwise_f1
+
+    rng = random.Random(5)
+    first = ["james", "maria", "robert", "linda", "michael", "sarah",
+             "david", "karen", "thomas", "nancy"]
+    last = ["johnson", "williams", "brown", "garcia", "miller", "davis",
+            "martinez", "wilson", "anderson", "taylor"]
+    rows_, labeled = [], []
+    rid = 0
+    for i in range(150):
+        name = f"{rng.choice(first)} {rng.choice(last)} {i}"
+        dup = list(name)
+        pos = rng.randrange(len(dup) - 2)
+        dup[pos] = "x" if dup[pos] != "x" else "y"
+        a, b = rid, rid + 1
+        rid += 2
+        rows_ += [(a, name), (b, "".join(dup))]
+        labeled.append((a, b, 1))
+        if i:
+            labeled.append((a, a - 2, 0))
+    df = spark.createDataFrame(rows_, "record_id int, name string")
+    out = dedupe_records(df, jw_threshold=0.9)
+    lp = spark.createDataFrame(labeled, "key_a int, key_b int, label int")
+    r = pairwise_f1(
+        out["clusters"].select(
+            F.col("record_id").alias("mention_id"), "cluster"
+        ),
+        lp,
+    )
+    assert r.f1 >= 0.95, r
