@@ -2152,6 +2152,66 @@ def q_er_rep_name(spark, sf):
     return representative_name(mentions)
 
 
+def q_r12_coherence(spark, sf):
+    """Collective (document-level) coherence disambiguation
+    (operators/collective.coherence_rerank): candidates related in the
+    KB support each other across a document's chains — fixed-point
+    Milne-Witten-style link-Jaccard relatedness, two message-passing
+    rounds, λ=0.6 blend, top-3 prune. Entities are parts (links = the
+    p_type tokens + p_brand), documents are orders, chains the
+    lineitems; candidates are the ±2 partkey neighborhood with a
+    distance-decayed local score. Everything after the per-chain
+    min-max is exact bigint micro-unit arithmetic, so the two engines
+    hash-match bit for bit."""
+    from hamerkop_spark.operators.collective import coherence_rerank
+
+    part = _t(spark, sf, "part").where(F.col("p_partkey") <= 200)
+    links = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.explode(
+            F.array_distinct(
+                F.concat(F.split("p_type", " "), F.array(F.col("p_brand")))
+            )
+        ).alias("link"),
+    )
+    chains = (
+        _t(spark, sf, "lineitem")
+        .where(
+            (F.col("l_orderkey") <= 6000)
+            & F.col("l_partkey").between(3, 198)
+        )
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.concat(
+                F.col("l_linenumber").cast("string"),
+                F.lit("-"),
+                F.col("l_partkey").cast("string"),
+            ).alias("chain_id"),
+            F.col("l_partkey").alias("base"),
+        )
+        .distinct()
+    )
+    cand = chains.select(
+        "doc_id",
+        "chain_id",
+        "base",
+        F.explode(F.sequence(F.lit(-2), F.lit(2))).alias("off"),
+    ).select(
+        "doc_id",
+        "chain_id",
+        (F.col("base") + F.col("off")).alias("entity_id"),
+        (F.lit(10.0) - F.abs(F.col("off"))).alias("score"),
+    )
+    # inner join to the entity table: only real entities are candidates
+    # (and it pins the partkey universe identically to the SQL mirror)
+    cand = cand.join(
+        part.select(F.col("p_partkey").alias("entity_id")), "entity_id"
+    )
+    return coherence_rerank(
+        cand, links, lam_micro=600_000, iterations=2, top_k=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2267,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_language_name_filter": q_p17_language_name_filter,
         "f11_feature_vector": q_f11_feature_vector,
         "c1_cascade_coref": q_c1_cascade_coref,
+        "r12_coherence": q_r12_coherence,
     }
 
 
@@ -4057,5 +4118,139 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine DESC, neighbor_id) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        # two message-passing iterations unrolled; every floor() mirrors
+        # the engine's fixed-point association EXACTLY (ratio first in
+        # the min-max norms; (1e6*num)/den in the relatedness)
+        "r12_coherence": """
+            WITH ents AS (
+              SELECT p_partkey AS entity_id,
+                     list_distinct(list_append(
+                       string_split(p_type, ' '), p_brand)) AS lk
+              FROM part WHERE p_partkey <= 200
+            ), links AS (
+              SELECT DISTINCT entity_id, link FROM (
+                SELECT entity_id, unnest(lk) AS link FROM ents)
+            ), sizes AS (
+              SELECT entity_id, COUNT(*) AS n_links FROM links GROUP BY 1
+            ), chains AS (
+              SELECT DISTINCT l_orderkey AS doc_id,
+                     CAST(l_linenumber AS VARCHAR) || '-'
+                       || CAST(l_partkey AS VARCHAR) AS chain_id,
+                     l_partkey AS base
+              FROM lineitem
+              WHERE l_orderkey <= 6000 AND l_partkey BETWEEN 3 AND 198
+            ), cand AS (
+              SELECT c.doc_id, c.chain_id, p.p_partkey AS entity_id,
+                     10.0 - abs(p.p_partkey - c.base) AS score
+              FROM chains c
+              JOIN (SELECT p_partkey FROM part WHERE p_partkey <= 200) p
+                ON p.p_partkey BETWEEN c.base - 2 AND c.base + 2
+            ), pruned AS (
+              SELECT doc_id, chain_id, entity_id, score FROM (
+                SELECT cand.*, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id, chain_id
+                  ORDER BY score DESC, entity_id) AS rn
+                FROM cand) t
+              WHERE rn <= 3
+            ), s0 AS (
+              SELECT doc_id, chain_id, entity_id,
+                     CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+                          ELSE CAST(FLOOR(1000000 *
+                            ((score - mn) / (mx - mn))) AS BIGINT)
+                     END AS s0m
+              FROM (SELECT pruned.*,
+                      MIN(score) OVER (PARTITION BY doc_id, chain_id) AS mn,
+                      MAX(score) OVER (PARTITION BY doc_id, chain_id) AS mx
+                    FROM pruned) t
+            ), edges0 AS (
+              SELECT a.doc_id, a.chain_id, a.entity_id,
+                     b.chain_id AS o_chain, b.entity_id AS o_entity
+              FROM s0 a JOIN s0 b
+                ON a.doc_id = b.doc_id AND a.chain_id <> b.chain_id
+            ), epairs AS (
+              SELECT DISTINCT entity_id AS a_entity, o_entity AS b_entity
+              FROM edges0
+            ), rel AS (
+              SELECT a_entity, b_entity, relm FROM (
+                SELECT t.a_entity, t.b_entity,
+                       CAST(FLOOR(1000000 * t.n_inter /
+                         (sa.n_links + sb.n_links - t.n_inter)) AS BIGINT)
+                         AS relm
+                FROM (SELECT e.a_entity, e.b_entity, COUNT(*) AS n_inter
+                      FROM epairs e
+                      JOIN links la ON la.entity_id = e.a_entity
+                      JOIN links lb ON lb.entity_id = e.b_entity
+                                   AND lb.link = la.link
+                      GROUP BY 1, 2) t
+                JOIN sizes sa ON sa.entity_id = t.a_entity
+                JOIN sizes sb ON sb.entity_id = t.b_entity) r
+              WHERE relm > 0
+            ), edges AS (
+              SELECT e.doc_id, e.chain_id, e.entity_id, e.o_chain,
+                     e.o_entity, r.relm
+              FROM edges0 e
+              JOIN rel r ON r.a_entity = e.entity_id
+                        AND r.b_entity = e.o_entity
+            ), msg1 AS (
+              SELECT doc_id, chain_id, entity_id, SUM(best) AS coh FROM (
+                SELECT e.doc_id, e.chain_id, e.entity_id, e.o_chain,
+                       MAX(CAST(FLOOR(e.relm * s.s0m / 1000000) AS BIGINT))
+                         AS best
+                FROM edges e
+                JOIN s0 s ON s.doc_id = e.doc_id AND s.chain_id = e.o_chain
+                         AND s.entity_id = e.o_entity
+                GROUP BY 1, 2, 3, 4) t
+              GROUP BY 1, 2, 3
+            ), b1 AS (
+              SELECT s0.doc_id, s0.chain_id, s0.entity_id, s0.s0m,
+                     COALESCE(m.coh, 0) AS coh
+              FROM s0 LEFT JOIN msg1 m
+                ON m.doc_id = s0.doc_id AND m.chain_id = s0.chain_id
+               AND m.entity_id = s0.entity_id
+            ), s1 AS (
+              SELECT doc_id, chain_id, entity_id,
+                     CAST(FLOOR((400000 * s0m + 600000 * cohm) / 1000000)
+                       AS BIGINT) AS sm
+              FROM (
+                SELECT doc_id, chain_id, entity_id, s0m,
+                       CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(FLOOR(1000000 *
+                              ((coh - mn) / (mx - mn))) AS BIGINT)
+                       END AS cohm
+                FROM (SELECT b1.*,
+                        MIN(coh) OVER (PARTITION BY doc_id, chain_id) AS mn,
+                        MAX(coh) OVER (PARTITION BY doc_id, chain_id) AS mx
+                      FROM b1) t) n
+            ), msg2 AS (
+              SELECT doc_id, chain_id, entity_id, SUM(best) AS coh FROM (
+                SELECT e.doc_id, e.chain_id, e.entity_id, e.o_chain,
+                       MAX(CAST(FLOOR(e.relm * s.sm / 1000000) AS BIGINT))
+                         AS best
+                FROM edges e
+                JOIN s1 s ON s.doc_id = e.doc_id AND s.chain_id = e.o_chain
+                         AND s.entity_id = e.o_entity
+                GROUP BY 1, 2, 3, 4) t
+              GROUP BY 1, 2, 3
+            ), b2 AS (
+              SELECT s0.doc_id, s0.chain_id, s0.entity_id, s0.s0m,
+                     COALESCE(m.coh, 0) AS coh
+              FROM s0 LEFT JOIN msg2 m
+                ON m.doc_id = s0.doc_id AND m.chain_id = s0.chain_id
+               AND m.entity_id = s0.entity_id
+            )
+            SELECT doc_id, chain_id, entity_id,
+                   CAST(FLOOR((400000 * s0m + 600000 * cohm) / 1000000)
+                     AS BIGINT) AS score_micro
+            FROM (
+              SELECT doc_id, chain_id, entity_id, s0m,
+                     CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+                          ELSE CAST(FLOOR(1000000 *
+                            ((coh - mn) / (mx - mn))) AS BIGINT)
+                     END AS cohm
+              FROM (SELECT b2.*,
+                      MIN(coh) OVER (PARTITION BY doc_id, chain_id) AS mn,
+                      MAX(coh) OVER (PARTITION BY doc_id, chain_id) AS mx
+                    FROM b2) t) n
         """,
     }
