@@ -227,6 +227,22 @@ def coherence_rerank(
     return s.withColumnRenamed("s_micro", "score_micro")
 
 
+def decisions_as_links(decisions: DataFrame) -> DataFrame:
+    """Co-occurrence relatedness source for KBs WITHOUT link structure:
+    treat historical link decisions as the link table — links(e) = the
+    documents e was linked in, so `entity_pair_relatedness` computes
+    document-co-occurrence Jaccard instead of KB-link Jaccard, with
+    the identical exact-arithmetic path.
+
+    The standard bootstrap (self-training collective ER): run a local
+    resolver pass first, feed its decisions back through this into
+    `coherence_resolver`, and the second pass disambiguates against
+    the corpus's own co-occurrence statistics."""
+    return decisions.select(
+        "entity_id", F.col("doc_id").cast("string").alias("link")
+    )
+
+
 def coherence_resolver(
     entity_links: DataFrame,
     lam_micro: int = 300_000,

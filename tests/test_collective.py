@@ -154,3 +154,29 @@ def test_resolver_margin_abstains(spark, links):
     decisions, remaining = res(pairs)
     assert decisions.count() == 0
     assert remaining.count() == 2
+
+
+def test_bootstrap_cooccurrence_links(spark):
+    """KB-link-free mode: a first-pass decision table supplies
+    co-occurrence links; entities repeatedly linked in the same docs
+    become related and lift each other in a second collective pass."""
+    from hamerkop_spark.operators.collective import decisions_as_links
+
+    history = spark.createDataFrame(
+        # e_a and e_b co-occur in two docs; e_c appears alone
+        [("h1", "x1", "e_a"), ("h1", "x2", "e_b"),
+         ("h2", "x1", "e_a"), ("h2", "x2", "e_b"),
+         ("h3", "x1", "e_c")],
+        "doc_id string, chain_id string, entity_id string",
+    )
+    links = decisions_as_links(history)
+    cand = spark.createDataFrame(
+        # new doc: m1 ambiguous between e_c (local best) and e_b;
+        # m2 is unambiguously e_a -> co-occurrence flips m1 to e_b
+        [("d9", "m1", "e_c", 0.9), ("d9", "m1", "e_b", 0.8),
+         ("d9", "m2", "e_a", 1.0)],
+        "doc_id string, chain_id string, entity_id string, score double",
+    )
+    out = coherence_rerank(cand, links, lam_micro=600_000, iterations=1)
+    scores = {(r.chain_id, r.entity_id): r.score_micro for r in out.collect()}
+    assert scores[("m1", "e_b")] > scores[("m1", "e_c")]
