@@ -2212,6 +2212,45 @@ def q_r12_coherence(spark, sf):
     )
 
 
+def q_pprl_dice(spark, sf):
+    """Privacy-preserving linkage (operators/pprl): Bloom-filter CLK
+    position encodings (keyed double-hash of padded bigrams, Schnell
+    2009 / Kirsch-Mitzenmacher) + fixed-point Dice matching. Two
+    "parties" derive from part: A = p_name, B = p_name truncated by
+    one char. The oracle blocks on the minimum set bit (SQL-exact in
+    both engines); the production path's minhash-LSH blocking is
+    xxhash64-based and pytest-gated instead (test_pprl)."""
+    from hamerkop_spark.operators.pprl import clk_positions, dice_micro
+
+    part = _t(spark, sf, "part").where(F.col("p_partkey") <= 300)
+    pad = lambda c: F.concat(  # noqa: E731 — t6-style padding
+        F.lit("_"), F.translate(F.trim(F.lower(c)), " ", "_"), F.lit("_")
+    )
+    enc = lambda c: clk_positions(  # noqa: E731
+        pad(c), n_bits=512, k=10, salt="s1"
+    )
+    a = part.select(
+        F.col("p_partkey").alias("a_key"),
+        enc(F.col("p_name")).alias("a_pos"),
+    ).where(F.size("a_pos") >= 1)
+    b = part.select(
+        F.col("p_partkey").alias("b_key"),
+        enc(
+            F.expr("substring(p_name, 1, length(p_name) - 1)")
+        ).alias("b_pos"),
+    ).where(F.size("b_pos") >= 1)
+    a = a.withColumn("blk", F.element_at("a_pos", 1))
+    b = b.withColumn("blk", F.element_at("b_pos", 1))
+    return (
+        a.join(b, "blk")
+        .select(
+            "a_key", "b_key",
+            dice_micro(F.col("a_pos"), F.col("b_pos")).alias("dice_micro"),
+        )
+        .where(F.col("dice_micro") >= 500000)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2328,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_feature_vector": q_f11_feature_vector,
         "c1_cascade_coref": q_c1_cascade_coref,
         "r12_coherence": q_r12_coherence,
+        "pprl_dice": q_pprl_dice,
     }
 
 
@@ -4252,5 +4292,54 @@ def oracle_sql() -> dict[str, str]:
                       MIN(coh) OVER (PARTITION BY doc_id, chain_id) AS mn,
                       MAX(coh) OVER (PARTITION BY doc_id, chain_id) AS mx
                     FROM b2) t) n
+        """,
+        # CLK encoding: padded bigrams -> k=10 double-hashed positions
+        # (md5 hex halves, verified bit-identical to Spark's
+        # conv(substring(md5),16,10)) in 512 bits; block on the minimum
+        # set bit; fixed-point Dice with the engine's association
+        "pprl_dice": """
+            WITH src AS (
+              SELECT p_partkey,
+                     '_' || replace(trim(lower(p_name)), ' ', '_')
+                         || '_' AS fa,
+                     '_' || replace(trim(lower(
+                         substring(p_name, 1, length(p_name) - 1))),
+                         ' ', '_') || '_' AS fb
+              FROM part WHERE p_partkey <= 300
+            ), enc AS (
+              SELECT p_partkey,
+                list_sort(list_distinct(flatten(list_transform(
+                  list_transform(generate_series(1, length(fa) - 1),
+                                 i -> substr(fa, i, 2)),
+                  g -> list_transform(range(0, 10), j -> CAST(
+                    (CAST(('0x' || substring(md5(g || 's1'), 1, 8))
+                          AS BIGINT)
+                     + j * CAST(('0x' || substring(md5(g || 's1'), 9, 8))
+                          AS BIGINT)) % 512 AS INTEGER)))))) AS a_pos,
+                list_sort(list_distinct(flatten(list_transform(
+                  list_transform(generate_series(1, length(fb) - 1),
+                                 i -> substr(fb, i, 2)),
+                  g -> list_transform(range(0, 10), j -> CAST(
+                    (CAST(('0x' || substring(md5(g || 's1'), 1, 8))
+                          AS BIGINT)
+                     + j * CAST(('0x' || substring(md5(g || 's1'), 9, 8))
+                          AS BIGINT)) % 512 AS INTEGER)))))) AS b_pos
+              FROM src
+            ), A AS (
+              SELECT p_partkey AS a_key, a_pos, a_pos[1] AS blk
+              FROM enc WHERE len(a_pos) >= 1
+            ), B AS (
+              SELECT p_partkey AS b_key, b_pos, b_pos[1] AS blk
+              FROM enc WHERE len(b_pos) >= 1
+            )
+            SELECT a_key, b_key, dice_micro FROM (
+              SELECT a_key, b_key,
+                     CAST(FLOOR(1000000 *
+                       (2 * CAST(len(list_intersect(a_pos, b_pos))
+                            AS BIGINT))
+                       / (len(a_pos) + len(b_pos))) AS BIGINT)
+                       AS dice_micro
+              FROM A JOIN B USING (blk)) t
+            WHERE dice_micro >= 500000
         """,
     }

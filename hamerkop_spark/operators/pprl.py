@@ -1,0 +1,178 @@
+"""Privacy-preserving record linkage (PPRL): Bloom-filter CLK
+encodings and Dice matching over encodings only.
+
+Published basis: Schnell, Bachteler & Reiher 2009 (BMC Med Inf —
+Bloom-filter encodings for private record linkage), Kirsch &
+Mitzenmacher 2006 (double hashing h1 + i·h2 simulates k independent
+hash functions), bottom-k sketches (Cohen 1997) for blocking. The
+reference has no privacy module; this extends the linkage suite so two
+parties can match records on keyed encodings without exchanging the
+underlying names.
+
+A CLK here is the SORTED DISTINCT ARRAY OF SET BIT POSITIONS, not a
+packed bitset: Dice needs |A∩B| and the two set sizes — native array
+ops in Spark (and DuckDB, for the oracle tests) — and the position
+set minhashes directly for deletion-robust LSH blocking.
+With n_bits=1024, k=20 and ~30 bigrams the position form is ~450 ints
+vs the packed form's 16 words: a 2-4× size trade for whole-stage-
+codegen intersections and engine-portable semantics (a packed
+`bit_count` path would be a perf variant, not a semantics change).
+
+Hash portability: positions derive from md5 hex substrings
+(h1 = bits 1-32, h2 = bits 33-64, position_i = (h1 + i·h2) mod
+n_bits), which evaluates identically in Spark (`conv(substring(md5()
+...), 16, 10)`) and DuckDB (`('0x' || substring(md5(...)))::BIGINT`)
+— verified bit-exact. The `salt` is the linkage unit's secret key
+(appended to every gram before hashing), the standard defense against
+dictionary attacks on the encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hamerkop_spark.functions.strings import char_ngrams
+
+#: 1.0 in fixed-point micro-units (Dice scores).
+MICRO = 1_000_000
+
+
+def clk_positions(
+    norm_name: Column,
+    n_bits: int = 1024,
+    k: int = 20,
+    ngram: int = 2,
+    salt: str = "",
+) -> Column:
+    """CLK encoding of a pre-normalized name: character n-grams, each
+    double-hashed to `k` positions, returned as a sorted distinct
+    array<int> of set bits.
+
+    The caller normalizes (the match plans use the `_`-padded
+    lower/underscore form, strings.format_ngram_name) — encoding and
+    normalization are separate so both parties can agree on either
+    independently.
+
+    CSE note: the md5 pair is computed ONCE per gram in an outer
+    transform (a struct), and the inner transform over i=0..k-1 only
+    reads the struct fields — inlining h1/h2 into the inner lambda
+    would re-hash every gram k times (lambda bodies re-evaluate per
+    element; see char_ngrams' zip-of-slices note)."""
+    grams = char_ngrams(norm_name, ngram)
+    salted = (lambda g: F.concat(g, F.lit(salt))) if salt else (lambda g: g)
+    hashed = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.conv(F.substring(F.md5(salted(g)), 1, 8), 16, 10)
+            .cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(salted(g)), 9, 8), 16, 10)
+            .cast("long").alias("h2"),
+        ),
+    )
+    pos = F.flatten(
+        F.transform(
+            hashed,
+            lambda h: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: ((h["h1"] + i * h["h2"]) % F.lit(n_bits))
+                .cast("int"),
+            ),
+        )
+    )
+    return F.array_sort(F.array_distinct(pos))
+
+
+def dice_micro(a: Column, b: Column) -> Column:
+    """Dice coefficient 2|A∩B|/(|A|+|B|) of two position arrays in
+    bigint micro-units — floor((1e6·2·inter)/(|A|+|B|)), the same
+    engine-portable fixed-point association as the coherence and IDF
+    scores."""
+    inter = F.size(F.array_intersect(a, b)).cast("long")
+    denom = (F.size(a) + F.size(b)).cast("long")
+    return F.when(denom == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(MICRO) * (2 * inter) / denom)
+    ).cast("long")
+
+
+def pprl_candidates(
+    enc_a: DataFrame,
+    enc_b: DataFrame,
+    bands: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """MinHash-LSH blocking over CLK position arrays.
+
+    Band signature i = hash of `band_rows` independent minhashes of
+    the position SET (min over xxhash64(position, seed)), so a band
+    matches with probability J^band_rows where J is the position-set
+    Jaccard, and a true pair escapes all bands with probability
+    (1-J^r)^bands — deletion-robust, unlike banding a bottom-k PREFIX
+    of the sorted array, where one removed position shifts every later
+    slice (measured: 3/10 near-identical names missed under prefix
+    banding; 0/10 under minhash banding). Returns distinct
+    (a_id, b_id) candidates — never all-pairs.
+
+    :param enc_a: (a_id, a_pos array<int>); :param enc_b: (b_id, b_pos).
+    """
+    if bands < 1 or band_rows < 1:
+        raise ValueError("bands and band_rows must be >= 1")
+
+    # single-arg closure factory, NOT `lambda p, seed=...`: pyspark's
+    # transform() dispatches on lambda ARITY, so a two-parameter lambda
+    # is the (element, index) form and the "default" second arg is
+    # silently overwritten by the element index — every seed hashes
+    # identically and LSH recall collapses (caught by the perturbed-
+    # corpus test)
+    def _seeded(seed):
+        return lambda p: F.xxhash64(p, F.lit(seed))
+
+    def banded(df, id_col, pos_col):
+        sigs = F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[
+                    F.array_min(
+                        F.transform(
+                            F.col(pos_col),
+                            _seeded(i * band_rows + r),
+                        )
+                    )
+                    for r in range(band_rows)
+                ]).alias("sig"),
+            )
+            for i in range(bands)
+        ])
+        return (
+            df.where(F.size(pos_col) > 0)
+            .select(id_col, F.explode(sigs).alias("b"))
+            .select(id_col, F.col("b.band").alias("band"),
+                    F.col("b.sig").alias("sig"))
+        )
+
+    a = banded(enc_a, "a_id", "a_pos")
+    b = banded(enc_b, "b_id", "b_pos")
+    return a.join(b, ["band", "sig"]).select("a_id", "b_id").distinct()
+
+
+def pprl_match(
+    enc_a: DataFrame,
+    enc_b: DataFrame,
+    threshold_micro: int = 700_000,
+    bands: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Blocked Dice matching over encodings: minhash-LSH candidates,
+    one array intersection per candidate, threshold. Returns
+    (a_id, b_id, dice_micro) for pairs at or above the threshold."""
+    cand = pprl_candidates(enc_a, enc_b, bands=bands,
+                           band_rows=band_rows)
+    return (
+        cand.join(enc_a, "a_id")
+        .join(enc_b, "b_id")
+        .select(
+            "a_id", "b_id",
+            dice_micro(F.col("a_pos"), F.col("b_pos")).alias("dice_micro"),
+        )
+        .where(F.col("dice_micro") >= F.lit(int(threshold_micro)))
+    )
