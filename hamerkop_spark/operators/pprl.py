@@ -99,7 +99,7 @@ def pprl_candidates(
     enc_a: DataFrame,
     enc_b: DataFrame,
     bands: int = 8,
-    band_rows: int = 2,
+    band_rows: int = 4,
 ) -> DataFrame:
     """MinHash-LSH blocking over CLK position arrays.
 
@@ -112,6 +112,20 @@ def pprl_candidates(
     slice (measured: 3/10 near-identical names missed under prefix
     banding; 0/10 under minhash banding). Returns distinct
     (a_id, b_id) candidates — never all-pairs.
+
+    DENSITY FLOOR — why band_rows defaults to 4, not the 2 the rest of
+    the engine's LSH uses: CLK encodings are ~30-45% dense BY DESIGN
+    (that is the privacy), so two UNRELATED encodings share bits by
+    chance — at k=20/n_bits=1024 (~330 set bits) the background
+    position-set Jaccard is ≈ 0.17, and 2-row bands admit ~30% of all
+    cross pairs (measured: 6.2k candidates/record on a 20k synthetic
+    corpus — quadratic blow-up). 4-row bands push the background band
+    probability to ~8e-4 while a true pair at J≈0.85 still survives
+    with P ≈ 1-(1-0.52)^8 ≈ 99.7%. For large corpora ALSO lower the
+    encoding density (n_bits 2048-4096 at k=20): the background floor
+    scales with density², and blocking on encodings cannot beat it —
+    the PPRL literature's alternative is separate private blocking
+    keys, which `salt`-keyed phonetic encodings can provide.
 
     :param enc_a: (a_id, a_pos array<int>); :param enc_b: (b_id, b_pos).
     """
@@ -160,7 +174,7 @@ def pprl_match(
     enc_b: DataFrame,
     threshold_micro: int = 700_000,
     bands: int = 8,
-    band_rows: int = 2,
+    band_rows: int = 4,
 ) -> DataFrame:
     """Blocked Dice matching over encodings: minhash-LSH candidates,
     one array intersection per candidate, threshold. Returns
