@@ -2251,6 +2251,78 @@ def q_pprl_dice(spark, sf):
     )
 
 
+def q_er_group_linkage(spark, sf):
+    """Group (household) linkage (operators/linkage.group_linkage, On
+    et al. 2007): per-(group pair) greedy one-to-one matching of
+    scored member pairs, normalized by the larger group size. Groups
+    are customers/suppliers bucketed mod 40; candidate group pairs are
+    the diagonal and its +1 shift; 3 assignment rounds capped
+    identically on both engines (the SQL unrolls them QUALIFY-style
+    like r11_one_to_one, with composite partition keys)."""
+    from hamerkop_spark.operators.linkage import group_linkage
+
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") <= 600)
+        .select(
+            (F.col("c_custkey") % 40).alias("ga_key"),
+            F.col("c_custkey").alias("a_id"),
+        )
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .where(F.col("s_suppkey") <= 300)
+        .select(
+            (F.col("s_suppkey") % 40).alias("gb_key"),
+            F.col("s_suppkey").alias("b_id"),
+        )
+    )
+    mp = None
+    for shift in (0, 1):
+        part = (
+            cust.withColumn("gb_key", (F.col("ga_key") + F.lit(shift)) % 40)
+            .join(supp, "gb_key")
+        )
+        mp = part if mp is None else mp.unionByName(part)
+    mp = mp.select(
+        F.col("ga_key").alias("group_a"),
+        F.col("gb_key").alias("group_b"),
+        "a_id", "b_id",
+        ((F.col("a_id") * 3 + F.col("b_id") * 7) % 100).alias("score"),
+    )
+    sizes_a = cust.groupBy(F.col("ga_key").alias("group_a")).agg(
+        F.count("*").alias("n_a")
+    )
+    sizes_b = supp.groupBy(F.col("gb_key").alias("group_b")).agg(
+        F.count("*").alias("n_b")
+    )
+    out = group_linkage(mp, sizes_a, sizes_b, max_rounds=3)
+    return out.select(
+        "group_a", "group_b", "n_matched", "sum_score", "n_a", "n_b",
+        F.floor(
+            F.lit(1000000) * F.col("sum_score")
+            / (F.lit(100) * F.greatest("n_a", "n_b"))
+        ).cast("long").alias("sim_micro"),
+    )
+
+
+def q_er_pr_curve(spark, sf):
+    """Threshold sweep (operators/scoring.pr_curve): exact cumulative
+    tp/fp/fn per distinct score via one histogram + one ordered
+    window; precision/recall/F1 as floor(1e6·ratio) of exact integer
+    counts (f1 = 2tp/(2tp+fp+fn))."""
+    from hamerkop_spark.operators.scoring import pr_curve
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") <= 8000)
+    scored = li.select(
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 50)
+        .cast("double").alias("score"),
+        ((F.col("l_orderkey") + F.col("l_partkey")) % 3 == 0)
+        .alias("is_match"),
+    )
+    return pr_curve(scored)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2368,6 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_cascade_coref": q_c1_cascade_coref,
         "r12_coherence": q_r12_coherence,
         "pprl_dice": q_pprl_dice,
+        "er_group_linkage": q_er_group_linkage,
+        "er_pr_curve": q_er_pr_curve,
     }
 
 
@@ -4341,5 +4415,124 @@ def oracle_sql() -> dict[str, str]:
                        AS dice_micro
               FROM A JOIN B USING (blk)) t
             WHERE dice_micro >= 500000
+        """,
+        # 3 assignment rounds unrolled QUALIFY-style (r11 pattern) with
+        # COMPOSITE partition/removal keys (group_a, group_b, member)
+        "er_group_linkage": """
+            WITH a_side AS (
+              SELECT c_custkey % 40 AS ga, c_custkey AS a_id
+              FROM customer WHERE c_custkey <= 600
+            ), b_side AS (
+              SELECT s_suppkey % 40 AS gb, s_suppkey AS b_id
+              FROM supplier WHERE s_suppkey <= 300
+            ), mp AS (
+              SELECT a.ga AS group_a, b.gb AS group_b, a.a_id, b.b_id,
+                     (a.a_id * 3 + b.b_id * 7) % 100 AS score
+              FROM a_side a JOIN b_side b ON b.gb = a.ga
+              UNION ALL
+              SELECT a.ga, b.gb, a.a_id, b.b_id,
+                     (a.a_id * 3 + b.b_id * 7) % 100
+              FROM a_side a JOIN b_side b ON b.gb = (a.ga + 1) % 40
+            ),
+            rem0 AS (SELECT * FROM mp),
+            r1 AS (
+              SELECT * FROM rem0
+              QUALIFY row_number() OVER (
+                        PARTITION BY group_a, group_b, a_id
+                        ORDER BY score DESC, b_id) = 1
+                 AND row_number() OVER (
+                        PARTITION BY group_a, group_b, b_id
+                        ORDER BY score DESC, a_id) = 1
+            ),
+            rem1 AS (
+              SELECT e.* FROM rem0 e
+              WHERE NOT EXISTS (SELECT 1 FROM r1 m
+                      WHERE m.group_a = e.group_a
+                        AND m.group_b = e.group_b AND m.a_id = e.a_id)
+                AND NOT EXISTS (SELECT 1 FROM r1 m
+                      WHERE m.group_a = e.group_a
+                        AND m.group_b = e.group_b AND m.b_id = e.b_id)
+            ),
+            r2 AS (
+              SELECT * FROM rem1
+              QUALIFY row_number() OVER (
+                        PARTITION BY group_a, group_b, a_id
+                        ORDER BY score DESC, b_id) = 1
+                 AND row_number() OVER (
+                        PARTITION BY group_a, group_b, b_id
+                        ORDER BY score DESC, a_id) = 1
+            ),
+            rem2 AS (
+              SELECT e.* FROM rem1 e
+              WHERE NOT EXISTS (SELECT 1 FROM r2 m
+                      WHERE m.group_a = e.group_a
+                        AND m.group_b = e.group_b AND m.a_id = e.a_id)
+                AND NOT EXISTS (SELECT 1 FROM r2 m
+                      WHERE m.group_a = e.group_a
+                        AND m.group_b = e.group_b AND m.b_id = e.b_id)
+            ),
+            r3 AS (
+              SELECT * FROM rem2
+              QUALIFY row_number() OVER (
+                        PARTITION BY group_a, group_b, a_id
+                        ORDER BY score DESC, b_id) = 1
+                 AND row_number() OVER (
+                        PARTITION BY group_a, group_b, b_id
+                        ORDER BY score DESC, a_id) = 1
+            ),
+            matched AS (
+              SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3
+            ),
+            agg AS (
+              SELECT group_a, group_b, COUNT(*) AS n_matched,
+                     CAST(SUM(score) AS BIGINT) AS sum_score
+              FROM matched GROUP BY 1, 2
+            ),
+            sa AS (SELECT ga AS group_a, COUNT(*) AS n_a
+                   FROM a_side GROUP BY 1),
+            sb AS (SELECT gb AS group_b, COUNT(*) AS n_b
+                   FROM b_side GROUP BY 1)
+            SELECT agg.group_a, agg.group_b, n_matched, sum_score,
+                   n_a, n_b,
+                   CAST(FLOOR(1000000 * sum_score
+                     / (100 * GREATEST(n_a, n_b))) AS BIGINT) AS sim_micro
+            FROM agg
+            JOIN sa USING (group_a)
+            JOIN sb USING (group_b)
+        """,
+        "er_pr_curve": """
+            WITH scored AS (
+              SELECT CAST((l_partkey * 13 + l_suppkey * 7) % 50
+                          AS DOUBLE) AS threshold,
+                     CASE WHEN (l_orderkey + l_partkey) % 3 = 0
+                          THEN 1 ELSE 0 END AS y
+              FROM lineitem WHERE l_orderkey <= 8000
+            ), hist AS (
+              SELECT threshold, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+              FROM scored GROUP BY 1
+            ), cum AS (
+              SELECT threshold,
+                     CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+                     CAST(SUM(neg) OVER w AS BIGINT) AS fp,
+                     CAST(SUM(pos) OVER ()
+                          - SUM(pos) OVER w AS BIGINT) AS fn
+              FROM hist
+              WINDOW w AS (ORDER BY threshold DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT threshold, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN 0
+                        ELSE CAST(FLOOR(1000000 * tp / (tp + fp))
+                                  AS BIGINT) END AS precision_micro,
+                   CASE WHEN tp + fn = 0 THEN 0
+                        ELSE CAST(FLOOR(1000000 * tp / (tp + fn))
+                                  AS BIGINT) END AS recall_micro,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                        ELSE CAST(FLOOR(1000000 * (2 * tp)
+                                  / (2 * tp + fp + fn))
+                                  AS BIGINT) END AS f1_micro
+            FROM cum
         """,
     }

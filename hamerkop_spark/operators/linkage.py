@@ -744,3 +744,75 @@ def fit_fs_em_levels(
         "iterations": it_done,
         "converged": converged,
     }
+
+
+def group_linkage(
+    member_pairs: DataFrame,
+    sizes_a: DataFrame | None = None,
+    sizes_b: DataFrame | None = None,
+    group_a: str = "group_a",
+    group_b: str = "group_b",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str = "score",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Group (household) linkage: similarity between record GROUPS as
+    the greedy one-to-one bipartite matching of their scored member
+    pairs, normalized by the larger group size — On, Koudas, Lee &
+    Srivastava 2007 ("Group Linkage", ICDE), with the optimal bipartite
+    matching replaced by this engine's distributed greedy 1/2-approx
+    (`one_to_one_assignment`, which reproduces sequential greedy
+    exactly). The reference links single records; households, author
+    groups, and company subsidiaries link as SETS, where per-member
+    links double-count and a moved member must not vote twice.
+
+    :param member_pairs: scored member-level candidate pairs carrying
+        (group_a, group_b, a_id, b_id, score) — blocked upstream like
+        any pair table; this operator never generates pairs.
+    :param sizes_a: optional (group_a, n_a) TRUE group sizes; derived
+        from the distinct members seen in `member_pairs` when omitted
+        (an undercount if some members had no candidates — pass real
+        sizes for the published measure).
+    :param max_rounds: forwarded to the inner assignment (None =
+        fixpoint); the one-to-one constraint is scoped WITHIN each
+        (group_a, group_b) pair via composite matching keys, so a
+        member may match different counterparts in different candidate
+        group pairings.
+    :return: one row per candidate group pair:
+        (group_a, group_b, n_matched, sum_score, n_a, n_b, group_sim)
+        with group_sim = sum_score / greatest(n_a, n_b) — callers
+        threshold or feed it to the resolver cascade as a pair score.
+    """
+    mp = member_pairs.withColumn(
+        "_gl", F.struct(F.col(group_a), F.col(group_b), F.col(a_col))
+    ).withColumn(
+        "_gr", F.struct(F.col(group_a), F.col(group_b), F.col(b_col))
+    )
+    matched = one_to_one_assignment(
+        mp, "_gl", "_gr", score_col, max_rounds=max_rounds
+    )
+    per_group = matched.groupBy(group_a, group_b).agg(
+        F.count("*").alias("n_matched"),
+        F.sum(score_col).alias("sum_score"),
+    )
+    if sizes_a is None:
+        sizes_a = (
+            member_pairs.select(group_a, a_col).distinct()
+            .groupBy(group_a).agg(F.count("*").alias("n_a"))
+        )
+    if sizes_b is None:
+        sizes_b = (
+            member_pairs.select(group_b, b_col).distinct()
+            .groupBy(group_b).agg(F.count("*").alias("n_b"))
+        )
+    return (
+        per_group.join(sizes_a, group_a)
+        .join(sizes_b, group_b)
+        .withColumn(
+            "group_sim",
+            F.col("sum_score") / F.greatest(F.col("n_a"), F.col("n_b")),
+        )
+        .select(group_a, group_b, "n_matched", "sum_score",
+                "n_a", "n_b", "group_sim")
+    )

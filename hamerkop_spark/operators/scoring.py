@@ -369,3 +369,75 @@ def v_measure(
     c = 1.0 if h_pred <= eps else 1.0 - min(h_pred_given_gold, h_pred) / h_pred
     v = 0.0 if h + c == 0 else (1 + beta) * h * c / (beta * h + c)
     return Row(homogeneity=h, completeness=c, v_measure=v, n=int(n))
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "is_match",
+    score_col: str = "score",
+) -> DataFrame:
+    """Precision-recall curve over decision thresholds, exact and
+    integer throughout.
+
+    One row per DISTINCT score value θ (descending), counting the
+    decision "link every pair with score >= θ": cumulative tp/fp via a
+    window over the per-score histogram — one groupBy + one ordered
+    window over #distinct-scores rows, never a per-threshold rescan.
+    F1 uses the integer identity f1 = 2tp/(2tp+fp+fn), so every output
+    is a floor(1e6·ratio) of exact counts — engine-portable, no float
+    accumulation. The reference scores only fixed operating points
+    (scorer.py); threshold sweeps are how a linkage THRESHOLD is
+    actually chosen (Fellegi-Sunter band placement, see
+    fs_thresholds_for_error).
+
+    :param scored: pairs with a numeric score and a boolean/0-1 label.
+    :return: (threshold, tp, fp, fn, precision_micro, recall_micro,
+        f1_micro) ordered by threshold descending.
+
+    Scale note: the cumulative window is GLOBAL (one partition over
+    the threshold histogram) — fine when scores are discretized
+    (fixed-point micro scores, det_round, bucketed logits), which is
+    how every score in this engine is produced; pre-bucket raw
+    continuous scores before sweeping or the histogram degenerates to
+    one row per pair.
+    """
+    from pyspark.sql import Window as W
+
+    hist = (
+        scored.select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            (F.count("*") - F.sum("_y")).alias("_neg"),
+        )
+    )
+    w = W.orderBy(F.desc("threshold")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    total_pos = F.sum("_pos").over(
+        W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    cum = hist.select(
+        "threshold",
+        F.sum("_pos").over(w).alias("tp"),
+        F.sum("_neg").over(w).alias("fp"),
+        (total_pos - F.sum("_pos").over(w)).alias("fn"),
+    )
+    micro = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0)
+    ).otherwise(F.floor(F.lit(1_000_000) * num / den)).cast("long")
+    return cum.select(
+        "threshold", "tp", "fp", "fn",
+        micro(F.col("tp"), F.col("tp") + F.col("fp"))
+        .alias("precision_micro"),
+        micro(F.col("tp"), F.col("tp") + F.col("fn"))
+        .alias("recall_micro"),
+        micro(2 * F.col("tp"),
+              2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        .alias("f1_micro"),
+    )

@@ -561,3 +561,57 @@ def test_fit_fs_em_levels_guards(spark):
             df.select(*[F.lit(0).alias(f"f{i}") for i in range(8)]),
             [f"f{i}" for i in range(8)], {f"f{i}": 8 for i in range(8)},
         )
+
+
+def test_group_linkage_one_to_one_semantics(spark):
+    """On et al. group measure: greedy bipartite matching of member
+    pairs — the second member must take the second-best counterpart,
+    not double-count the first's."""
+    from hamerkop_spark.operators.linkage import group_linkage
+
+    pairs = spark.createDataFrame(
+        [("X", "Y", "a1", "b1", 0.9), ("X", "Y", "a1", "b2", 0.8),
+         ("X", "Y", "a2", "b2", 0.7), ("X", "Y", "a2", "b1", 0.2)],
+        "group_a string, group_b string, a_id string, b_id string,"
+        " score double",
+    )
+    out = group_linkage(pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_matched == 2
+    assert abs(r.sum_score - 1.6) < 1e-9          # 0.9 + 0.7, NOT 0.9+0.8
+    assert r.n_a == 2 and r.n_b == 2
+    assert abs(r.group_sim - 0.8) < 1e-9
+
+
+def test_group_linkage_scoped_per_group_pair(spark):
+    """A member may match different counterparts in different candidate
+    group pairings — the one-to-one constraint binds within (ga, gb)."""
+    from hamerkop_spark.operators.linkage import group_linkage
+
+    pairs = spark.createDataFrame(
+        [("X", "Y", "a1", "y1", 0.9),
+         ("X", "Z", "a1", "z1", 0.8)],
+        "group_a string, group_b string, a_id string, b_id string,"
+        " score double",
+    )
+    out = {(r.group_a, r.group_b): r for r in group_linkage(pairs).collect()}
+    assert out[("X", "Y")].n_matched == 1
+    assert out[("X", "Z")].n_matched == 1
+
+
+def test_group_linkage_explicit_sizes(spark):
+    """True group sizes dominate the normalization when members lack
+    candidates."""
+    from hamerkop_spark.operators.linkage import group_linkage
+
+    pairs = spark.createDataFrame(
+        [("X", "Y", "a1", "b1", 1.0)],
+        "group_a string, group_b string, a_id string, b_id string,"
+        " score double",
+    )
+    sizes_a = spark.createDataFrame([("X", 4)], "group_a string, n_a long")
+    sizes_b = spark.createDataFrame([("Y", 2)], "group_b string, n_b long")
+    r = group_linkage(pairs, sizes_a=sizes_a, sizes_b=sizes_b).first()
+    assert r.n_a == 4 and r.n_b == 2
+    assert abs(r.group_sim - 0.25) < 1e-9         # 1.0 / max(4, 2)

@@ -259,3 +259,35 @@ def test_pairwise_prf_zero_denominators_are_zero(spark):
     g2 = _clusters_df(spark, {"a": "x", "b": "y", "c": "x", "d": "y"})
     r2 = pairwise_cluster_prf(p2, g2, "mention_key").collect()[0]
     assert (r2.p_fp, r2.r_fp, r2.f1_fp) == (0, 0, 0)
+
+
+def test_pr_curve_exact_counts(spark):
+    from hamerkop_spark.operators.scoring import pr_curve
+
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.7, True)],
+        "score double, is_match boolean",
+    )
+    rows = {r.threshold: r for r in pr_curve(scored).collect()}
+    assert rows[0.9].tp == 1 and rows[0.9].fp == 0 and rows[0.9].fn == 1
+    assert rows[0.9].precision_micro == 1_000_000
+    assert rows[0.9].recall_micro == 500_000
+    assert rows[0.9].f1_micro == 666_666
+    assert rows[0.8].f1_micro == 500_000
+    assert rows[0.7].tp == 2 and rows[0.7].fp == 1 and rows[0.7].fn == 0
+    assert rows[0.7].f1_micro == 800_000
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    from hamerkop_spark.operators.scoring import pr_curve
+
+    data = [((i * 37) % 100, (i * 53) % 7 < 3) for i in range(200)]
+    scored = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in data], "score double, is_match boolean"
+    )
+    got = {r.threshold: (r.tp, r.fp, r.fn) for r in pr_curve(scored).collect()}
+    for th, counts in got.items():
+        tp = sum(1 for s, y in data if s >= th and y)
+        fp = sum(1 for s, y in data if s >= th and not y)
+        fn = sum(1 for s, y in data if s < th and y)
+        assert counts == (tp, fp, fn), th
