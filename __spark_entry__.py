@@ -1825,6 +1825,29 @@ def q_block_meta_cnp(spark, sf):
     return meta_blocking_cnp(blocks, top_k=3, max_block_size=100)
 
 
+def q_block_suffix_array(spark, sf):
+    """Suffix-array blocking (Aizawa & Oyama WIRI '05,
+    operators/blocking_eval.suffix_array_candidates): share-any-suffix
+    (len >= 5) pairing with frequent-suffix purge. Bounded record set
+    mirrors q_block_meta_cnp so block sizes stay non-degenerate across
+    SFs."""
+    from hamerkop_spark.operators.blocking_eval import (
+        suffix_array_candidates,
+    )
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    recs = part.select("p_partkey", F.lower(F.col("p_name")).alias("nm"))
+    return suffix_array_candidates(
+        recs,
+        key_col="nm",
+        id_col="p_partkey",
+        min_suffix_len=5,
+        max_block_size=50,
+    )
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2442,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_dice": q_pprl_dice,
         "er_group_linkage": q_er_group_linkage,
         "er_pr_curve": q_er_pr_curve,
+        "block_suffix_array": q_block_suffix_array,
     }
 
 
@@ -2796,6 +2820,28 @@ def oracle_sql() -> dict[str, str]:
                    'sorted_neighborhood' AS source
             FROM ranked a
             JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        """,
+        "block_suffix_array": """
+            WITH r AS (
+              SELECT p_partkey AS rid, lower(p_name) AS k
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey < 5000
+            ), ex AS (
+              SELECT DISTINCT rid, sfx FROM (
+                SELECT rid,
+                       unnest(list_transform(
+                         generate_series(1, greatest(1, length(k) - 5 + 1)),
+                         i -> substr(k, i))) AS sfx
+                FROM r)
+            ), sizes AS (
+              SELECT sfx, count(*) AS bsz FROM ex GROUP BY sfx
+            ), kept AS (
+              SELECT ex.rid, ex.sfx FROM ex JOIN sizes USING (sfx)
+              WHERE bsz BETWEEN 2 AND 50
+            )
+            SELECT a.rid AS a_id, b.rid AS b_id, count(*) AS n_shared,
+                   'suffix_array' AS source
+            FROM kept a JOIN kept b ON a.sfx = b.sfx AND a.rid < b.rid
+            GROUP BY a.rid, b.rid
         """,
         "block_meta_cnp": """
             WITH b AS (

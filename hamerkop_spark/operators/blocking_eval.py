@@ -10,6 +10,15 @@ chooses between, plus the metrics used to make that choice).
   index + tiny per-partition base offsets — never a single-partition
   window; the window pairing itself is an equi-join on a uniform
   integer key (rank), so it is skew-free by construction.
+* Suffix-array blocking (Aizawa & Oyama, WIRI '05): block two records
+  whenever they share any key suffix of length >= `min_suffix_len`,
+  with frequent suffixes purged by a block-size cap. Complements the
+  prefix-anchored families (sorted-neighborhood sorts on the key HEAD;
+  Soundex keys the head phonetically): an error in the FIRST
+  characters of a name — truncation, dropped honorific, OCR damage at
+  line starts, the classic web-text failure — moves a record
+  arbitrarily far in sort order but leaves every suffix that starts
+  after the error intact.
 * Graph meta-blocking (Papadakis et al., TKDE '14): re-weight the
   implicit comparison graph of an existing block collection (CBS =
   common-blocks count) after size-purging the hot blocks, then prune
@@ -305,6 +314,83 @@ def sorted_neighborhood_candidates(
 
     return rp.mapInPandas(pair_local, out_schema).withColumn(
         "source", F.lit(source)
+    )
+
+
+def suffix_array_candidates(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    min_suffix_len: int = 4,
+    max_block_size: int = 50,
+    source: str = "suffix_array",
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama, WIRI 2005): two records
+    become a candidate pair when they share ANY suffix of the blocking
+    key with length >= ``min_suffix_len``; suffixes whose block exceeds
+    ``max_block_size`` records are purged (the standard frequent-suffix
+    cap — common endings like 'corporation'/'...ovic' would otherwise
+    contribute quadratic pairs while discriminating nothing).
+
+    Output: (a_id, b_id, n_shared, source), one row per pair with
+    a < b and n_shared = number of surviving suffixes the pair shares
+    (a CBS-style weight, directly feedable to ``meta_blocking_cnp``'s
+    pruning idea or a cheap-confidence sort).
+
+    Keys shorter than ``min_suffix_len`` contribute their whole key as
+    the single suffix (the sequence lower bound is clamped to one
+    position), so short names still block instead of silently dropping
+    out.
+
+    Why this family at web scale: the key HEAD is the most fragile
+    part of crawled names (truncated titles, dropped honorifics,
+    boilerplate prefixes), and every head-anchored scheme — sort-order
+    neighborhoods, Soundex of the first syllable, key prefixes — moves
+    a head-damaged record arbitrarily far away. Suffixes that begin
+    after the damage are untouched, so recall degrades gracefully.
+
+    Plan shape at 10^12 rows: one explode bounded by key length (web
+    names are short strings, ~L suffixes per record), one partial-agg
+    shuffle for block sizes, one size-capped self-join (every block
+    <= max_block_size, so the join fan-out per key is bounded and AQE
+    has nothing to split), one pair-keyed partial-agg shuffle for the
+    dedup/weight. No window functions, no driver collection.
+
+    The reference blocks only through driver-side dict indexes
+    (hamerkop/kb.py:132-305) and has no suffix family; new capability.
+    """
+    slim = records.select(
+        F.col(id_col).alias("rec_id"), F.col(key_col).alias("sa_key")
+    ).where(F.col(key_col).isNotNull() & (F.length(key_col) > 0))
+    # all suffixes of length >= min_suffix_len; clamp to >= 1 start so
+    # short keys emit the whole key. array_distinct: a key like 'abab'
+    # repeats suffixes only when the key itself repeats, but pathological
+    # repeats must not double-count a record inside its own block.
+    exploded = slim.select(
+        "rec_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(1, length(sa_key)"
+                    f" - {int(min_suffix_len)} + 1)), i -> substr(sa_key, i))"
+                )
+            )
+        ).alias("sfx"),
+    )
+    sizes = exploded.groupBy("sfx").agg(F.count("*").alias("bsz"))
+    kept = exploded.join(
+        sizes.where(
+            (F.col("bsz") >= 2) & (F.col("bsz") <= int(max_block_size))
+        ).select("sfx"),
+        "sfx",
+    )
+    a = kept.select(F.col("sfx"), F.col("rec_id").alias("a_id"))
+    b = kept.select(F.col("sfx"), F.col("rec_id").alias("b_id"))
+    pairs = a.join(b, "sfx").where(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumn("source", F.lit(source))
     )
 
 

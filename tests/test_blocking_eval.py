@@ -10,6 +10,7 @@ from hamerkop_spark.operators.blocking_eval import (
     global_sorted_rank,
     meta_blocking_cnp,
     sorted_neighborhood_candidates,
+    suffix_array_candidates,
 )
 from hamerkop_spark.operators.train import (
     calibrated_probability,
@@ -237,3 +238,83 @@ def test_sn_local_correct_under_union_self_reference(spark):
     doubled = sn.unionByName(sn)
     assert doubled.distinct().count() == 3 * 300 - 6
     assert doubled.count() == 2 * (3 * 300 - 6)
+
+
+def test_suffix_array_exact_small(spark):
+    # min_suffix_len=3: maria -> {maria, aria, ria}; aria -> {aria, ria};
+    # ria -> {ria}; bob -> {bob}. Blocks: aria={1,2}, ria={1,2,3}.
+    df = spark.createDataFrame(
+        [(1, "maria"), (2, "aria"), (3, "ria"), (4, "bob")],
+        "rid int, name string",
+    )
+    got = rows(
+        suffix_array_candidates(df, "name", "rid", min_suffix_len=3),
+        "a_id", "b_id", "n_shared",
+    )
+    assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+
+
+def test_suffix_array_hot_suffix_purged(spark):
+    # 12 records share every suffix of 'commonend' but nothing else;
+    # cap 10 purges all those blocks -> zero pairs survive
+    # per-record letter prefixes share no characters, so the ONLY
+    # cross-record suffixes are substrings of 'commonend'
+    df = spark.createDataFrame(
+        [(i, f"{chr(97 + i) * 2}commonend") for i in range(12)],
+        "rid int, name string",
+    )
+    out = suffix_array_candidates(
+        df, "name", "rid", min_suffix_len=3, max_block_size=10
+    )
+    assert out.count() == 0
+
+
+def test_suffix_array_short_keys_use_whole_key(spark):
+    # keys shorter than min_suffix_len block on the whole key instead
+    # of dropping out
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "xy")], "rid int, name string"
+    )
+    got = rows(
+        suffix_array_candidates(df, "name", "rid", min_suffix_len=5),
+        "a_id", "b_id", "n_shared",
+    )
+    assert got == [(1, 2, 1)]
+
+
+def test_suffix_array_survives_prefix_damage_where_sn_fails(spark):
+    # the documented claim: head-of-key damage (truncation, dropped
+    # honorific) leaves suffixes intact, so suffix blocking keeps the
+    # true pair while a sort-order neighborhood loses it
+    syll = ["kar", "mol", "vet", "san", "bor", "lim", "tos", "rud"]
+    base = [
+        syll[i % 8] + syll[(i * 3 + 1) % 8] + syll[(i * 5 + 2) % 8] + f"{i:04d}"
+        for i in range(120)
+    ]
+    recs = [(i, nm) for i, nm in enumerate(base)] + [
+        (1000 + i, nm[2:]) for i, nm in enumerate(base)  # head-damaged dup
+    ]
+    df = spark.createDataFrame(recs, "rid int, name string")
+    gold = {(i, 1000 + i) for i in range(120)}
+
+    sa = {
+        (a, b)
+        for a, b in rows(
+            suffix_array_candidates(
+                df, "name", "rid", min_suffix_len=5, max_block_size=200
+            ),
+            "a_id", "b_id",
+        )
+    }
+    sa_recall = len(sa & gold) / len(gold)
+    assert sa_recall == 1.0  # the digit tail is a shared suffix by construction
+
+    sn = {
+        (min(a, b), max(a, b))
+        for a, b in rows(
+            sorted_neighborhood_candidates(df, "name", "rid", window=4),
+            "a_id", "b_id",
+        )
+    }
+    sn_recall = len(sn & gold) / len(gold)
+    assert sn_recall < 0.5  # head damage scatters the dup in sort order
