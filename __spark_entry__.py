@@ -2022,6 +2022,32 @@ def q_c9_pairwise_prf(spark, sf):
     return pairwise_cluster_prf(pred, gold)
 
 
+def q_cluster_audit(spark, sf):
+    """Transitive-closure integrity audit (operators/scoring.
+    cluster_audit): per-cluster density / weakest-edge metrics that
+    flag chaining. Clusters = segment-nation buckets; edges = +7
+    custkey neighbors with a deterministic score."""
+    from hamerkop_spark.operators.scoring import cluster_audit
+
+    cust = _t(spark, sf, "customer")
+    asg = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.concat_ws(
+            "-", "c_mktsegment", (F.col("c_nationkey") % 5).cast("string")
+        ).alias("cluster"),
+    )
+    a = cust.select(F.col("c_custkey").alias("a_id"))
+    edges = (
+        a.select("a_id", (F.col("a_id") + 7).alias("b_id"))
+        .join(cust.select(F.col("c_custkey").alias("b_id")), "b_id")
+        .withColumn(
+            "score",
+            ((F.col("a_id") + F.col("b_id")) % 97).cast("double") / 100.0,
+        )
+    )
+    return cluster_audit(asg, edges)
+
+
 def q_f_tfidf_cosine(spark, sf):
     """TF-IDF cosine name/document similarity (functions/tfidf):
     corpus IDF fixed-pointed per token (the B3 convention), per-record
@@ -2466,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_group_linkage": q_er_group_linkage,
         "er_pr_curve": q_er_pr_curve,
         "block_suffix_array": q_block_suffix_array,
+        "cluster_audit": q_cluster_audit,
     }
 
 
@@ -2820,6 +2847,52 @@ def oracle_sql() -> dict[str, str]:
                    'sorted_neighborhood' AS source
             FROM ranked a
             JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        """,
+        "cluster_audit": """
+            WITH asg AS (
+              SELECT c_custkey AS node,
+                     c_mktsegment || '-' || (c_nationkey % 5)::VARCHAR AS cl
+              FROM customer
+            ), e0 AS (
+              SELECT a.c_custkey AS ea, a.c_custkey + 7 AS eb,
+                     ((a.c_custkey + a.c_custkey + 7) % 97)::DOUBLE / 100.0
+                       AS score
+              FROM customer a
+              JOIN customer b ON b.c_custkey = a.c_custkey + 7
+            ), e AS (
+              SELECT least(ea, eb) AS ea2, greatest(ea, eb) AS eb2,
+                     min(floor(score * 1e6 + 0.5)::BIGINT) AS s_fp
+              FROM e0 WHERE ea <> eb GROUP BY 1, 2
+            ), intra AS (
+              SELECT x.cl, e.s_fp FROM e
+              JOIN asg x ON x.node = e.ea2
+              JOIN asg y ON y.node = e.eb2 AND y.cl = x.cl
+            ), es AS (
+              SELECT cl, count(*) AS n_edges, min(s_fp) AS min_fp,
+                     sum(s_fp) AS sum_fp
+              FROM intra GROUP BY cl
+            ), ns AS (
+              SELECT cl, count(*) AS n_nodes FROM asg GROUP BY cl
+            ), j AS (
+              SELECT ns.cl, n_nodes,
+                     coalesce(n_edges, 0)::BIGINT AS n_edges,
+                     (n_nodes * (n_nodes - 1) / 2)::BIGINT AS possible_pairs,
+                     min_fp, sum_fp
+              FROM ns LEFT JOIN es USING (cl)
+            )
+            SELECT cl AS cluster, n_nodes, n_edges, possible_pairs,
+                   CASE WHEN possible_pairs > 0 THEN
+                     floor(n_edges * 1000000 / possible_pairs)::BIGINT
+                   END AS density_fp,
+                   min_fp AS min_score_fp,
+                   CASE WHEN n_edges > 0 THEN
+                     floor(sum_fp / n_edges)::BIGINT
+                   END AS mean_score_fp,
+                   (n_nodes >= 3 AND coalesce(
+                     CASE WHEN possible_pairs > 0 THEN
+                       floor(n_edges * 1000000 / possible_pairs)::BIGINT
+                     END, 0) < 500000) AS chaining_suspect
+            FROM j
         """,
         "block_suffix_array": """
             WITH r AS (

@@ -441,3 +441,118 @@ def pr_curve(
               2 * F.col("tp") + F.col("fp") + F.col("fn"))
         .alias("f1_micro"),
     )
+
+
+def cluster_audit(
+    assignments: DataFrame,
+    edges: DataFrame,
+    key: str = "mention_key",
+    cluster_col: str = "cluster",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str = "score",
+    min_density_fp: int = 500_000,
+) -> DataFrame:
+    """Transitive-closure integrity audit: per-cluster edge-support
+    metrics that expose CHAINING — the classic failure of CC-based ER,
+    where a->b and b->c decisions glue a and c into one entity no
+    scorer ever compared. A chained cluster shows low edge density
+    (a pure path of n nodes has n-1 of the n(n-1)/2 possible edges)
+    and/or one weak bridge edge holding two dense groups together.
+
+    Output, one row per cluster:
+      (cluster, n_nodes, n_edges, possible_pairs, density_fp,
+       min_score_fp, mean_score_fp, chaining_suspect)
+
+    density_fp = floor(1e6 * n_edges / possible_pairs) for n_nodes >= 2
+    (NULL for singletons); scores are fixed-pointed PER EDGE before
+    aggregation, so min is exact and the mean is an integer division of
+    an order-independent integer sum — hash-stable across engines.
+    chaining_suspect = n_nodes >= 3 AND density below the threshold:
+    the actionable review queue for a splitter (re-score the weakest
+    edges, or re-run CC with the bridge edge dropped).
+
+    Edges are canonicalized (a<b, self-loops dropped, duplicate pairs
+    collapsed to their min score) so either orientation is accepted;
+    only intra-cluster edges count — a pair straddling two clusters is
+    a blocking/decision artifact, not cluster support.
+
+    Scale shape: two equi-joins (edge endpoints -> assignments), one
+    pair-keyed dedup agg, one cluster-keyed agg with partial
+    aggregation, one node-count agg. No windows, no driver collection;
+    at 10^12 rows each shuffle is keyed by pair or cluster id, and hot
+    (huge) clusters aggregate associatively.
+
+    The reference has no cluster auditor (its coref merges are greedy
+    per-document, coref.py:266-282, so corpus-level chaining cannot be
+    inspected at all); new capability for the corpus-level CC this
+    engine adds.
+    """
+    asg = assignments.select(
+        F.col(key).alias("_node"), F.col(cluster_col).alias("_cl")
+    )
+    swap = F.col(a_col) > F.col(b_col)
+    e = (
+        edges.select(
+            F.when(swap, F.col(b_col)).otherwise(F.col(a_col)).alias("_a"),
+            F.when(swap, F.col(a_col)).otherwise(F.col(b_col)).alias("_b"),
+            F.floor(
+                F.col(score_col).cast("double") * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("_s_fp"),
+        )
+        .where(F.col(a_col) != F.col(b_col))
+        .groupBy("_a", "_b")
+        .agg(F.min("_s_fp").alias("_s_fp"))
+    )
+    intra = (
+        e.join(asg.withColumnRenamed("_node", "_a"), "_a")
+        .withColumnRenamed("_cl", "_cl_a")
+        .join(asg.withColumnRenamed("_node", "_b"), "_b")
+        .where(F.col("_cl_a") == F.col("_cl"))
+    )
+    edge_stats = intra.groupBy(F.col("_cl").alias("cluster")).agg(
+        F.count("*").alias("n_edges"),
+        F.min("_s_fp").alias("min_score_fp"),
+        F.sum("_s_fp").alias("_sum_fp"),
+    )
+    node_stats = asg.groupBy(F.col("_cl").alias("cluster")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    out = node_stats.join(edge_stats, "cluster", "left").select(
+        "cluster",
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint").alias("n_edges"),
+        (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2)
+        .cast("bigint")
+        .alias("possible_pairs"),
+        "min_score_fp",
+        "_sum_fp",
+    )
+    density = F.when(
+        F.col("possible_pairs") > 0,
+        F.floor(
+            F.col("n_edges") * F.lit(1_000_000) / F.col("possible_pairs")
+        ).cast("bigint"),
+    )
+    return (
+        out.withColumn("density_fp", density)
+        .withColumn(
+            "mean_score_fp",
+            F.when(
+                F.col("n_edges") > 0,
+                F.floor(F.col("_sum_fp") / F.col("n_edges")).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "chaining_suspect",
+            (F.col("n_nodes") >= 3)
+            & (F.coalesce(F.col("density_fp"), F.lit(0)) < F.lit(int(min_density_fp))),
+        )
+        .select(
+            "cluster", "n_nodes", "n_edges", "possible_pairs",
+            "density_fp", "min_score_fp", "mean_score_fp",
+            "chaining_suspect",
+        )
+    )

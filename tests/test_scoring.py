@@ -291,3 +291,59 @@ def test_pr_curve_matches_bruteforce(spark):
         fp = sum(1 for s, y in data if s >= th and not y)
         fn = sum(1 for s, y in data if s < th and y)
         assert counts == (tp, fp, fn), th
+
+
+def test_cluster_audit_chain_vs_clique(spark):
+    # X = 5-node chain (density 0.4 -> suspect), Y = triangle (1.0),
+    # Z = singleton; straddling edge (5,6) ignored; (7,6) is a
+    # duplicate orientation of (6,7) collapsing to the min score;
+    # self-loop dropped.
+    asg = spark.createDataFrame(
+        [(i, "X") for i in range(1, 6)]
+        + [(i, "Y") for i in range(6, 9)]
+        + [(9, "Z")],
+        "mention_key int, cluster string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9), (2, 3, 0.4), (3, 4, 0.9), (4, 5, 0.9),
+            (6, 7, 0.8), (7, 8, 0.8), (6, 8, 0.8),
+            (7, 6, 0.85),   # duplicate orientation
+            (5, 6, 0.9),    # straddles X/Y
+            (7, 7, 1.0),    # self-loop
+        ],
+        "a_id int, b_id int, score double",
+    )
+    got = {
+        r.cluster: r for r in SC.cluster_audit(asg, edges).collect()
+    }
+    x = got["X"]
+    assert (x.n_nodes, x.n_edges, x.possible_pairs) == (5, 4, 10)
+    assert x.density_fp == 400_000
+    assert x.min_score_fp == 400_000
+    assert x.mean_score_fp == 775_000
+    assert x.chaining_suspect
+    y = got["Y"]
+    assert (y.n_nodes, y.n_edges, y.possible_pairs) == (3, 3, 3)
+    assert y.density_fp == 1_000_000
+    assert y.min_score_fp == 800_000 and y.mean_score_fp == 800_000
+    assert not y.chaining_suspect
+    z = got["Z"]
+    assert (z.n_nodes, z.n_edges, z.possible_pairs) == (1, 0, 0)
+    assert z.density_fp is None and z.min_score_fp is None
+    assert not z.chaining_suspect
+
+
+def test_cluster_audit_pairs_never_suspect(spark):
+    # n_nodes >= 3 guard: a 2-node cluster is its own edge support
+    asg = spark.createDataFrame(
+        [(1, "P"), (2, "P"), (3, "Q"), (4, "Q"), (5, "Q")],
+        "mention_key int, cluster string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 0.3), (3, 4, 0.9)], "a_id int, b_id int, score double"
+    )
+    got = {r.cluster: r for r in SC.cluster_audit(asg, edges).collect()}
+    assert not got["P"].chaining_suspect          # n=2, density 1.0
+    assert got["Q"].chaining_suspect              # n=3, 1 of 3 edges
+    assert got["Q"].density_fp == 333_333
