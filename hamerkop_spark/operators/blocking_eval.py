@@ -378,12 +378,16 @@ def suffix_array_candidates(
         ).alias("sfx"),
     )
     sizes = exploded.groupBy("sfx").agg(F.count("*").alias("bsz"))
+    # pin the surviving postings once: the self-join below would
+    # otherwise re-run the explode AND the size aggregation on both
+    # sides (plan-audited: 4 parquet scans without the pin, 1 with) —
+    # same Catalyst CSE gap the TF-IDF weights hit (functions/tfidf.py)
     kept = exploded.join(
         sizes.where(
             (F.col("bsz") >= 2) & (F.col("bsz") <= int(max_block_size))
         ).select("sfx"),
         "sfx",
-    )
+    ).localCheckpoint(eager=False)
     a = kept.select(F.col("sfx"), F.col("rec_id").alias("a_id"))
     b = kept.select(F.col("sfx"), F.col("rec_id").alias("b_id"))
     pairs = a.join(b, "sfx").where(F.col("a_id") < F.col("b_id"))
