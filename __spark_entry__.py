@@ -2429,9 +2429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_review_sample": q_fs_review_sample,
         "fs_level_weight": q_fs_level_weight,
         "er_dedupe_plan": q_er_dedupe_plan,
-        # --- recorded in round 4; the first 13 fill out this round's
-        # 50; the rest spill into the tail and join the must-lead
-        # set for round 6 ---
+        # --- recorded in round 4; the first 9 fill out this round's
+        # 50 (through chains_agg); the rest spill into the tail and
+        # join the must-lead set for round 6 ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
