@@ -356,6 +356,41 @@ def q_f9_levenshtein_argmin(spark, sf):
     )
 
 
+def q_f_monge_elkan_lev(spark, sf):
+    """Monge-Elkan (Monge & Elkan 1996, one-directional) with a
+    normalized-Levenshtein kernel in exact integer micro-units
+    (operators/features.py monge_elkan_lev_pairs) — the JVM-native
+    scale path beside the Arrow JW variant. Candidates are blocked by
+    shared token (the f9 inverted-index shape); never all-pairs."""
+    from hamerkop_spark.operators.features import monge_elkan_lev_pairs
+
+    part = _t(spark, sf, "part")
+    q = part.where(F.col("p_partkey") % 23 == 0).select(
+        F.col("p_partkey").alias("q_key"), F.lower("p_name").alias("q_name")
+    )
+    c = part.where(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("c_key"), F.lower("p_name").alias("c_name")
+    )
+    qtok = q.select("q_key", F.explode(F.split("q_name", " ")).alias("tok")).distinct()
+    ctok = c.select("c_key", F.explode(F.split("c_name", " ")).alias("tok")).distinct()
+    blocked = (
+        qtok.join(ctok, "tok")
+        .where(F.col("q_key") != F.col("c_key"))
+        .select("q_key", "c_key")
+        .distinct()
+    )
+    pairs = (
+        blocked.join(q, "q_key").join(c, "c_key")
+        .select(
+            "q_key", "c_key",
+            F.split("q_name", " ").alias("q_toks"),
+            F.split("c_name", " ").alias("c_toks"),
+        )
+    )
+    me = monge_elkan_lev_pairs(pairs, ["q_key", "c_key"])
+    return me.where(F.col("me_micro") >= 500000)
+
+
 def q_f7_shared_tokens(spark, sf):
     """F7 SharedTokensFeature: max over candidates of |q∩c|/|q|
     (features.py:156-171)."""
@@ -2493,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pr_curve": q_er_pr_curve,
         "block_suffix_array": q_block_suffix_array,
         "cluster_audit": q_cluster_audit,
+        "f_monge_elkan_lev": q_f_monge_elkan_lev,
     }
 
 
@@ -3811,6 +3847,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_key, c_key AS best_key, floor((dist) * 10000.0 + 0.5) / 10000.0 AS dist
             FROM ranked WHERE rn = 1 AND dist < 0.5
+        """,
+        "f_monge_elkan_lev": """
+            WITH q AS (
+              SELECT p_partkey AS q_key, lower(p_name) AS q_name
+              FROM part WHERE p_partkey % 23 = 0
+            ), c AS (
+              SELECT p_partkey AS c_key, lower(p_name) AS c_name
+              FROM part WHERE p_partkey % 7 = 0
+            ), qtok AS (
+              SELECT DISTINCT q_key, unnest(string_split(q_name, ' ')) AS tok
+              FROM q
+            ), ctok AS (
+              SELECT DISTINCT c_key, unnest(string_split(c_name, ' ')) AS tok
+              FROM c
+            ), blocked AS (
+              SELECT DISTINCT q_key, c_key FROM qtok JOIN ctok USING (tok)
+              WHERE q_key <> c_key
+            ), tok_pairs AS (
+              SELECT b.q_key, b.c_key, qt.tok AS tok_a, ct.tok AS tok_b
+              FROM blocked b
+              JOIN qtok qt USING (q_key)
+              JOIN ctok ct USING (c_key)
+              WHERE length(qt.tok) > 0 AND length(ct.tok) > 0
+            ), best AS (
+              SELECT q_key, c_key, tok_a,
+                     max(((greatest(length(tok_a), length(tok_b))
+                           - levenshtein(tok_a, tok_b)) * 1000000)
+                         // greatest(length(tok_a), length(tok_b))) AS best
+              FROM tok_pairs GROUP BY q_key, c_key, tok_a
+            )
+            SELECT q_key, c_key,
+                   (sum(best) // count(*))::BIGINT AS me_micro
+            FROM best GROUP BY q_key, c_key
+            HAVING (sum(best) // count(*))::BIGINT >= 500000
         """,
         "f7_shared_tokens": """
             WITH q AS (

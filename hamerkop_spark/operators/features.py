@@ -356,6 +356,64 @@ def monge_elkan_feature() -> Column:
     return monge_elkan_udf(a, b)
 
 
+def monge_elkan_lev_pairs(
+    pairs: DataFrame,
+    keys: list[str],
+    left_toks: str = "q_toks",
+    right_toks: str = "c_toks",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-directional Monge-Elkan (the canonical Monge & Elkan 1996
+    form) with a normalized-Levenshtein inner kernel, fully JVM-native:
+
+        ME(A,B) = 1/|A| * sum_{x in A} max_{y in B} sim(x, y)
+        sim(x,y) = (L - lev(x,y)) / L,  L = max(len(x), len(y))
+
+    computed in exact integer micro-units (``(L-lev)*scale div L``,
+    then ``sum div count``) so the distributed aggregation is
+    order-independent and the result is bit-stable against a SQL
+    oracle. This is the scale-path complement to ``monge_elkan_udf``
+    (the symmetric Jaro-Winkler variant, an Arrow-batched pandas UDF):
+    here every op — explode, levenshtein, both aggregates — stays
+    inside whole-stage codegen, so there is no Python crossing at all
+    in the hot loop. No reference analog (its string features are
+    whole-string only, features.py:69-116).
+
+    ``pairs`` must carry the pair-identifying ``keys`` columns plus two
+    token-array columns; per-pair fan-out is |A|x|B| token rows
+    (bounded by name lengths), and both groupBys partial-aggregate
+    map-side before the shuffle on the pair key.
+
+    Returns ``keys + [me_micro]`` (bigint, 0..scale); pairs with an
+    empty side are dropped (no tokens to score).
+    """
+    toks = pairs.select(
+        *keys,
+        F.explode(F.array_distinct(F.col(left_toks))).alias("tok_a"),
+        F.array_distinct(F.col(right_toks)).alias("_bt"),
+    ).select(*keys, "tok_a", F.explode("_bt").alias("tok_b"))
+    # exact floor division: ((L - lev) * scale) div L via expr-level `div`
+    per_tok = (
+        toks.where((F.length("tok_a") > 0) & (F.length("tok_b") > 0))
+        .withColumn(
+            "sim_micro",
+            F.expr(
+                f"((greatest(length(tok_a), length(tok_b)) "
+                f"- levenshtein(tok_a, tok_b)) * cast({int(scale)} as bigint)) "
+                f"div greatest(length(tok_a), length(tok_b))"
+            ),
+        )
+    )
+    best = per_tok.groupBy(*keys, "tok_a").agg(
+        F.max("sim_micro").alias("best")
+    )
+    return (
+        best.groupBy(*keys)
+        .agg(F.sum("best").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(*keys, F.expr("_s div _n").alias("me_micro"))
+    )
+
+
 def embedding_cosine_feature() -> Column:
     """north_rule "cosine over name/context embedding features": cosine
     between per-side embedding columns `chain_emb` / `entity_emb`

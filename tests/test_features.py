@@ -208,6 +208,46 @@ def test_monge_elkan_feature_in_extended_bundle(spark):
     assert "f_monge_elkan" in EXTENDED_FEATURES
 
 
+def test_monge_elkan_lev_pairs_matches_scalar(spark):
+    """monge_elkan_lev_pairs (JVM-native, integer micro) vs a scalar
+    recomputation with the same floor-division arithmetic."""
+    from hamerkop_spark.functions.textdist import levenshtein_py
+    from hamerkop_spark.operators.features import monge_elkan_lev_pairs
+
+    cases = [
+        (1, ["jon", "q", "smith"], ["smith", "jonathan"]),
+        (2, ["acme", "corp"], ["acme", "corp"]),
+        (3, ["a"], ["b"]),
+        (4, ["kitten", "sitting"], ["sitting", "kitten", "mitten"]),
+        (5, ["new", "york", "city"], ["york", "new"]),
+        (6, ["dup", "dup", "x"], ["dup"]),  # array_distinct on both sides
+        (7, [""], ["x"]),  # empty tokens dropped -> pair vanishes
+    ]
+    df = spark.createDataFrame(
+        cases, "pid bigint, q_toks array<string>, c_toks array<string>"
+    )
+    got = {
+        r["pid"]: r["me_micro"]
+        for r in monge_elkan_lev_pairs(df, ["pid"]).collect()
+    }
+
+    def micro(a, b):
+        big = max(len(a), len(b))
+        return ((big - levenshtein_py(a, b)) * 1_000_000) // big
+
+    for pid, xs, ys in cases:
+        xs = [x for x in dict.fromkeys(xs) if x]
+        ys = [y for y in dict.fromkeys(ys) if y]
+        if not xs or not ys:
+            assert pid not in got, (pid, got.get(pid))
+            continue
+        best = [max(micro(x, y) for y in ys) for x in xs]
+        want = sum(best) // len(best)
+        assert got[pid] == want, (pid, got[pid], want)
+    assert got[2] == 1_000_000  # identical sets
+    assert got[3] == 0  # fully unlike single tokens
+
+
 def test_monge_elkan_randomized_vs_scalar(spark):
     import random
 
