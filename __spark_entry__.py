@@ -1883,6 +1883,43 @@ def q_block_suffix_array(spark, sf):
     )
 
 
+def q_block_canopy(spark, sf):
+    """Canopy clustering (McCallum, Nigam & Ungar KDD '00,
+    operators/canopy.canopy_assignments): overlapping token-overlap
+    canopies under the deterministic min-id dominance center rule —
+    inverted index with posting purge, tight t1=4 kills later centers,
+    loose t2=3 sets canopy reach, singleton fallback makes coverage
+    total. All-integer cheap similarity, so any ANSI engine reproduces
+    it bit-exactly. Record = part with name/brand/type/size-bucket
+    tokens; % 3 subsample keeps the sf0.01 result well-sized (5,171
+    rows) while posting sizes stay non-degenerate."""
+    from hamerkop_spark.operators.canopy import canopy_assignments
+
+    recs = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("record_id"),
+            F.array_distinct(
+                F.concat(
+                    F.split(F.lower(F.col("p_name")), " "),
+                    F.array(
+                        F.lower(F.col("p_brand")),
+                        F.lower(F.col("p_type")),
+                        F.concat(
+                            F.lit("s"),
+                            (F.col("p_size") % 8).cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("tokens"),
+        )
+    )
+    return canopy_assignments(
+        recs, t1_overlap=4, t2_overlap=3, max_posting=500
+    )
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2464,9 +2501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_review_sample": q_fs_review_sample,
         "fs_level_weight": q_fs_level_weight,
         "er_dedupe_plan": q_er_dedupe_plan,
-        # --- recorded in round 4; the first 9 fill out this round's
-        # 50 (through chains_agg); the rest spill into the tail and
-        # join the must-lead set for round 6 ---
+        # --- new in round 5, final session (canopy blocking):
+        # recorded immediately ---
+        "block_canopy": q_block_canopy,
+        # --- recorded in round 4; the first 8 fill out this round's
+        # 50 (through c3_acronym_key); the rest spill into the tail
+        # and join the must-lead set for round 6 ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2475,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_altname_attach": q_kb_altname_attach,
         "s6_extents_parse": q_s6_extents_parse,
         "c3_acronym_key": q_c3_acronym_key,
+        # --- position 51 onward: NOT recorded this round ---
         "chains_agg": q_chains_agg,
         "f5_wikipedia_link": q_f5_wikipedia_link,
         "p7_acronym_replace": q_p7_acronym_replace,
@@ -2487,11 +2528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
         "r6_cascade_resolver": q_r6_cascade_resolver,
         "t14_doc_type": q_t14_doc_type,
-        # --- position 51 onward: NOT recorded this round. Everything
-        # below (t15_entity_origin through c1_cascade_coref, 30 rows)
-        # was last recorded in round 4 and MUST lead the round-6
-        # registry (driver records the first 50; no row may go two
-        # consecutive rounds unrecorded) ---
+        # --- everything from chains_agg down through c1_cascade_coref
+        # (these 30 rows plus the 12 spilled above) was last recorded
+        # in round 4 and MUST lead the round-6 registry (driver
+        # records the first 50; no row may go two consecutive rounds
+        # unrecorded) ---
         "t15_entity_origin": q_t15_entity_origin,
         "t5_remove_double_letter": q_t5_remove_double_letter,
         "t2_unicode_punct": q_t2_unicode_punct,
@@ -2929,6 +2970,49 @@ def oracle_sql() -> dict[str, str]:
                        floor(n_edges * 1000000 / possible_pairs)::BIGINT
                      END, 0) < 500000) AS chaining_suspect
             FROM j
+        """,
+        "block_canopy": """
+            WITH recs AS (
+              SELECT p_partkey AS rid,
+                     list_distinct(list_concat(
+                       string_split(lower(p_name), ' '),
+                       [lower(p_brand), lower(p_type),
+                        's' || (p_size % 8)::VARCHAR])) AS toks
+              FROM part WHERE p_partkey % 3 = 0
+            ), tok AS (
+              SELECT rid, unnest(toks) AS tok FROM recs
+            ), kept AS (
+              SELECT tok FROM tok GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 500
+            ), post AS (
+              SELECT rid, tok FROM tok JOIN kept USING (tok)
+            ), ov AS (
+              SELECT a.rid AS a_id, b.rid AS b_id, count(*) AS ov
+              FROM post a JOIN post b ON a.tok = b.tok AND a.rid < b.rid
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ), dominated AS (
+              SELECT DISTINCT b_id AS rid FROM ov WHERE ov >= 4
+            ), centers AS (
+              SELECT rid AS center_id FROM recs
+              ANTI JOIN dominated USING (rid)
+            ), memb AS (
+              SELECT b_id AS record_id, center_id
+              FROM ov JOIN centers ON a_id = center_id
+              UNION
+              SELECT a_id AS record_id, center_id
+              FROM ov JOIN centers ON b_id = center_id
+            ), covered AS (
+              SELECT record_id, center_id FROM memb
+              UNION ALL
+              SELECT center_id AS record_id, center_id FROM centers
+            ), orphans AS (
+              SELECT rid AS record_id, rid AS center_id FROM recs
+              ANTI JOIN (SELECT DISTINCT record_id AS rid
+                         FROM covered) USING (rid)
+            )
+            SELECT record_id, center_id FROM covered
+            UNION ALL
+            SELECT record_id, center_id FROM orphans
         """,
         "block_suffix_array": """
             WITH r AS (

@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 from hamerkop_spark.functions.phonetic import soundex_key
 from hamerkop_spark.functions.textdist import jaro_winkler_udf
 from hamerkop_spark.operators.canonical import golden_record
+from hamerkop_spark.operators.canopy import (
+    canopy_assignments,
+    canopy_candidates,
+)
 from hamerkop_spark.operators.cc import connected_components
 
 #: blocking key generators: name -> Column producing an ARRAY of keys
@@ -55,6 +59,8 @@ def dedupe_records(
     blocking: tuple[str, ...] = ("exact", "soundex", "token"),
     jw_threshold: float = 0.92,
     max_block: int = 100,
+    canopy_t1: int = 3,
+    canopy_t2: int = 2,
 ) -> dict:
     """Deduplicate a single record table by name similarity.
 
@@ -62,8 +68,12 @@ def dedupe_records(
         participate, others come back as singleton clusters.
     :param attrs: columns to canonicalize into the golden record
         (defaults to just `name_col`).
-    :param blocking: subset of {"exact", "soundex", "token"} — keys are
-        unioned, so recall is the union of the generators' reach.
+    :param blocking: subset of {"exact", "soundex", "token",
+        "canopy"} — sources are unioned, so recall is the union of the
+        generators' reach. "canopy" is corpus-level (McCallum et al.
+        2000, operators/canopy.py): token-overlap canopies with the
+        min-id dominance center rule, tight/loose thresholds
+        ``canopy_t1``/``canopy_t2``.
     :param jw_threshold: Jaro-Winkler decision threshold on the
         normalized names.
     :param max_block: per-key pair-generation cap; a hotter key is
@@ -74,7 +84,7 @@ def dedupe_records(
               "golden": one canonical row per cluster,
               "n_pairs": int, "n_clusters": int}
     """
-    unknown = set(blocking) - set(_KEYERS)
+    unknown = set(blocking) - set(_KEYERS) - {"canopy"}
     if unknown:
         raise ValueError(f"unknown blocking generators: {sorted(unknown)}")
     norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
@@ -83,28 +93,46 @@ def dedupe_records(
         F.col("_norm").isNotNull() & (F.col("_norm") != "")
     ).select(F.col(id_col).alias("_id"), "_norm")
 
+    cand = None
     melted = None
     for gen in blocking:
+        if gen == "canopy":
+            continue
         part = keyed_src.select(
             "_id", F.explode(_KEYERS[gen](F.col("_norm"))).alias("_key")
         ).where(F.col("_key").isNotNull() & (F.col("_key") != ""))
         melted = part if melted is None else melted.unionByName(part)
-    melted = melted.distinct()
-    ok_keys = (
-        melted.groupBy("_key")
-        .agg(F.count("*").alias("_kn"))
-        .where((F.col("_kn") > 1) & (F.col("_kn") <= max_block))
-        .select("_key")
-    )
-    keyed = melted.join(ok_keys, "_key")
-    a = keyed.select("_key", F.col("_id").alias("a_id"))
-    b = keyed.select("_key", F.col("_id").alias("b_id"))
-    cand = (
-        a.join(b, "_key")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    if melted is not None:
+        melted = melted.distinct()
+        ok_keys = (
+            melted.groupBy("_key")
+            .agg(F.count("*").alias("_kn"))
+            .where((F.col("_kn") > 1) & (F.col("_kn") <= max_block))
+            .select("_key")
+        )
+        keyed = melted.join(ok_keys, "_key")
+        a = keyed.select("_key", F.col("_id").alias("a_id"))
+        b = keyed.select("_key", F.col("_id").alias("b_id"))
+        cand = (
+            a.join(b, "_key")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+    if "canopy" in blocking:
+        asn = canopy_assignments(
+            keyed_src.select(
+                F.col("_id").alias("record_id"),
+                F.array_distinct(F.split("_norm", " ")).alias("tokens"),
+            ),
+            t1_overlap=canopy_t1,
+            t2_overlap=canopy_t2,
+            max_posting=max_block,
+        )
+        cpairs = canopy_candidates(asn).select("a_id", "b_id")
+        cand = cpairs if cand is None else cand.unionByName(cpairs)
+    if cand is None:
+        raise ValueError("blocking must name at least one generator")
+    cand = cand.distinct()
     na = keyed_src.select(
         F.col("_id").alias("a_id"), F.col("_norm").alias("_na")
     )

@@ -53,7 +53,29 @@ def test_dedupe_block_cap_prevents_blowup(spark):
 
 def test_dedupe_unknown_generator_raises(spark, noisy):
     with pytest.raises(ValueError):
-        dedupe_records(noisy, blocking=("exact", "canopy"))
+        dedupe_records(noisy, blocking=("exact", "zz_bogus"))
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, blocking=())
+
+
+def test_dedupe_canopy_blocking_recovers_token_reordered_dups(spark):
+    # "maria elena garcia lopez" vs "garcia lopez maria elena": no
+    # exact/soundex-head key survives the reorder, but the token-
+    # overlap canopy co-blocks them; JW alone would also miss, so
+    # check the canopy CANDIDATES carry the pair
+    data = [
+        (1, "maria elena garcia lopez"),
+        (2, "garcia lopez maria elena"),
+        (3, "john smith"),
+        (4, "totally different person"),
+    ]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    out = dedupe_records(
+        df, blocking=("canopy",), jw_threshold=0.99, canopy_t1=4,
+        canopy_t2=3,
+    )
+    pairs = rows(out["pairs"], "a_id", "b_id")
+    assert (1, 2) in pairs
 
 
 def test_dedupe_pairwise_f1_on_synthetic_dups(spark):
