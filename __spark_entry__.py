@@ -1920,6 +1920,43 @@ def q_block_canopy(spark, sf):
     )
 
 
+def q_er_star_clusters(spark, sf):
+    """Star clustering (Aslam, Pelekhov & Rus 1998,
+    operators/star.star_assignments): overlapping diameter-<=2 star
+    clusters over a token-overlap similarity graph, one-shot min-id
+    degree-dominance relaxation (static degrees, singleton fallback,
+    total coverage). Edges reuse the canopy cheap-similarity kernel
+    (shared distinct-token count >= 3) over the same part-token
+    records as block_canopy, so the two queries differ only in the
+    clustering rule on top. All-integer arithmetic -> bit-exact
+    DuckDB twin (702 rows at sf0.01)."""
+    from hamerkop_spark.operators.canopy import token_overlap_pairs
+    from hamerkop_spark.operators.star import star_assignments
+
+    recs = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("record_id"),
+            F.array_distinct(
+                F.concat(
+                    F.split(F.lower(F.col("p_name")), " "),
+                    F.array(
+                        F.lower(F.col("p_brand")),
+                        F.lower(F.col("p_type")),
+                        F.concat(
+                            F.lit("s"),
+                            (F.col("p_size") % 8).cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("tokens"),
+        )
+    )
+    edges = token_overlap_pairs(recs, min_overlap=3, max_posting=500)
+    return star_assignments(edges)
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2570,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_suffix_array": q_block_suffix_array,
         "cluster_audit": q_cluster_audit,
         "f_monge_elkan_lev": q_f_monge_elkan_lev,
+        "er_star_clusters": q_er_star_clusters,
     }
 
 
@@ -3009,6 +3047,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT rid AS record_id, rid AS center_id FROM recs
               ANTI JOIN (SELECT DISTINCT record_id AS rid
                          FROM covered) USING (rid)
+            )
+            SELECT record_id, center_id FROM covered
+            UNION ALL
+            SELECT record_id, center_id FROM orphans
+        """,
+        "er_star_clusters": """
+            WITH recs AS (
+              SELECT p_partkey AS rid,
+                     list_distinct(list_concat(
+                       string_split(lower(p_name), ' '),
+                       [lower(p_brand), lower(p_type),
+                        's' || (p_size % 8)::VARCHAR])) AS toks
+              FROM part WHERE p_partkey % 3 = 0
+            ), tok AS (
+              SELECT rid, unnest(toks) AS tok FROM recs
+            ), kept AS (
+              SELECT tok FROM tok GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 500
+            ), post AS (
+              SELECT rid, tok FROM tok JOIN kept USING (tok)
+            ), ov AS (
+              SELECT a.rid AS a_id, b.rid AS b_id, count(*) AS ov
+              FROM post a JOIN post b ON a.tok = b.tok AND a.rid < b.rid
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ), sym AS (
+              SELECT a_id AS node, b_id AS nbr FROM ov
+              UNION
+              SELECT b_id AS node, a_id AS nbr FROM ov
+            ), deg AS (
+              SELECT node, count(*) AS d FROM sym GROUP BY node
+            ), dd AS (
+              SELECT s.node, s.nbr, dn.d AS deg_n, db.d AS deg_b
+              FROM sym s JOIN deg dn ON s.node = dn.node
+              JOIN deg db ON s.nbr = db.node
+            ), dominated AS (
+              SELECT DISTINCT node FROM dd
+              WHERE deg_b > deg_n OR (deg_b = deg_n AND nbr < node)
+            ), nodes AS (
+              SELECT DISTINCT node FROM sym
+            ), centers AS (
+              SELECT node AS center_id FROM nodes
+              ANTI JOIN dominated USING (node)
+            ), memb AS (
+              SELECT s.node AS record_id, c.center_id
+              FROM sym s JOIN centers c ON s.nbr = c.center_id
+            ), covered AS (
+              SELECT record_id, center_id FROM memb
+              UNION ALL
+              SELECT center_id AS record_id, center_id FROM centers
+            ), orphans AS (
+              SELECT node AS record_id, node AS center_id FROM nodes
+              ANTI JOIN (SELECT DISTINCT record_id AS node
+                         FROM covered) USING (node)
             )
             SELECT record_id, center_id FROM covered
             UNION ALL
