@@ -1957,6 +1957,75 @@ def q_er_star_clusters(spark, sf):
     return star_assignments(edges)
 
 
+def q_er_pivot_clusters(spark, sf):
+    """Pivot correlation clustering / KwikCluster (Ailon, Charikar &
+    Newman JACM 2008; parallel form Chierichetti et al. KDD 2014;
+    operators/pivot.pivot_clusters): exact sequential parity via the
+    greedy hash-rank MIS fixpoint + min-rank pivot assignment —
+    PARTITIONS the same part-token overlap graph that cc_transitive
+    unions and er_star_clusters overlaps, completing the clustering
+    triptych. All-integer Knuth-hash ranks, so the DuckDB twin (a
+    recursive CTE running the same monotone decision rules to the
+    same least fixpoint) is bit-exact (667 rows at sf0.01)."""
+    from hamerkop_spark.operators.canopy import token_overlap_pairs
+    from hamerkop_spark.operators.pivot import pivot_clusters
+
+    recs = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("record_id"),
+            F.array_distinct(
+                F.concat(
+                    F.split(F.lower(F.col("p_name")), " "),
+                    F.array(
+                        F.lower(F.col("p_brand")),
+                        F.lower(F.col("p_type")),
+                        F.concat(
+                            F.lit("s"),
+                            (F.col("p_size") % 8).cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("tokens"),
+        )
+    )
+    edges = token_overlap_pairs(recs, min_overlap=3, max_posting=500)
+    return pivot_clusters(edges)
+
+
+def q_f_soft_tfidf_lev(spark, sf):
+    """SoftTFIDF with the exact-integer normalized-Levenshtein kernel
+    (Cohen et al. 2003 §2.3 relaxation; functions/tfidf.
+    soft_tfidf_lev_pairs) — the hash-exact JVM-native twin of the
+    float JW-kernel soft_tfidf_pairs. Same corpus IDF / weights /
+    norms / pair blocking as f_tfidf_cosine; each a-token credits its
+    best b-token at sim >= 0.5 in micro-units, per-term scale-down
+    floor keeps every product inside BIGINT."""
+    from hamerkop_spark.functions.tfidf import (
+        soft_tfidf_lev_pairs,
+        tfidf_norms,
+        tfidf_weights,
+        token_idf,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.slice(F.split(F.col("text"), " "), 1, 10).alias("tokens"),
+    )
+    idf = token_idf(docs, "tokens")
+    w = tfidf_weights(docs, idf).localCheckpoint(eager=False)
+    n = tfidf_norms(w).localCheckpoint(eager=False)
+    a = docs.where(F.col("record_id") % 10 == 0).select(
+        F.col("record_id").alias("a_id"), (F.col("record_id") % 5).alias("bk")
+    )
+    b = docs.where(F.col("record_id") % 7 == 3).select(
+        F.col("record_id").alias("b_id"), (F.col("record_id") % 5).alias("bk")
+    )
+    pairs = a.join(b, "bk").select("a_id", "b_id")
+    return soft_tfidf_lev_pairs(pairs, w, n, theta_micro=500_000)
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2608,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_audit": q_cluster_audit,
         "f_monge_elkan_lev": q_f_monge_elkan_lev,
         "er_star_clusters": q_er_star_clusters,
+        "er_pivot_clusters": q_er_pivot_clusters,
+        "f_soft_tfidf_lev": q_f_soft_tfidf_lev,
     }
 
 
@@ -3104,6 +3175,163 @@ def oracle_sql() -> dict[str, str]:
             SELECT record_id, center_id FROM covered
             UNION ALL
             SELECT record_id, center_id FROM orphans
+        """,
+        "er_pivot_clusters": """
+            WITH RECURSIVE recs AS (
+              SELECT p_partkey AS rid,
+                     list_distinct(list_concat(
+                       string_split(lower(p_name), ' '),
+                       [lower(p_brand), lower(p_type),
+                        's' || (p_size % 8)::VARCHAR])) AS toks
+              FROM part WHERE p_partkey % 3 = 0
+            ), tok AS (
+              SELECT rid, unnest(toks) AS tok FROM recs
+            ), kept AS (
+              SELECT tok FROM tok GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 500
+            ), post AS (
+              SELECT rid, tok FROM tok JOIN kept USING (tok)
+            ), ov AS (
+              SELECT a.rid AS a_id, b.rid AS b_id, count(*) AS ov
+              FROM post a JOIN post b ON a.tok = b.tok AND a.rid < b.rid
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ), sym AS (
+              SELECT a_id AS node, b_id AS nbr FROM ov
+              UNION
+              SELECT b_id AS node, a_id AS nbr FROM ov
+            ), dd AS (
+              -- dominance DAG: edges to the pi-earlier endpoint,
+              -- pi = (Knuth multiplicative hash, id)
+              SELECT node, nbr FROM sym
+              WHERE ((nbr % 2147483648) * 2654435761) % 4294967296
+                    < ((node % 2147483648) * 2654435761) % 4294967296
+                 OR (((nbr % 2147483648) * 2654435761) % 4294967296
+                     = ((node % 2147483648) * 2654435761) % 4294967296 AND nbr < node)
+            ), nodes AS (
+              SELECT DISTINCT node FROM sym
+            ), roots AS (
+              SELECT node FROM nodes
+              ANTI JOIN (SELECT DISTINCT node FROM dd) USING (node)
+            ), st AS (
+              -- greedy pi-order MIS as a monotone fixpoint:
+              -- IN when all dominating nbrs OUT, OUT when any IN.
+              -- kind: 'adj' live adjacency, 'carry' statuses carried
+              -- into the next iteration, 'final' emitted once.
+              SELECT node, nbr, NULL::BOOLEAN AS is_in, 'adj' AS kind
+              FROM dd
+              UNION ALL
+              SELECT node, NULL::BIGINT, TRUE, 'final' FROM roots
+              UNION ALL
+              SELECT node, NULL::BIGINT, TRUE, 'carry' FROM roots
+              UNION ALL
+              (
+                WITH cur AS (SELECT * FROM st),
+                und AS (SELECT node, nbr FROM cur WHERE kind = 'adj'),
+                dec AS (SELECT node, is_in FROM cur WHERE kind = 'carry'),
+                new_non AS (
+                  SELECT DISTINCT u.node FROM und u
+                  JOIN dec d ON u.nbr = d.node AND d.is_in
+                ), blocked AS (
+                  SELECT DISTINCT u.node FROM und u
+                  ANTI JOIN (SELECT node FROM dec WHERE NOT is_in) o
+                    ON u.nbr = o.node
+                ), newly AS (
+                  SELECT node, TRUE AS is_in
+                  FROM (SELECT DISTINCT node FROM und) x
+                  ANTI JOIN blocked USING (node)
+                  UNION ALL
+                  SELECT node, FALSE FROM new_non
+                ), surv AS (
+                  SELECT u.node, u.nbr FROM und u
+                  ANTI JOIN newly nw ON u.node = nw.node
+                )
+                SELECT node, NULL::BIGINT AS nbr, is_in, 'final' AS kind
+                FROM newly
+                UNION ALL
+                SELECT node, nbr, NULL::BOOLEAN, 'adj' FROM surv
+                UNION ALL
+                SELECT node, NULL::BIGINT, is_in, 'carry'
+                FROM (SELECT node, is_in FROM dec
+                      UNION ALL SELECT node, is_in FROM newly) dn
+                WHERE EXISTS (SELECT 1 FROM surv)
+              )
+            ), pivots AS (
+              SELECT node FROM st WHERE kind = 'final' AND is_in
+            ), asg AS (
+              -- a non-pivot's grabber is its pi-first dominating pivot
+              SELECT d.node AS record_id, d.nbr AS cluster_id
+              FROM dd d JOIN pivots p ON d.nbr = p.node
+              QUALIFY row_number() OVER (
+                PARTITION BY d.node
+                ORDER BY ((d.nbr % 2147483648) * 2654435761) % 4294967296, d.nbr) = 1
+            )
+            SELECT node AS record_id, node AS cluster_id FROM pivots
+            UNION ALL
+            SELECT record_id, cluster_id FROM asg
+        """,
+        "f_soft_tfidf_lev": """
+            WITH docs AS (
+              SELECT doc_id AS record_id,
+                     (string_split(text, ' '))[1:10] AS tokens
+              FROM documents
+            ), nrec AS (SELECT count(*)::DOUBLE AS n FROM docs),
+            tok AS (
+              SELECT record_id, unnest(tokens) AS token FROM docs
+            ), idf AS (
+              SELECT token,
+                     floor(ln(1 + (SELECT n FROM nrec)
+                              / count(DISTINCT record_id))
+                           * 1000000.0)::BIGINT AS idf_fp
+              FROM tok GROUP BY token
+            ), wts AS (
+              SELECT t.record_id, t.token, t.tf * i.idf_fp AS w_fp
+              FROM (SELECT record_id, token, count(*) AS tf
+                    FROM tok GROUP BY record_id, token) t
+              JOIN idf i USING (token)
+            ), nrm AS (
+              SELECT record_id, sum(w_fp * w_fp)::BIGINT AS norm2
+              FROM wts GROUP BY record_id
+            ), a AS (
+              SELECT record_id AS a_id, record_id % 5 AS bk
+              FROM docs WHERE record_id % 10 = 0
+            ), b AS (
+              SELECT record_id AS b_id, record_id % 5 AS bk
+              FROM docs WHERE record_id % 7 = 3
+            ), p AS (SELECT a_id, b_id FROM a JOIN b USING (bk)),
+            cr AS (
+              SELECT p.a_id, p.b_id, wa.token AS ta, wa.w_fp AS wa,
+                     wb.token AS tb, wb.w_fp AS wb
+              FROM p
+              JOIN wts wa ON wa.record_id = p.a_id
+              JOIN wts wb ON wb.record_id = p.b_id
+            ), best AS (
+              SELECT a_id, b_id, ta, wa, wb,
+                     ((greatest(length(ta), length(tb))
+                       - levenshtein(ta, tb)) * 1000000)
+                     // greatest(length(ta), length(tb)) AS sim_micro
+              FROM cr
+              WHERE ((greatest(length(ta), length(tb))
+                      - levenshtein(ta, tb)) * 1000000)
+                    // greatest(length(ta), length(tb)) >= 500000
+              QUALIFY row_number() OVER (
+                PARTITION BY a_id, b_id, ta
+                ORDER BY sim_micro DESC, wb DESC, tb ASC) = 1
+            ), contrib AS (
+              SELECT a_id, b_id,
+                     sum(((wa * wb) // 1000000) * sim_micro)::BIGINT
+                       AS numer
+              FROM best GROUP BY a_id, b_id
+            )
+            SELECT p.a_id, p.b_id,
+                   COALESCE(
+                     floor(c.numer::DOUBLE / sqrt(na.norm2::DOUBLE)
+                           / sqrt(nb.norm2::DOUBLE)
+                           * 1000000.0 + 0.5)::BIGINT,
+                     0) AS soft_tfidf_lev_fp
+            FROM p
+            LEFT JOIN contrib c USING (a_id, b_id)
+            JOIN nrm na ON na.record_id = p.a_id
+            JOIN nrm nb ON nb.record_id = p.b_id
         """,
         "block_suffix_array": """
             WITH r AS (

@@ -214,6 +214,101 @@ def soft_tfidf_pairs(
     )
 
 
+def soft_tfidf_lev_pairs(
+    pairs: DataFrame,
+    weights: DataFrame,
+    norms: DataFrame,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    id_col: str = "record_id",
+    theta_micro: int = 900_000,
+    out_col: str = "soft_tfidf_lev_fp",
+) -> DataFrame:
+    """SoftTFIDF with an exact-integer normalized-Levenshtein kernel —
+    the hash-exact scale-path twin of ``soft_tfidf_pairs`` (whose JW
+    kernel is float and Arrow-crossed). Kernel per token pair, in
+    micro-units, the same convention as Monge-Elkan
+    (operators/features.py:359):
+
+        sim_micro = ((L - lev(x,y)) * 1e6) div L,  L = max(len x, len y)
+
+    Each a-token pairs with its best b-token when sim_micro >=
+    theta_micro (argmax by sim, ties to the heavier then
+    lexicographically-first b-token), contributing
+
+        ((w_a * w_b) div 1e6) * sim_micro
+
+    — the scale-down happens BEFORE the kernel product, so every term
+    stays inside BIGINT (w_a*w_b < 2^63 needs w < 3e9; idf_fp tops out
+    ~2.8e7 at N = 1e12, leaving tf headroom of 100x) and both engines
+    floor identically. At theta_micro = 1e6 the kernel fires only on
+    identical tokens with sim 1e6, so the numerator reduces to the
+    TF-IDF dot product modulo the per-term scale-down floor (< 1e6
+    absolute per shared token — the calibration test bounds the
+    normalized gap). Final score =
+    numerator / sqrt(norm2_a) / sqrt(norm2_b) folded to millionths —
+    the exact tfidf_cosine_pairs convention, correctly-rounded IEEE in
+    any engine.
+
+    Everything — explode, levenshtein, window argmax, aggregates — is
+    JVM-native whole-stage codegen; no Python crossing. The within-
+    pair token cross product is bounded by name lengths, never corpus
+    size; pairs must already be blocked upstream.
+    """
+    wa = weights.select(
+        F.col(id_col).alias(a_id),
+        F.col("token").alias("_ta"),
+        F.col("w_fp").alias("_wa"),
+    )
+    wb = weights.select(
+        F.col(id_col).alias(b_id),
+        F.col("token").alias("_tb"),
+        F.col("w_fp").alias("_wb"),
+    )
+    cross = pairs.select(a_id, b_id).join(wa, a_id).join(wb, b_id)
+    scored = cross.withColumn(
+        "_sim",
+        F.expr(
+            "((greatest(length(_ta), length(_tb)) - levenshtein(_ta, _tb))"
+            " * cast(1000000 as bigint))"
+            " div greatest(length(_ta), length(_tb))"
+        ),
+    )
+    close = scored.where(F.col("_sim") >= F.lit(int(theta_micro)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(a_id, b_id, "_ta").orderBy(
+        F.desc("_sim"), F.desc("_wb"), F.asc("_tb")
+    )
+    best = close.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    contrib = best.groupBy(a_id, b_id).agg(
+        F.sum(
+            F.expr("((_wa * _wb) div 1000000)") * F.col("_sim")
+        ).cast("bigint").alias("_num")
+    )
+    na = norms.select(F.col(id_col).alias(a_id), F.col("norm2").alias("_na"))
+    nb = norms.select(F.col(id_col).alias(b_id), F.col("norm2").alias("_nb"))
+    score = (
+        F.col("_num").cast("double")
+        / F.sqrt(F.col("_na").cast("double"))
+        / F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        pairs.join(contrib, [a_id, b_id], "left")
+        .join(na, a_id, "left")
+        .join(nb, b_id, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .drop("_num", "_na", "_nb")
+    )
+
 def attach_tfidf_cosine(
     pairs: DataFrame,
     records: DataFrame,

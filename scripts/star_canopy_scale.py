@@ -1,5 +1,6 @@
 """Scale + quality measurement for canopy clustering
-(operators/canopy.py) and star clustering (operators/star.py).
+(operators/canopy.py), star clustering (operators/star.py) and pivot
+correlation clustering (operators/pivot.py).
 
 Corpus: records with 6 hash-derived tokens from a vocabulary sized to
 the record count (average posting size ~6, so the inverted-index
@@ -37,6 +38,7 @@ from hamerkop_spark.operators.canopy import (
     canopy_candidates,
     token_overlap_pairs,
 )
+from hamerkop_spark.operators.pivot import pivot_clusters
 from hamerkop_spark.operators.star import star_assignments
 
 DUP_OFFSET = 1 << 40
@@ -120,6 +122,12 @@ def main() -> None:
     t_star = time.time() - t0
     n_centers = stars.select("center_id").distinct().count()
 
+    t0 = time.time()
+    piv = pivot_clusters(edges)
+    n_piv = piv.count()
+    t_piv = time.time() - t0
+    n_piv_clusters = piv.select("cluster_id").distinct().count()
+
     print(json.dumps({
         "records": n_recs,
         "cores": args.cores,
@@ -137,6 +145,10 @@ def main() -> None:
         "star_records_per_sec": int(n_recs / t_star),
         "star_rows": n_star,
         "star_centers": n_centers,
+        "pivot_wall_sec": round(t_piv, 2),
+        "pivot_records_per_sec": int(n_recs / t_piv),
+        "pivot_rows": n_piv,
+        "pivot_clusters": n_piv_clusters,
     }))
 
 

@@ -170,3 +170,87 @@ def test_pairs_with_empty_vectors_get_zero_not_dropped(spark, vectors):
     assert got[("r1", "r_empty")] == (0, 0.0)
     assert got[("r_empty", "r2")] == (0, 0.0)
     assert got[("r1", "r2")][0] > 0
+
+def _py_soft_lev_fp(a, b, theta_micro):
+    """Scalar oracle for soft_tfidf_lev_pairs' exact conventions."""
+    def lev(x, y):
+        dp = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, dp[0] = dp[0], i
+            for j, cy in enumerate(y, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (cx != cy)
+                )
+        return dp[len(y)]
+
+    def sim(x, y):
+        L = max(len(x), len(y))
+        return ((L - lev(x, y)) * 1_000_000) // L
+
+    w = _py_weights()
+    num = 0
+    for ta, wa in w[a].items():
+        best = None
+        for tb, wb in w[b].items():
+            s = sim(ta, tb)
+            if s < theta_micro:
+                continue
+            key = (-s, -wb, tb)
+            if best is None or key < best[0]:
+                best = (key, wb, s)
+        if best is not None:
+            num += ((wa * best[1]) // 1_000_000) * best[2]
+    na = math.sqrt(sum(x * x for x in w[a].values()))
+    nb = math.sqrt(sum(x * x for x in w[b].values()))
+    return math.floor(num / na / nb * 1e6 + 0.5)
+
+def test_soft_tfidf_lev_matches_scalar_oracle(spark, vectors):
+    from hamerkop_spark.functions.tfidf import soft_tfidf_lev_pairs
+
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r4"), ("r3", "r5"), ("r1", "r3")],
+        "a_id string, b_id string",
+    )
+    for theta in (600_000, 900_000):
+        out = {
+            (r.a_id, r.b_id): r.soft_tfidf_lev_fp
+            for r in soft_tfidf_lev_pairs(
+                pairs, w, n, theta_micro=theta
+            ).collect()
+        }
+        for k in out:
+            assert out[k] == _py_soft_lev_fp(*k, theta), (k, theta)
+
+def test_soft_tfidf_lev_theta_one_calibrates_to_cosine(spark, vectors):
+    from hamerkop_spark.functions.tfidf import soft_tfidf_lev_pairs
+
+    _, _, w, n = vectors
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r4"), ("r3", "r5")],
+        "a_id string, b_id string",
+    )
+    hard = {
+        (r.a_id, r.b_id): r.tfidf_cosine_fp
+        for r in tfidf_cosine_pairs(pairs, w, n).collect()
+    }
+    soft = {
+        (r.a_id, r.b_id): r.soft_tfidf_lev_fp
+        for r in soft_tfidf_lev_pairs(pairs, w, n, theta_micro=1_000_000).collect()
+    }
+    # identical-token kernel only; gap bounded by the per-term
+    # (w_a*w_b div 1e6) scale-down floor, normalized: allow 1 millionth
+    # per shared token plus rounding
+    for k in hard:
+        assert 0 <= hard[k] - soft[k] <= 4, k
+
+def test_soft_tfidf_lev_credits_corp_corporation(spark, vectors):
+    from hamerkop_spark.functions.tfidf import soft_tfidf_lev_pairs
+
+    _, _, w, n = vectors
+    # corp vs corporation: lev 7, L 11 -> sim_micro 363636; visible at
+    # theta 300k, invisible at 900k
+    pairs = spark.createDataFrame([("r1", "r2")], "a_id string, b_id string")
+    lo = soft_tfidf_lev_pairs(pairs, w, n, theta_micro=300_000).collect()[0]
+    hi = soft_tfidf_lev_pairs(pairs, w, n, theta_micro=900_000).collect()[0]
+    assert lo.soft_tfidf_lev_fp > hi.soft_tfidf_lev_fp
