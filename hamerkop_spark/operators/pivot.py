@@ -55,12 +55,19 @@ RANK_MULT = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 RANK_MOD = 4294967296  # 2^32
 RANK_ID_MOD = 2147483648  # 2^31: (2^31-1) * RANK_MULT < 2^63, no overflow
 
-def _rank(col: F.Column) -> F.Column:
+def _rank(col: F.Column, string_ids: bool = False) -> F.Column:
     """Deterministic pseudo-random rank of a vertex id: exact BIGINT
-    arithmetic, reproducible in any ANSI engine. The id is reduced
-    mod 2^31 before the multiply so the product never overflows
-    BIGINT for ANY bigint id; ids congruent mod 2^31 share a rank but
-    the (rank, id) order stays total via the id tie-break."""
+    arithmetic, reproducible in any ANSI engine. Numeric ids are
+    reduced mod 2^31 before the multiply so the product never
+    overflows BIGINT for ANY bigint id; ids congruent mod 2^31 share
+    a rank but the (rank, id) order stays total via the id tie-break.
+    String ids rank via the md5-hex 60-bit convention (the same
+    portable `conv(substr(md5(x),1,15),16,10)` used by the MinHash
+    oracle) — collisions fall to the id tie-break as well."""
+    if string_ids:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
     return F.pmod(
         F.pmod(col.cast("bigint"), F.lit(RANK_ID_MOD)) * F.lit(RANK_MULT),
         F.lit(RANK_MOD),
@@ -74,9 +81,10 @@ def _sym_edges(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     ).distinct()
 
-def _nbr_precedes() -> F.Column:
+def _nbr_precedes(string_ids: bool = False) -> F.Column:
     """nbr precedes node in pi: (rank ASC, id ASC) total order."""
-    rn, rb = _rank(F.col("node")), _rank(F.col("nbr"))
+    rn = _rank(F.col("node"), string_ids)
+    rb = _rank(F.col("nbr"), string_ids)
     return (rb < rn) | ((rb == rn) & (F.col("nbr") < F.col("node")))
 
 def pivot_clusters(
@@ -84,6 +92,7 @@ def pivot_clusters(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 64,
+    string_ids: bool = False,
 ) -> DataFrame:
     """(record_id, cluster_id) KwikCluster partition of the positive
     edge graph, cluster_id = the pivot's vertex id. Exact parity with
@@ -91,12 +100,14 @@ def pivot_clusters(
     against a scalar oracle). Every edge endpoint appears exactly
     once; vertices outside `edges` don't exist to the operator (an
     isolated vertex is trivially its own singleton — prepend it).
+    Set ``string_ids=True`` for non-numeric vertex ids (md5-based
+    ranks instead of the multiplicative hash).
     """
     spark = edges.sparkSession
     sym = _sym_edges(edges, a_col, b_col).localCheckpoint(eager=True)
     # dominance DAG: edges pointing at the pi-earlier endpoint. A pure
     # filter — rank needs no aggregation, so no join here (cf. star).
-    dd = sym.where(_nbr_precedes()).localCheckpoint(eager=True)
+    dd = sym.where(_nbr_precedes(string_ids)).localCheckpoint(eager=True)
     nodes = sym.select("node").distinct().localCheckpoint(eager=True)
     # roots of the DAG (pi-local minima) are pivots immediately
     centers = nodes.join(
@@ -141,7 +152,9 @@ def pivot_clusters(
     pivots = centers.select(F.col("node").alias("_pv"))
     # each non-pivot joins its pi-first adjacent pivot — which always
     # dominates it, so only the DAG edges need scanning
-    w = Window.partitionBy("node").orderBy(_rank(F.col("nbr")), F.col("nbr"))
+    w = Window.partitionBy("node").orderBy(
+        _rank(F.col("nbr"), string_ids), F.col("nbr")
+    )
     asg = (
         dd.join(pivots, dd.nbr == pivots._pv)
         .withColumn("_rn", F.row_number().over(w))

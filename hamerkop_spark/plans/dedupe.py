@@ -18,7 +18,8 @@ Scale shape: every blocking key is a (key, id) melt + per-key count
 cap (`max_block`) + within-key self-join — cost bounded by
 #keys·cap², never all-pairs; the only Python crossing is the one
 vectorized JW batch over surviving candidates; clustering is the
-measured-to-22M-edges CC.
+measured-to-22M-edges CC, or KwikCluster (``clustering="pivot"``)
+when one borderline edge must not chain two dense groups together.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from hamerkop_spark.operators.canopy import (
     canopy_candidates,
 )
 from hamerkop_spark.operators.cc import connected_components
+from hamerkop_spark.operators.pivot import pivot_clusters
 
 #: blocking key generators: name -> Column producing an ARRAY of keys
 #: (exploded; null/empty elements dropped). Each key namespace is
@@ -61,6 +63,7 @@ def dedupe_records(
     max_block: int = 100,
     canopy_t1: int = 3,
     canopy_t2: int = 2,
+    clustering: str = "cc",
 ) -> dict:
     """Deduplicate a single record table by name similarity.
 
@@ -79,6 +82,12 @@ def dedupe_records(
     :param max_block: per-key pair-generation cap; a hotter key is
         skipped (the standard block-purge bound — a stop-word token
         must not generate cap² pairs).
+    :param clustering: "cc" (default — transitive closure; one match
+        chain merges everything reachable) or "pivot" (KwikCluster
+        correlation clustering, operators/pivot.py — partitions the
+        match graph, so a single borderline edge cannot chain two
+        dense groups into one mega-cluster; expected disagreement
+        cost ≤ 3× optimal).
     :return: {"pairs": scored candidate pairs (a_id, b_id, jw),
               "clusters": (id, cluster),
               "golden": one canonical row per cluster,
@@ -150,7 +159,22 @@ def dedupe_records(
         F.col("b_id").cast("string").alias("dst"),
     )
     nodes = records.select(F.col(id_col).cast("string").alias("node"))
-    comps = connected_components(edges, nodes=nodes)
+    if clustering == "cc":
+        comps = connected_components(edges, nodes=nodes)
+    elif clustering == "pivot":
+        asn = pivot_clusters(
+            edges, a_col="src", b_col="dst", string_ids=True
+        )
+        covered = asn.select(
+            F.col("record_id").alias("node"),
+            F.col("cluster_id").alias("component"),
+        )
+        singles = nodes.join(
+            covered.select("node"), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+        comps = covered.unionByName(singles)
+    else:
+        raise ValueError(f"unknown clustering strategy: {clustering!r}")
     # CC runs on string node ids; map components back onto the
     # ORIGINAL id column/type so callers join without surprises
     clusters = records.select(

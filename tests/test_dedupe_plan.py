@@ -113,3 +113,44 @@ def test_dedupe_pairwise_f1_on_synthetic_dups(spark):
         lp,
     )
     assert r.f1 >= 0.95, r
+
+
+def test_dedupe_pivot_clustering_partitions(spark, noisy):
+    out = dedupe_records(
+        noisy, attrs=["name", "city"], jw_threshold=0.85, clustering="pivot"
+    )
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    # every record clustered exactly once (partition, incl. singletons)
+    assert sorted(cl) == [1, 2, 3, 4, 5, 6, 7]
+    assert cl[4] == cl[5]
+    assert len({cl[6], cl[7]}) == 2 and cl[6] != cl[4] and cl[7] != cl[4]
+    # the john triple is a clique at this threshold -> pivot keeps it
+    # together (the pivot grabs both neighbours in one step)
+    assert cl[1] == cl[2] == cl[3]
+
+
+def test_dedupe_pivot_breaks_chains_cc_merges(spark):
+    # A~B and B~C but never A~C: transitive closure merges all three,
+    # pivot cannot put A and C in one cluster without an A-C edge
+    data = [
+        (1, "jonathan smithers"),
+        (2, "jonathan smither"),    # jw(1,2) high
+        (3, "jonathan smitherx"),   # jw(2,3) high, jw(1,3) lower
+    ]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    # pick a threshold between jw(1,3) and min(jw(1,2), jw(2,3))
+    probe = dedupe_records(df, jw_threshold=0.0)["pairs"].collect()
+    jw = {(r.a_id, r.b_id): r.jw for r in probe}
+    thr = (jw[(1, 3)] + min(jw[(1, 2)], jw[(2, 3)])) / 2
+    cc = dedupe_records(df, jw_threshold=thr, clustering="cc")
+    pv = dedupe_records(df, jw_threshold=thr, clustering="pivot")
+    cc_cl = {r.record_id: r.cluster for r in cc["clusters"].collect()}
+    pv_cl = {r.record_id: r.cluster for r in pv["clusters"].collect()}
+    assert cc_cl[1] == cc_cl[2] == cc_cl[3]          # chained
+    assert not (pv_cl[1] == pv_cl[2] == pv_cl[3])    # partitioned
+    assert len(set(pv_cl.values())) == 2
+
+
+def test_dedupe_unknown_clustering_raises(spark, noisy):
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, clustering="zz_bogus")
