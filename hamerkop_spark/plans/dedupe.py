@@ -17,7 +17,8 @@ the same operators:
 Scale shape: every blocking key is a (key, id) melt + per-key count
 cap (`max_block`) + within-key self-join — cost bounded by
 #keys·cap², never all-pairs; the only Python crossing is the one
-vectorized JW batch over surviving candidates; clustering is the
+vectorized JW batch over surviving candidates (zero crossings with
+``scorer="soft_tfidf"`` — that path is all-JVM); clustering is the
 measured-to-22M-edges CC, or KwikCluster (``clustering="pivot"``)
 when one borderline edge must not chain two dense groups together.
 """
@@ -64,6 +65,8 @@ def dedupe_records(
     canopy_t1: int = 3,
     canopy_t2: int = 2,
     clustering: str = "cc",
+    scorer: str = "jw",
+    soft_theta_micro: int = 800_000,
 ) -> dict:
     """Deduplicate a single record table by name similarity.
 
@@ -88,7 +91,17 @@ def dedupe_records(
         match graph, so a single borderline edge cannot chain two
         dense groups into one mega-cluster; expected disagreement
         cost ≤ 3× optimal).
-    :return: {"pairs": scored candidate pairs (a_id, b_id, jw),
+    :param scorer: "jw" (default — whole-string Jaro-Winkler, the
+        Arrow-vectorized UDF) or "soft_tfidf" (SoftTFIDF with the
+        exact-integer Levenshtein kernel, functions/tfidf.
+        soft_tfidf_lev_pairs — corpus-IDF-weighted token matching
+        that is order-invariant: "john smith" vs "smith john" scores
+        ~1.0 where whole-string JW collapses). Both emit a `score`
+        column in [0, 1]; `jw_threshold` applies to it either way.
+    :param soft_theta_micro: the soft scorer's close-token kernel
+        threshold in micro-units (tokens below it contribute 0).
+    :return: {"pairs": scored candidate pairs (a_id, b_id, score[,
+                  jw | soft_tfidf_lev_fp]),
               "clusters": (id, cluster),
               "golden": one canonical row per cluster,
               "n_pairs": int, "n_clusters": int}
@@ -142,19 +155,43 @@ def dedupe_records(
     if cand is None:
         raise ValueError("blocking must name at least one generator")
     cand = cand.distinct()
-    na = keyed_src.select(
-        F.col("_id").alias("a_id"), F.col("_norm").alias("_na")
-    )
-    nb = keyed_src.select(
-        F.col("_id").alias("b_id"), F.col("_norm").alias("_nb")
-    )
-    scored = (
-        cand.join(na, "a_id")
-        .join(nb, "b_id")
-        .withColumn("jw", jaro_winkler_udf(F.col("_na"), F.col("_nb")))
-        .drop("_na", "_nb")
-    )
-    edges = scored.where(F.col("jw") >= F.lit(float(jw_threshold))).select(
+    if scorer == "jw":
+        na = keyed_src.select(
+            F.col("_id").alias("a_id"), F.col("_norm").alias("_na")
+        )
+        nb = keyed_src.select(
+            F.col("_id").alias("b_id"), F.col("_norm").alias("_nb")
+        )
+        scored = (
+            cand.join(na, "a_id")
+            .join(nb, "b_id")
+            .withColumn("jw", jaro_winkler_udf(F.col("_na"), F.col("_nb")))
+            .withColumn("score", F.col("jw"))
+            .drop("_na", "_nb")
+        )
+    elif scorer == "soft_tfidf":
+        from hamerkop_spark.functions.tfidf import (
+            soft_tfidf_lev_pairs,
+            tfidf_norms,
+            tfidf_weights,
+            token_idf,
+        )
+
+        toks = keyed_src.select(
+            F.col("_id").alias("record_id"),
+            F.split("_norm", " ").alias("tokens"),
+        )
+        idf = token_idf(toks, "tokens")
+        w = tfidf_weights(toks, idf).localCheckpoint(eager=False)
+        n = tfidf_norms(w).localCheckpoint(eager=False)
+        scored = soft_tfidf_lev_pairs(
+            cand, w, n, theta_micro=soft_theta_micro
+        ).withColumn(
+            "score", F.col("soft_tfidf_lev_fp").cast("double") / F.lit(1e6)
+        )
+    else:
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    edges = scored.where(F.col("score") >= F.lit(float(jw_threshold))).select(
         F.col("a_id").cast("string").alias("src"),
         F.col("b_id").cast("string").alias("dst"),
     )

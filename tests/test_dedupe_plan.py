@@ -154,3 +154,32 @@ def test_dedupe_pivot_breaks_chains_cc_merges(spark):
 def test_dedupe_unknown_clustering_raises(spark, noisy):
     with pytest.raises(ValueError):
         dedupe_records(noisy, clustering="zz_bogus")
+
+
+def test_dedupe_soft_tfidf_scorer_handles_token_reorder(spark):
+    # whole-string JW collapses on token reordering; corpus-weighted
+    # token matching does not
+    data = [
+        (1, "john smith"),
+        (2, "smith john"),          # same tokens, reordered
+        (3, "mary jones"),
+        (4, "unrelated name"),
+    ]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    jw = dedupe_records(df, jw_threshold=0.9, scorer="jw")
+    soft = dedupe_records(df, jw_threshold=0.9, scorer="soft_tfidf")
+    jw_cl = {r.record_id: r.cluster for r in jw["clusters"].collect()}
+    s_cl = {r.record_id: r.cluster for r in soft["clusters"].collect()}
+    assert jw_cl[1] != jw_cl[2]          # JW misses the reorder
+    assert s_cl[1] == s_cl[2]            # SoftTFIDF pairs it (score 1.0)
+    assert s_cl[3] != s_cl[1] and s_cl[4] != s_cl[1]
+    # both scorers expose the unified score column
+    assert "score" in jw["pairs"].columns
+    assert "score" in soft["pairs"].columns
+    sc = {(r.a_id, r.b_id): r.score for r in soft["pairs"].collect()}
+    assert abs(sc[(1, 2)] - 1.0) < 1e-6
+
+
+def test_dedupe_unknown_scorer_raises(spark, noisy):
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, scorer="zz_bogus")
