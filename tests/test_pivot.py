@@ -123,3 +123,46 @@ def test_pivot_huge_ids_no_overflow(spark):
         ).collect()
     }
     assert got == _scalar_kwikcluster(edges)
+
+def test_pivot_ari_beats_cc_under_chain_noise(spark):
+    # 40 gold entities, each a 3-record triangle; one bridge edge links
+    # consecutive entities (the classic borderline-match chain). CC
+    # collapses everything into one component (ARI ~ 0); pivot keeps
+    # the partition close to gold. Measured with the engine's own
+    # exact-integer ARI (operators/scoring.adjusted_rand_index).
+    from pyspark.sql import functions as F
+
+    from hamerkop_spark.operators.cc import connected_components
+    from hamerkop_spark.operators.scoring import adjusted_rand_index
+
+    K = 40
+    edges = []
+    for i in range(K):
+        b = 10 * i
+        edges += [(b, b + 1), (b, b + 2), (b + 1, b + 2)]
+        if i:
+            edges.append((10 * (i - 1), b))  # chain bridge
+    gold = spark.createDataFrame(
+        [(10 * i + j, i) for i in range(K) for j in range(3)],
+        "mention_key int, cluster int",
+    )
+    edf = spark.createDataFrame(edges, "a_id int, b_id int")
+    piv = pivot_clusters(edf).select(
+        F.col("record_id").alias("mention_key"),
+        F.col("cluster_id").alias("cluster"),
+    )
+    comps = connected_components(
+        edf.select(
+            F.col("a_id").cast("string").alias("src"),
+            F.col("b_id").cast("string").alias("dst"),
+        )
+    )
+    cc = comps.select(
+        F.col("node").cast("int").alias("mention_key"),
+        F.col("component").alias("cluster"),
+    )
+    ari_piv = adjusted_rand_index(piv, gold).collect()[0].ari_fp / 1e6
+    ari_cc = adjusted_rand_index(cc, gold).collect()[0].ari_fp / 1e6
+    assert ari_cc < 0.1            # one giant chained component
+    assert ari_piv > 0.6           # partition stays near gold
+    assert ari_piv > ari_cc + 0.5
