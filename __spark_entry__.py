@@ -2610,9 +2610,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5, final session (canopy blocking):
         # recorded immediately ---
         "block_canopy": q_block_canopy,
-        # --- recorded in round 4; the first 8 fill out this round's
-        # 50 (through c3_acronym_key); the rest spill into the tail
-        # and join the must-lead set for round 6 ---
+        # --- new in round 5, last sessions (coherence / PPRL / group
+        # linkage / PR curve / suffix blocking / cluster audit / star
+        # and pivot clustering): this is the FINAL round, so anything
+        # past position 50 is never driver-recorded at all — these 8
+        # never-recorded queries therefore outrank rows already green
+        # in CORRECTNESS_r04.json. Every registry entry (positions
+        # 1-102) stays covered by scripts/check_oracle.py's full
+        # sweep either way. ---
+        "r12_coherence": q_r12_coherence,
+        "pprl_dice": q_pprl_dice,
+        "er_group_linkage": q_er_group_linkage,
+        "er_pr_curve": q_er_pr_curve,
+        "block_suffix_array": q_block_suffix_array,
+        "cluster_audit": q_cluster_audit,
+        "er_star_clusters": q_er_star_clusters,
+        "er_pivot_clusters": q_er_pivot_clusters,
+        # --- position 51 onward: NOT driver-recorded this (final)
+        # round. Everything below is green in CORRECTNESS_r04.json,
+        # except f_monge_elkan_lev / f_soft_tfidf_lev (new scorer
+        # variants whose kernels are property-tested in pytest and
+        # green in the full local sweep) — with 52 round-4 rows + 27
+        # round-5 rows and 50 slots, two rows had to sit out; the two
+        # scorer variants lose to whole-operator queries. ---
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2621,7 +2641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_altname_attach": q_kb_altname_attach,
         "s6_extents_parse": q_s6_extents_parse,
         "c3_acronym_key": q_c3_acronym_key,
-        # --- position 51 onward: NOT recorded this round ---
         "chains_agg": q_chains_agg,
         "f5_wikipedia_link": q_f5_wikipedia_link,
         "p7_acronym_replace": q_p7_acronym_replace,
@@ -2634,11 +2653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_wikipedia_resolver": q_r3_wikipedia_resolver,
         "r6_cascade_resolver": q_r6_cascade_resolver,
         "t14_doc_type": q_t14_doc_type,
-        # --- everything from chains_agg down through c1_cascade_coref
-        # (these 30 rows plus the 12 spilled above) was last recorded
-        # in round 4 and MUST lead the round-6 registry (driver
-        # records the first 50; no row may go two consecutive rounds
-        # unrecorded) ---
         "t15_entity_origin": q_t15_entity_origin,
         "t5_remove_double_letter": q_t5_remove_double_letter,
         "t2_unicode_punct": q_t2_unicode_punct,
@@ -2669,15 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_language_name_filter": q_p17_language_name_filter,
         "f11_feature_vector": q_f11_feature_vector,
         "c1_cascade_coref": q_c1_cascade_coref,
-        "r12_coherence": q_r12_coherence,
-        "pprl_dice": q_pprl_dice,
-        "er_group_linkage": q_er_group_linkage,
-        "er_pr_curve": q_er_pr_curve,
-        "block_suffix_array": q_block_suffix_array,
-        "cluster_audit": q_cluster_audit,
         "f_monge_elkan_lev": q_f_monge_elkan_lev,
-        "er_star_clusters": q_er_star_clusters,
-        "er_pivot_clusters": q_er_pivot_clusters,
         "f_soft_tfidf_lev": q_f_soft_tfidf_lev,
     }
 
