@@ -2026,6 +2026,32 @@ def q_f_soft_tfidf_lev(spark, sf):
     return soft_tfidf_lev_pairs(pairs, w, n, theta_micro=500_000)
 
 
+def q_er_progressive(spark, sf):
+    """Progressive (pay-as-you-go) ER: ARCS-weighted candidate ranking
+    (Papadakis TKDE '14 weighting; Whang TKDE '13 / Papenbrock TKDE '15
+    budgeting; operators/progressive.py) — top-200 token-blocked pairs
+    of part names by exact integer ARCS weight, selected through the
+    radix-quickselect threshold path (the scale path: no global sort,
+    <= 11 histogram rounds of <= 64 driver rows). Bounded record set
+    mirrors q_block_meta_cnp."""
+    from hamerkop_spark.operators.progressive import (
+        arcs_pair_weights,
+        select_top_pairs,
+    )
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    blocks = part.select(
+        F.explode(F.split(F.lower("p_name"), " ")).alias("block_key"),
+        F.col("p_partkey").alias("record_id"),
+    )
+    weighted = arcs_pair_weights(blocks, max_block_size=100)
+    return select_top_pairs(
+        weighted, 200, mode="threshold", boundary="exact"
+    )
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2685,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_cascade_coref": q_c1_cascade_coref,
         "f_monge_elkan_lev": q_f_monge_elkan_lev,
         "f_soft_tfidf_lev": q_f_soft_tfidf_lev,
+        "er_progressive": q_er_progressive,
     }
 
 
@@ -3338,6 +3365,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN contrib c USING (a_id, b_id)
             JOIN nrm na ON na.record_id = p.a_id
             JOIN nrm nb ON nb.record_id = p.b_id
+        """,
+        "er_progressive": """
+            WITH recs AS (
+              SELECT p_partkey AS rid, lower(p_name) AS nm FROM part
+              WHERE p_partkey % 10 = 0 AND p_partkey < 5000
+            ), b AS (
+              SELECT DISTINCT unnest(string_split(nm, ' ')) AS bk, rid
+              FROM recs
+            ), contrib AS (
+              SELECT bk,
+                     1000000000000::BIGINT // ((bsz * (bsz - 1)) // 2)
+                       AS contrib
+              FROM (SELECT bk, count(*) AS bsz FROM b GROUP BY bk)
+              WHERE bsz BETWEEN 2 AND 100
+            ), kept AS (
+              SELECT b.rid, b.bk, c.contrib FROM b JOIN contrib c USING (bk)
+            ), agg AS (
+              SELECT a.rid AS a_id, bb.rid AS b_id,
+                     sum(a.contrib)::BIGINT AS arcs_fp,
+                     count(*)::BIGINT AS n_shared
+              FROM kept a JOIN kept bb USING (bk)
+              WHERE a.rid < bb.rid
+              GROUP BY a.rid, bb.rid
+            ), ranked AS (
+              SELECT *, row_number() OVER (ORDER BY arcs_fp DESC, a_id,
+                                           b_id) AS rn
+              FROM agg
+            )
+            SELECT a_id, b_id, arcs_fp, n_shared
+            FROM ranked WHERE rn <= 200
         """,
         "block_suffix_array": """
             WITH r AS (

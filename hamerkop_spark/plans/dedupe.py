@@ -67,6 +67,8 @@ def dedupe_records(
     clustering: str = "cc",
     scorer: str = "jw",
     soft_theta_micro: int = 800_000,
+    budget: int | None = None,
+    budget_mode: str = "sort",
 ) -> dict:
     """Deduplicate a single record table by name similarity.
 
@@ -100,6 +102,15 @@ def dedupe_records(
         column in [0, 1]; `jw_threshold` applies to it either way.
     :param soft_theta_micro: the soft scorer's close-token kernel
         threshold in micro-units (tokens below it contribute 0).
+    :param budget: progressive (pay-as-you-go) comparison budget —
+        when set, candidate pairs are ranked by ARCS blocking-graph
+        weight (operators/progressive.py: sum over shared blocking
+        keys of 1/C(|block|,2)) and only the top `budget` pairs are
+        scored. Requires key-based generators only (no "canopy":
+        canopy pairs carry no per-key evidence to rank by).
+    :param budget_mode: "sort" (TakeOrderedAndProject; budgets up to
+        a few million) or "threshold" (exact radix quickselect; the
+        scale path — see progressive.select_top_pairs).
     :return: {"pairs": scored candidate pairs (a_id, b_id, score[,
                   jw | soft_tfidf_lev_fp]),
               "clusters": (id, cluster),
@@ -109,6 +120,11 @@ def dedupe_records(
     unknown = set(blocking) - set(_KEYERS) - {"canopy"}
     if unknown:
         raise ValueError(f"unknown blocking generators: {sorted(unknown)}")
+    if budget is not None and "canopy" in blocking:
+        raise ValueError(
+            "budget ranking requires key-based generators only: canopy "
+            "pairs carry no per-key evidence for ARCS weighting"
+        )
     norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
     recs = records.withColumn("_norm", norm)
     keyed_src = recs.where(
@@ -126,20 +142,34 @@ def dedupe_records(
         melted = part if melted is None else melted.unionByName(part)
     if melted is not None:
         melted = melted.distinct()
-        ok_keys = (
-            melted.groupBy("_key")
-            .agg(F.count("*").alias("_kn"))
-            .where((F.col("_kn") > 1) & (F.col("_kn") <= max_block))
-            .select("_key")
-        )
-        keyed = melted.join(ok_keys, "_key")
-        a = keyed.select("_key", F.col("_id").alias("a_id"))
-        b = keyed.select("_key", F.col("_id").alias("b_id"))
-        cand = (
-            a.join(b, "_key")
-            .where(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-        )
+        if budget is not None:
+            from hamerkop_spark.operators.progressive import (
+                arcs_pair_weights,
+                select_top_pairs,
+            )
+
+            weighted = arcs_pair_weights(
+                melted, key_col="_key", id_col="_id",
+                max_block_size=max_block,
+            )
+            cand = select_top_pairs(
+                weighted, budget, mode=budget_mode
+            ).select("a_id", "b_id")
+        else:
+            ok_keys = (
+                melted.groupBy("_key")
+                .agg(F.count("*").alias("_kn"))
+                .where((F.col("_kn") > 1) & (F.col("_kn") <= max_block))
+                .select("_key")
+            )
+            keyed = melted.join(ok_keys, "_key")
+            a = keyed.select("_key", F.col("_id").alias("a_id"))
+            b = keyed.select("_key", F.col("_id").alias("b_id"))
+            cand = (
+                a.join(b, "_key")
+                .where(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id")
+            )
     if "canopy" in blocking:
         asn = canopy_assignments(
             keyed_src.select(
