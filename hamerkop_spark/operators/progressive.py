@@ -119,13 +119,20 @@ def _radix_threshold(
     shape that survives budgets far past what TakeOrderedAndProject's
     driver-side top-B merge can hold.
     """
-    total = weighted.count()
+    stats = weighted.agg(
+        F.count("*").alias("n"), F.max(weight_col).alias("mx")
+    ).collect()[0]
+    total = stats["n"]
     if total <= budget:
         return None, total
+    # start the descent at the max weight's bit length: every shift
+    # above it would histogram the whole input into one bucket (a full
+    # scan that learns nothing)
+    top_shift = 6 * ((max(int(stats["mx"]), 1).bit_length() - 1) // 6)
     cur = weighted.select(F.col(weight_col).alias("_w"))
     n_above = 0  # rows in strata already known to be above the threshold
-    remaining = budget - n_above
-    for shift in range(60, -1, -6):
+    remaining = budget
+    for shift in range(top_shift, -1, -6):
         hist = (
             cur.groupBy(
                 F.shiftright(F.col("_w"), shift).alias("_b")
@@ -134,25 +141,31 @@ def _radix_threshold(
             .collect()
         )
         cum = 0
-        boundary = None
+        boundary = n_b = None
         for row in sorted(hist, key=lambda r: -r["_b"]):
             if cum + row["_n"] > remaining:
-                boundary = row["_b"]
+                boundary, n_b = int(row["_b"]), row["_n"]
                 break
             cum += row["_n"]
         # cum = rows in buckets strictly above the boundary bucket
         n_above += cum
         remaining -= cum
+        # budget aligns with a stratum edge: the threshold needs no
+        # more digits (count(w > thr) == budget exactly, so the caller
+        # has no boundary ties to resolve)
+        if remaining == 0:
+            return ((boundary + 1) << shift) - 1, n_above
+        if remaining == n_b:
+            return (boundary << shift) - 1, n_above + n_b
         # recurse into the boundary bucket; eager checkpoint bounds the
         # re-scan (each later round otherwise re-filters from the root)
         cur = cur.where(
-            F.shiftright(F.col("_w"), shift) == int(boundary)
+            F.shiftright(F.col("_w"), shift) == boundary
         )
         if shift > 0:
             cur = cur.localCheckpoint(eager=True)
     # shift == 0: the boundary "bucket" is a single exact weight value
-    thr = int(boundary)
-    return thr, n_above
+    return boundary, n_above
 
 
 def select_top_pairs(
@@ -197,6 +210,11 @@ def select_top_pairs(
     if thr is None:  # total <= budget: everything fits
         return weighted
     above = weighted.where(F.col(weight_col) > thr)
+    if n_above == int(budget):
+        # the budget fell exactly on a weight-stratum edge: no tie
+        # resolution needed in ANY boundary mode (and thr may be a
+        # synthetic between-strata value — tie filters would be wrong)
+        return above
     if boundary == "drop":
         return above
     ties = weighted.where(F.col(weight_col) == thr)
