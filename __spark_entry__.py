@@ -2052,6 +2052,45 @@ def q_er_progressive(spark, sf):
     )
 
 
+def q_er_scheme_masks(spark, sf):
+    """Adaptive-blocking sufficient statistics (Bilenko ICDM '06 /
+    Michelson & Knoblock AAAI '06; operators/blocking_learn.
+    scheme_mask_stats): every candidate/gold pair reduced to the
+    bitmask of blocking predicates covering it, histogrammed — one
+    pass prices EVERY predicate-set scheme exactly (the greedy learner
+    is then driver-side arithmetic over <= 2^K rows). Predicates
+    (sorted-name bit order): exact=1, prefix4=2, token=4; gold =
+    partkey pairs (k, k+1000). Bounded record set mirrors
+    q_block_meta_cnp."""
+    from hamerkop_spark.operators.blocking_learn import scheme_mask_stats
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    recs = part.select(
+        F.col("p_partkey").alias("record_id"),
+        F.lower("p_name").alias("name"),
+    )
+    gold = recs.alias("a").join(
+        recs.alias("b"),
+        F.col("b.record_id") == F.col("a.record_id") + 1000,
+    ).select(
+        F.col("a.record_id").alias("a_id"),
+        F.col("b.record_id").alias("b_id"),
+    )
+    keyers = {
+        "exact": lambda c: F.array(F.concat(F.lit("x:"), c)),
+        "prefix4": lambda c: F.array(
+            F.concat(F.lit("p:"), F.substring(c, 1, 4))
+        ),
+        "token": lambda c: F.transform(
+            F.array_distinct(F.split(c, " ")),
+            lambda t: F.concat(F.lit("t:"), t),
+        ),
+    }
+    return scheme_mask_stats(recs, gold, keyers)
+
+
 def q_block_quality(spark, sf):
     """Blocking quality metrics (Christen 2012 ch.7,
     operators/blocking_eval.blocking_quality): PC / PQ / RR per
@@ -2712,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_monge_elkan_lev": q_f_monge_elkan_lev,
         "f_soft_tfidf_lev": q_f_soft_tfidf_lev,
         "er_progressive": q_er_progressive,
+        "er_scheme_masks": q_er_scheme_masks,
     }
 
 
@@ -3395,6 +3435,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, arcs_fp, n_shared
             FROM ranked WHERE rn <= 200
+        """,
+        "er_scheme_masks": """
+            WITH recs AS (
+              SELECT p_partkey AS rid, lower(p_name) AS nm FROM part
+              WHERE p_partkey % 10 = 0 AND p_partkey < 5000
+            ), m_exact AS (
+              SELECT DISTINCT rid, 'x:' || nm AS k FROM recs
+            ), m_prefix AS (
+              SELECT DISTINCT rid, 'p:' || substr(nm, 1, 4) AS k FROM recs
+            ), m_token AS (
+              SELECT DISTINCT rid, 't:' || t AS k
+              FROM (SELECT rid,
+                           unnest(list_distinct(string_split(nm, ' '))) AS t
+                    FROM recs)
+            ), tagged AS (
+                SELECT a.rid AS a_id, b.rid AS b_id, 1::BIGINT AS bit
+                FROM m_exact a JOIN m_exact b USING (k)
+                JOIN (SELECT k FROM m_exact GROUP BY k
+                      HAVING count(*) BETWEEN 2 AND 100) ok USING (k)
+                WHERE a.rid < b.rid
+              UNION
+                SELECT a.rid, b.rid, 2::BIGINT
+                FROM m_prefix a JOIN m_prefix b USING (k)
+                JOIN (SELECT k FROM m_prefix GROUP BY k
+                      HAVING count(*) BETWEEN 2 AND 100) ok USING (k)
+                WHERE a.rid < b.rid
+              UNION
+                SELECT a.rid, b.rid, 4::BIGINT
+                FROM m_token a JOIN m_token b USING (k)
+                JOIN (SELECT k FROM m_token GROUP BY k
+                      HAVING count(*) BETWEEN 2 AND 100) ok USING (k)
+                WHERE a.rid < b.rid
+            ), pair_masks AS (
+              SELECT a_id, b_id, bit_or(bit)::BIGINT AS mask
+              FROM tagged GROUP BY a_id, b_id
+            ), cand_hist AS (
+              SELECT mask, count(*)::BIGINT AS n_candidates
+              FROM pair_masks GROUP BY mask
+            ), gold AS (
+              SELECT a.rid AS a_id, b.rid AS b_id
+              FROM recs a JOIN recs b ON b.rid = a.rid + 1000
+            ), gold_hist AS (
+              SELECT coalesce(pm.mask, 0)::BIGINT AS mask,
+                     count(*)::BIGINT AS n_gold
+              FROM gold g LEFT JOIN pair_masks pm USING (a_id, b_id)
+              GROUP BY coalesce(pm.mask, 0)
+            )
+            SELECT coalesce(c.mask, g.mask) AS mask,
+                   coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
+                   coalesce(g.n_gold, 0)::BIGINT AS n_gold
+            FROM cand_hist c FULL JOIN gold_hist g ON c.mask = g.mask
         """,
         "block_suffix_array": """
             WITH r AS (
