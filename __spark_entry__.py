@@ -2153,6 +2153,32 @@ def q_calibration_bins(spark, sf):
     return calibration_bins(scored, n_bins=10)
 
 
+def q_er_uncertainty_queue(spark, sf):
+    """Active-learning labeling queue (Lewis & Gale SIGIR '94;
+    Sarawagi & Bhamidipaty KDD '02; operators/linkage.
+    uncertainty_queue): top-50 scored pairs by closeness to the
+    decision boundary, uncertainty = 1e6 - |2p-1| in exact millionth
+    fixed point, selection via progressive.select_top_pairs."""
+    from hamerkop_spark.operators.linkage import uncertainty_queue
+
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select(F.col("c_custkey").alias("a_id"))
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("b_id")
+    )
+    pairs = cust.join(
+        supp, F.col("a_id") % 25 == F.col("b_id") % 25
+    ).select(
+        "a_id", "b_id",
+        (
+            ((F.col("a_id") * 31 + F.col("b_id") * 17) % 1009)
+            / F.lit(1008.0)
+        ).alias("match_prob"),
+    )
+    return uncertainty_queue(pairs, 50)
+
+
 FS_M = {"g1": 0.95, "g2": 0.9, "g3": 0.8}
 FS_U = {"g1": 0.5, "g2": 0.33, "g3": 0.14}
 
@@ -2752,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_soft_tfidf_lev": q_f_soft_tfidf_lev,
         "er_progressive": q_er_progressive,
         "er_scheme_masks": q_er_scheme_masks,
+        "er_uncertainty_queue": q_er_uncertainty_queue,
     }
 
 
@@ -3486,6 +3513,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
                    coalesce(g.n_gold, 0)::BIGINT AS n_gold
             FROM cand_hist c FULL JOIN gold_hist g ON c.mask = g.mask
+        """,
+        "er_uncertainty_queue": """
+            WITH c AS (
+              SELECT c_custkey AS a_id FROM customer
+              WHERE c_custkey % 5 = 0
+            ), s AS (
+              SELECT s_suppkey AS b_id FROM supplier
+            ), pairs AS (
+              SELECT a_id, b_id,
+                     ((a_id * 31 + b_id * 17) % 1009) / 1008.0
+                       AS match_prob
+              FROM c JOIN s ON a_id % 25 = b_id % 25
+            ), u AS (
+              SELECT a_id, b_id, match_prob,
+                     1000000::BIGINT
+                       - abs(floor((2 * match_prob - 1) * 1000000.0
+                                   + 0.5)::BIGINT) AS uncertainty_fp
+              FROM pairs
+            ), ranked AS (
+              SELECT *, row_number() OVER (ORDER BY uncertainty_fp DESC,
+                                           a_id, b_id) AS rn
+              FROM u
+            )
+            SELECT a_id, b_id, match_prob, uncertainty_fp
+            FROM ranked WHERE rn <= 50
         """,
         "block_suffix_array": """
             WITH r AS (

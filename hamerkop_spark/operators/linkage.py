@@ -576,6 +576,44 @@ def sample_for_review(
     )
 
 
+def uncertainty_queue(
+    scored: DataFrame,
+    k: int,
+    prob_col: str = "match_prob",
+    id_cols: tuple[str, ...] = ("a_id", "b_id"),
+    mode: str = "sort",
+) -> DataFrame:
+    """Active-learning labeling queue: the k pairs CLOSEST to the
+    decision boundary — uncertainty sampling (Lewis & Gale, SIGIR
+    1994; in ER: Sarawagi & Bhamidipaty's ALIAS, KDD 2002, and
+    Tejada et al. 2001), the standard complement to the stratified
+    clerical sample (`sample_for_review` draws representatively;
+    this draws where a label buys the most model improvement).
+
+    Uncertainty is 1e6 - |2p - 1| in exact millionth fixed point
+    (`uncertainty_fp`, added to the output; p = 0.5 scores the
+    maximal 1e6), so ordering is integer-deterministic across
+    engines. Selection reuses progressive.select_top_pairs — the
+    same sort / radix-threshold machinery and bounds as the
+    comparison budget; ties break on ``id_cols``.
+    """
+    from hamerkop_spark.operators.progressive import select_top_pairs
+
+    margin_fp = F.abs(
+        F.floor(
+            (F.lit(2.0) * F.col(prob_col) - F.lit(1.0)) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    with_u = scored.withColumn(
+        "uncertainty_fp", F.lit(1_000_000).cast("bigint") - margin_fp
+    )
+    return select_top_pairs(
+        with_u, k, weight_col="uncertainty_fp", id_cols=tuple(id_cols),
+        mode=mode,
+    )
+
+
 # --------------------------------------------------------------- multi-level
 
 

@@ -615,3 +615,50 @@ def test_group_linkage_explicit_sizes(spark):
     r = group_linkage(pairs, sizes_a=sizes_a, sizes_b=sizes_b).first()
     assert r.n_a == 4 and r.n_b == 2
     assert abs(r.group_sim - 0.25) < 1e-9         # 1.0 / max(4, 2)
+
+
+# ------------------------------------------------- uncertainty sampling
+
+
+def test_uncertainty_queue_orders_by_boundary_distance(spark):
+    from hamerkop_spark.operators.linkage import uncertainty_queue
+
+    rows = [
+        (1, 10, 0.5),    # uncertainty 1e6 (max)
+        (2, 20, 0.45),   # 900000
+        (3, 30, 0.62),   # 760000
+        (4, 40, 0.05),   # 100000
+        (5, 50, 0.99),   # 20000
+    ]
+    df = spark.createDataFrame(rows, "a_id int, b_id int, match_prob double")
+    got = uncertainty_queue(df, 3).collect()
+    assert [(r["a_id"], r["uncertainty_fp"]) for r in
+            sorted(got, key=lambda r: -r["uncertainty_fp"])] == [
+        (1, 1_000_000), (2, 900_000), (3, 760_000)
+    ]
+
+
+def test_uncertainty_queue_modes_agree_and_tiebreak(spark):
+    from hamerkop_spark.operators.linkage import uncertainty_queue
+
+    # symmetric probs p and 1-p produce EQUAL uncertainty: ties broken
+    # by ids, and both selection modes agree
+    rows = [(i, i + 100, 0.5 + (i % 4) * 0.1) for i in range(12)]
+    rows += [(i + 50, i + 150, 0.5 - (i % 4) * 0.1) for i in range(12)]
+    df = spark.createDataFrame(rows, "a_id int, b_id int, match_prob double")
+    a = {(r["a_id"], r["b_id"]) for r in uncertainty_queue(df, 7).collect()}
+    b = {
+        (r["a_id"], r["b_id"])
+        for r in uncertainty_queue(df, 7, mode="threshold").collect()
+    }
+    assert a == b and len(a) == 7
+    # scalar oracle
+    def ufp(p):
+        import math
+        return 1_000_000 - abs(math.floor((2 * p - 1) * 1e6 + 0.5))
+    want = set(sorted(
+        ((a_, b_) for a_, b_, p in rows),
+        key=lambda ab: (-ufp(dict(((x, y), q) for x, y, q in rows)[ab]),
+                        ab[0], ab[1]),
+    )[:7])
+    assert a == want
