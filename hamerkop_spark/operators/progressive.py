@@ -201,6 +201,10 @@ def select_top_pairs(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    # null weights are unrankable: drop them up front so the sort and
+    # threshold paths select the same set (desc puts nulls last, which
+    # would otherwise let them leak in when budget > non-null count)
+    weighted = weighted.where(F.col(weight_col).isNotNull())
     order = [F.desc(weight_col)] + [F.asc(c) for c in id_cols]
     if mode == "sort":
         return weighted.orderBy(*order).limit(int(budget))

@@ -201,3 +201,13 @@ def test_dedupe_budget_rejects_canopy(spark):
         dedupe_records(
             recs, blocking=("token", "canopy"), budget=10
         )
+
+
+def test_select_top_pairs_drops_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 50), (1, 3, None), (2, 3, 10)],
+        "a_id int, b_id int, arcs_fp long",
+    )
+    for mode in ("sort", "threshold"):
+        got = {tuple(r) for r in select_top_pairs(df, 3, mode=mode).collect()}
+        assert got == {(1, 2, 50), (2, 3, 10)}, mode
