@@ -2291,6 +2291,27 @@ def q_c9_pairwise_prf(spark, sf):
     return pairwise_cluster_prf(pred, gold)
 
 
+def q_c10_blanc(spark, sf):
+    """BLANC (Recasens & Hovy 2011) between two clusterings of the
+    customer set (operators/scoring.blanc): Rand-index-style average of
+    the coref-link F and the non-coref-link F — exact BIGINT link
+    counts from the contingency cells, division-only fixed-point
+    ratios. Completes the coref-metric set (MUC/B³ scoring.py:63,94,
+    CEAF scoring.py:502)."""
+    from hamerkop_spark.operators.scoring import blanc
+
+    cust = _t(spark, sf, "customer")
+    pred = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.col("c_mktsegment").alias("cluster"),
+    )
+    gold = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        (F.col("c_nationkey") % 5).cast("string").alias("cluster"),
+    )
+    return blanc(pred, gold)
+
+
 def q_cluster_audit(spark, sf):
     """Transitive-closure integrity audit (operators/scoring.
     cluster_audit): per-cluster density / weakest-edge metrics that
@@ -2779,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_progressive": q_er_progressive,
         "er_scheme_masks": q_er_scheme_masks,
         "er_uncertainty_queue": q_er_uncertainty_queue,
+        "c10_blanc": q_c10_blanc,
     }
 
 
@@ -3725,6 +3747,57 @@ def oracle_sql() -> dict[str, str]:
                             + both_pairs::DOUBLE / gold_pairs::DOUBLE)
                          * 1000000.0 + 0.5)::BIGINT AS f1_fp
             FROM tot, pa, ga
+        """,
+        "c10_blanc": f"""
+            WITH {_pair_counts_sql(
+                "c_mktsegment", "(c_nationkey % 5)::VARCHAR")},
+            base AS (
+              SELECT n, both_pairs, pred_pairs, gold_pairs,
+                     ((n * (n - 1)) >> 1) AS t
+              FROM tot, pa, ga
+            ), r AS (
+              SELECT *,
+                     t - pred_pairs - gold_pairs + both_pairs AS rn,
+                     t - pred_pairs AS np, t - gold_pairs AS ng
+              FROM base
+            ), g AS (
+              SELECT *,
+                CASE WHEN pred_pairs > 0 AND gold_pairs > 0
+                          AND both_pairs > 0 THEN
+                  2.0 * (both_pairs::DOUBLE / pred_pairs::DOUBLE)
+                      * (both_pairs::DOUBLE / gold_pairs::DOUBLE)
+                  / (both_pairs::DOUBLE / pred_pairs::DOUBLE
+                     + both_pairs::DOUBLE / gold_pairs::DOUBLE)
+                ELSE 0.0 END AS f_c,
+                CASE WHEN np > 0 AND ng > 0 AND rn > 0 THEN
+                  2.0 * (rn::DOUBLE / np::DOUBLE)
+                      * (rn::DOUBLE / ng::DOUBLE)
+                  / (rn::DOUBLE / np::DOUBLE + rn::DOUBLE / ng::DOUBLE)
+                ELSE 0.0 END AS f_n
+              FROM r
+            )
+            SELECT n, both_pairs, pred_pairs, gold_pairs, rn,
+                   t AS total_links,
+                   CASE WHEN pred_pairs > 0 THEN
+                     floor(both_pairs::DOUBLE / pred_pairs::DOUBLE
+                           * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS p_c_fp,
+                   CASE WHEN gold_pairs > 0 THEN
+                     floor(both_pairs::DOUBLE / gold_pairs::DOUBLE
+                           * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS r_c_fp,
+                   floor(f_c * 1000000.0 + 0.5)::BIGINT AS f_c_fp,
+                   CASE WHEN np > 0 THEN
+                     floor(rn::DOUBLE / np::DOUBLE
+                           * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS p_n_fp,
+                   CASE WHEN ng > 0 THEN
+                     floor(rn::DOUBLE / ng::DOUBLE
+                           * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS r_n_fp,
+                   floor(f_n * 1000000.0 + 0.5)::BIGINT AS f_n_fp,
+                   floor(
+                     CASE WHEN pred_pairs = 0 AND gold_pairs = 0 THEN f_n
+                          WHEN np = 0 AND ng = 0 THEN f_c
+                          ELSE (f_c + f_n) / 2.0 END
+                     * 1000000.0 + 0.5)::BIGINT AS blanc_fp
+            FROM g
         """,
         "f_tfidf_cosine": """
             WITH docs AS (

@@ -315,6 +315,74 @@ def adjusted_rand_index(
     )
 
 
+def blanc(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_key"
+) -> DataFrame:
+    """BLANC (Recasens & Hovy 2011: the Rand index adapted to
+    coreference) between a predicted and a gold clustering — completes
+    the coref-metric set next to MUC / B³ / CEAF: it is the only one
+    that rewards getting NON-coreference links right, so all-singleton
+    and all-one-cluster degenerate outputs stop looking good.
+
+    From the exact pair-counting totals (cluster_pair_counts — one
+    join + one groupBy, never materialized pairs):
+
+        T  = C(n,2)                    total links
+        rc = both_pairs                right coref links
+        rn = T - pred_pairs - gold_pairs + rc   right non-coref links
+        P_c = rc/pred_pairs     R_c = rc/gold_pairs      F_c = harmonic
+        P_n = rn/(T-pred_pairs) R_n = rn/(T-gold_pairs)  F_n = harmonic
+        BLANC = (F_c + F_n) / 2
+
+    Boundary conventions follow the published scorer (Luo et al. 2014
+    §2 identical-mention case): when NEITHER side has a coref link,
+    BLANC := F_n alone; when neither side has a non-coref link,
+    BLANC := F_c alone; any ratio with a zero denominator or zero
+    numerator is 0. Emitted as fixed-point millionths of
+    division-only floats over exact BIGINTs (one fixed evaluation
+    order), so any ANSI engine reproduces the hash.
+    """
+    c = cluster_pair_counts(pred, gold, key)
+    t = F.shiftright(F.col("n") * (F.col("n") - 1), 1).cast("bigint")
+    c = c.withColumn("rn", t - F.col("pred_pairs") - F.col("gold_pairs")
+                     + F.col("both_pairs")).withColumn("total_links", t)
+    rc_d = F.col("both_pairs").cast("double")
+    rn_d = F.col("rn").cast("double")
+    cp = F.col("pred_pairs")
+    cg = F.col("gold_pairs")
+    np_ = F.col("total_links") - cp  # non-coref links in pred
+    ng = F.col("total_links") - cg
+
+    def _fp(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    zero = F.lit(0).cast("bigint")
+    p_c = rc_d / cp.cast("double")
+    r_c = rc_d / cg.cast("double")
+    f_c = F.lit(2.0) * p_c * r_c / (p_c + r_c)
+    p_n = rn_d / np_.cast("double")
+    r_n = rn_d / ng.cast("double")
+    f_n = F.lit(2.0) * p_n * r_n / (p_n + r_n)
+    ok_c = (cp > 0) & (cg > 0) & (F.col("both_pairs") > 0)
+    ok_n = (np_ > 0) & (ng > 0) & (F.col("rn") > 0)
+    f_c_safe = F.when(ok_c, f_c).otherwise(F.lit(0.0))
+    f_n_safe = F.when(ok_n, f_n).otherwise(F.lit(0.0))
+    blanc_val = (
+        F.when((cp == 0) & (cg == 0), f_n_safe)
+        .when((np_ == 0) & (ng == 0), f_c_safe)
+        .otherwise((f_c_safe + f_n_safe) / F.lit(2.0))
+    )
+    return (
+        c.withColumn("p_c_fp", F.when(cp > 0, _fp(p_c)).otherwise(zero))
+        .withColumn("r_c_fp", F.when(cg > 0, _fp(r_c)).otherwise(zero))
+        .withColumn("f_c_fp", F.when(ok_c, _fp(f_c)).otherwise(zero))
+        .withColumn("p_n_fp", F.when(np_ > 0, _fp(p_n)).otherwise(zero))
+        .withColumn("r_n_fp", F.when(ng > 0, _fp(r_n)).otherwise(zero))
+        .withColumn("f_n_fp", F.when(ok_n, _fp(f_n)).otherwise(zero))
+        .withColumn("blanc_fp", _fp(blanc_val))
+    )
+
+
 def v_measure(
     pred: DataFrame, gold: DataFrame, key: str = "mention_key", beta: float = 1.0
 ) -> Row:

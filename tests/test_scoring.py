@@ -184,6 +184,42 @@ def test_adjusted_rand_identity_and_degenerate(spark):
         is None
 
 
+def test_blanc_hand_worked(spark):
+    from hamerkop_spark.operators.scoring import blanc
+
+    # pred {1,2}{3}{4,5}  gold {1,2,3}{4,5}: T=10, Cp=2, Cg=4, rc=2,
+    # rn=10-2-4+2=6 -> F_c=2*1*.5/1.5, F_n=2*.75*1/1.75, BLANC=avg
+    pred = _clusters_df(
+        spark, {"1": "p1", "2": "p1", "3": "p2", "4": "p3", "5": "p3"}
+    )
+    gold = _clusters_df(
+        spark, {"1": "g1", "2": "g1", "3": "g1", "4": "g2", "5": "g2"}
+    )
+    r = blanc(pred, gold, "mention_key").collect()[0]
+    assert (r.total_links, r.both_pairs, r.rn) == (10, 2, 6)
+    assert (r.p_c_fp, r.r_c_fp, r.f_c_fp) == (1000000, 500000, 666667)
+    assert (r.p_n_fp, r.r_n_fp, r.f_n_fp) == (750000, 1000000, 857143)
+    assert r.blanc_fp == 761905
+
+
+def test_blanc_degenerate_conventions(spark):
+    from hamerkop_spark.operators.scoring import blanc
+
+    # no coref links on either side -> BLANC := F_n = 1
+    singl = _clusters_df(spark, {"a": "1", "b": "2", "c": "3"})
+    assert blanc(singl, singl, "mention_key").collect()[0].blanc_fp == 1000000
+    # no non-coref links on either side -> BLANC := F_c = 1
+    one = _clusters_df(spark, {"a": "x", "b": "x", "c": "x"})
+    assert blanc(one, one, "mention_key").collect()[0].blanc_fp == 1000000
+    # identity, mixed -> both halves perfect
+    same = _clusters_df(spark, {"a": "x", "b": "x", "c": "y"})
+    assert blanc(same, same, "mention_key").collect()[0].blanc_fp == 1000000
+    # pred all-singleton vs gold {a,b}{c}: F_c=0 (rc=0), F_n=0.8
+    gold = _clusters_df(spark, {"a": "g", "b": "g", "c": "h"})
+    r = blanc(singl, gold, "mention_key").collect()[0]
+    assert (r.f_c_fp, r.f_n_fp, r.blanc_fp) == (0, 800000, 400000)
+
+
 def test_adjusted_rand_universe_is_key_intersection(spark):
     from hamerkop_spark.operators.scoring import cluster_pair_counts
 
