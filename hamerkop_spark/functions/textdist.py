@@ -382,3 +382,186 @@ def monge_elkan_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         sums[has, 0] / cnts[has, 0] + sums[has, 1] / cnts[has, 1]
     ) / 2.0
     return pd.Series(out)
+
+
+# --------------------------------------------------------- affine gap
+
+# Integer edit costs (Gotoh 1982 / Bilenko & Mooney KDD'03 affine-gap
+# edit distance): a contiguous gap of length g costs open + (g-1)*ext,
+# so ONE block insertion ("John Smith" -> "John Q. Smith") is far
+# cheaper than the same character count scattered as isolated edits —
+# the failure mode of plain Levenshtein on truncated / middle-name /
+# initialed person names. sub > ext keeps single-char typos cheaper
+# than a close-and-reopen; open > sub keeps gaps from shadowing
+# substitutions.
+AFFINE_SUB = 2
+AFFINE_OPEN = 3
+AFFINE_EXT = 1
+
+_AFFINE_INF = np.int64(1) << 40
+
+
+def affine_gap_py(
+    s1: str, s2: str,
+    sub: int = AFFINE_SUB, open_: int = AFFINE_OPEN, ext: int = AFFINE_EXT,
+) -> int:
+    """Scalar Gotoh affine-gap edit distance (three-matrix DP) — the
+    parity oracle for ``affine_gap_np``. Exact integers throughout."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0:
+        return 0 if l2 == 0 else open_ + (l2 - 1) * ext
+    if l2 == 0:
+        return open_ + (l1 - 1) * ext
+    inf = int(_AFFINE_INF)
+    m_prev = [0] + [inf] * l2
+    y_prev = [inf] + [open_ + j * ext for j in range(l2)]
+    x_prev = [inf] * (l2 + 1)
+    for i in range(1, l1 + 1):
+        m_cur = [inf] * (l2 + 1)
+        x_cur = [inf] * (l2 + 1)
+        y_cur = [inf] * (l2 + 1)
+        x_cur[0] = open_ + (i - 1) * ext
+        for j in range(1, l2 + 1):
+            d = 0 if s1[i - 1] == s2[j - 1] else sub
+            m_cur[j] = min(m_prev[j - 1], x_prev[j - 1], y_prev[j - 1]) + d
+            x_cur[j] = min(
+                m_prev[j] + open_, x_prev[j] + ext, y_prev[j] + open_
+            )
+            y_cur[j] = min(
+                m_cur[j - 1] + open_, y_cur[j - 1] + ext, x_cur[j - 1] + open_
+            )
+        m_prev, x_prev, y_prev = m_cur, x_cur, y_cur
+    return min(m_prev[l2], x_prev[l2], y_prev[l2])
+
+
+def affine_gap_sim_py(s1: str, s2: str) -> float:
+    """[0,1] similarity form: 1 - dist / cost(delete all + insert all).
+    The normalizer is an always-available alignment, so dist <= it."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    worst = 2 * AFFINE_OPEN + (l1 - 1 + l2 - 1) * AFFINE_EXT
+    return 1.0 - affine_gap_py(s1, s2) / worst
+
+
+def _affine_gap_np_core(
+    xs: np.ndarray, ys: np.ndarray,
+    sub: int, open_: int, ext: int,
+) -> np.ndarray:
+    """One length bucket of the batch-vectorized Gotoh DP: outer loop
+    over positions of x only; each row of M / X is elementwise over
+    (batch, L2), and the gap-in-x matrix Y — whose textbook recurrence
+    is sequential in j — is closed into a min-plus prefix scan,
+
+        Y[i][j] = min_{k<j}( min(M,X)[i][k] + open + (j-1-k)*ext )
+                = runmin_{k<j}( min(M,X)[i][k] - k*ext ) + open + (j-1)*ext,
+
+    one ``np.minimum.accumulate`` per row. Total python iterations =
+    L1_max of the bucket, everything else vectorized int64."""
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    l1 = np.char.str_len(xs).astype(np.int64)
+    l2 = np.char.str_len(ys).astype(np.int64)
+    maxw = max(int(l1.max(initial=1)), 1)
+    maxw2 = max(int(l2.max(initial=1)), 1)
+    A = xs.astype(f"U{maxw}").view(np.uint32).reshape(n, maxw)
+    B = ys.astype(f"U{maxw2}").view(np.uint32).reshape(n, maxw2)
+    if A.max(initial=0) < 256 and B.max(initial=0) < 256:
+        A = A.astype(np.uint8)
+        B = B.astype(np.uint8)
+    inf = _AFFINE_INF
+    jj = np.arange(maxw2 + 1, dtype=np.int64)
+    # row 0 boundaries
+    m_prev = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+    m_prev[:, 0] = 0
+    y_prev = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+    y_prev[:, 1:] = open_ + (jj[1:] - 1) * ext
+    x_prev = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+    # columns beyond each row's own l2 must stay "unreachable": mask
+    # once at the end by gathering at column l2 — intermediate junk in
+    # the padding columns never flows left, and M/X/Y only read
+    # equal-or-lower columns of the previous row plus lower columns of
+    # the current row, all of which are exact for j <= l2.
+    for i in range(1, maxw + 1):
+        active = l1 >= i
+        if not active.any():
+            break
+        d = np.where(B == A[:, i - 1][:, None], 0, sub).astype(np.int64)
+        m_cur = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+        x_cur = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+        prev_best = np.minimum(np.minimum(m_prev, x_prev), y_prev)
+        m_cur[:, 1:] = prev_best[:, :-1] + d
+        x_cur[:, 0] = open_ + (i - 1) * ext
+        x_cur[:, 1:] = np.minimum(
+            np.minimum(m_prev[:, 1:], y_prev[:, 1:]) + open_,
+            x_prev[:, 1:] + ext,
+        )
+        # Y via the min-plus prefix scan over min(M,X) of THIS row
+        base = np.minimum(m_cur, x_cur)
+        run = np.minimum.accumulate(base - jj[None, :] * ext, axis=1)
+        y_cur = np.full((n, maxw2 + 1), inf, dtype=np.int64)
+        y_cur[:, 1:] = run[:, :-1] + open_ + (jj[1:] - 1) * ext
+        np.minimum(y_cur, inf, out=y_cur)
+        # rows already past their own length keep their final state
+        m_prev = np.where(active[:, None], m_cur, m_prev)
+        x_prev = np.where(active[:, None], x_cur, x_prev)
+        y_prev = np.where(active[:, None], y_cur, y_prev)
+    best = np.minimum(np.minimum(m_prev, x_prev), y_prev)
+    out = best[np.arange(n), l2]
+    # empty-side conventions (the DP above assumes l1 >= 1 reached)
+    gap_all = lambda l: open_ + (l - 1) * ext  # noqa: E731
+    out = np.where(l1 == 0, np.where(l2 == 0, 0, gap_all(l2)), out)
+    out = np.where((l2 == 0) & (l1 > 0), gap_all(l1), out)
+    return out.astype(np.int64)
+
+
+def affine_gap_np(
+    xs: np.ndarray, ys: np.ndarray,
+    sub: int = AFFINE_SUB, open_: int = AFFINE_OPEN, ext: int = AFFINE_EXT,
+) -> np.ndarray:
+    """Batch affine-gap distances with the same adaptive max-length
+    bucketing as ``jaro_winkler_np`` (the DP pads every row to the
+    bucket-global (L1,L2), so one long outlier must not tax the whole
+    Arrow batch)."""
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= _JW_BUCKET_MIN:
+        return _affine_gap_np_core(xs, ys, sub, open_, ext)
+    key = np.maximum(np.char.str_len(xs), np.char.str_len(ys))
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    out = np.empty(n, dtype=np.int64)
+    seg = np.concatenate([[0], np.nonzero(np.diff(sk))[0] + 1, [n]])
+    start = 0
+    for e in seg[1:]:
+        e = int(e)
+        if e - start >= _JW_BUCKET_MIN or e == n:
+            idx = order[start:e]
+            out[idx] = _affine_gap_np_core(xs[idx], ys[idx], sub, open_, ext)
+            start = e
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def affine_gap_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched affine-gap similarity in [0,1] (Gotoh distance
+    normalized by the delete-all+insert-all alignment cost): the
+    block-gap-tolerant member of the scorer set — middle names,
+    initials, and truncations cost ONE gap open, where Levenshtein and
+    Jaro-Winkler charge every character."""
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    xs = np.array(av, dtype="U")
+    ys = np.array(bv, dtype="U")
+    dist = affine_gap_np(xs, ys).astype(np.float64)
+    l1 = np.char.str_len(xs).astype(np.float64)
+    l2 = np.char.str_len(ys).astype(np.float64)
+    worst = 2 * AFFINE_OPEN + (l1 - 1 + l2 - 1) * AFFINE_EXT
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = 1.0 - dist / worst
+    sim = np.where((l1 == 0) | (l2 == 0), 0.0, sim)
+    return pd.Series(np.where(xs == ys, 1.0, sim))

@@ -98,7 +98,11 @@ def dedupe_records(
         exact-integer Levenshtein kernel, functions/tfidf.
         soft_tfidf_lev_pairs — corpus-IDF-weighted token matching
         that is order-invariant: "john smith" vs "smith john" scores
-        ~1.0 where whole-string JW collapses). Both emit a `score`
+        ~1.0 where whole-string JW collapses) or "affine_gap"
+        (Gotoh affine-gap similarity, functions/textdist.
+        affine_gap_sim_udf — a contiguous block insertion/truncation
+        "john smith" vs "john q. smith" costs ONE gap open, where JW
+        and Levenshtein charge every character). All emit a `score`
         column in [0, 1]; `jw_threshold` applies to it either way.
     :param soft_theta_micro: the soft scorer's close-token kernel
         threshold in micro-units (tokens below it contribute 0).
@@ -197,6 +201,24 @@ def dedupe_records(
             .join(nb, "b_id")
             .withColumn("jw", jaro_winkler_udf(F.col("_na"), F.col("_nb")))
             .withColumn("score", F.col("jw"))
+            .drop("_na", "_nb")
+        )
+    elif scorer == "affine_gap":
+        from hamerkop_spark.functions.textdist import affine_gap_sim_udf
+
+        na = keyed_src.select(
+            F.col("_id").alias("a_id"), F.col("_norm").alias("_na")
+        )
+        nb = keyed_src.select(
+            F.col("_id").alias("b_id"), F.col("_norm").alias("_nb")
+        )
+        scored = (
+            cand.join(na, "a_id")
+            .join(nb, "b_id")
+            .withColumn(
+                "affine_gap", affine_gap_sim_udf(F.col("_na"), F.col("_nb"))
+            )
+            .withColumn("score", F.col("affine_gap"))
             .drop("_na", "_nb")
         )
     elif scorer == "soft_tfidf":

@@ -281,3 +281,97 @@ def test_jaro_winkler_np_bucketing_invariant():
     assert np.array_equal(got, ref)  # bucketing is a pure reordering
     for i in rng.sample(range(n), 200):  # and both match the scalar law
         assert abs(got[i] - jaro_winkler_py(str(xs[i]), str(ys[i]))) < 1e-12
+
+
+# --------------------------------------------------------- affine gap
+
+
+def test_affine_gap_np_matches_scalar_exactly():
+    """The batch-vectorized Gotoh DP (min-plus prefix-scan Y matrix)
+    must be integer-identical to the scalar three-matrix definition."""
+    import random
+
+    import numpy as np
+
+    from hamerkop_spark.functions.textdist import (
+        affine_gap_np,
+        affine_gap_py,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdef "
+    cases = [
+        ("", ""), ("a", ""), ("", "abc"), ("abc", "abc"),
+        ("john smith", "john q. smith"), ("абвгд", "абгвд"),
+        ("x" * 40, "x" * 3), ("東京", "東京都"),
+    ]
+    for _ in range(2500):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            ("".join(rng.choice(alpha) for _ in range(n1)),
+             "".join(rng.choice(alpha) for _ in range(n2)))
+        )
+    xs = np.array([c[0] for c in cases], dtype="U")
+    ys = np.array([c[1] for c in cases], dtype="U")
+    got = affine_gap_np(xs, ys)
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == affine_gap_py(a, b), (a, b)
+
+
+def test_affine_gap_hand_vectors():
+    from hamerkop_spark.functions.textdist import (
+        AFFINE_EXT,
+        AFFINE_OPEN,
+        affine_gap_py,
+        affine_gap_sim_py,
+    )
+
+    # one contiguous 3-char insertion: open + 2*ext
+    assert affine_gap_py("john smith", "john q. smith") \
+        == AFFINE_OPEN + 2 * AFFINE_EXT
+    # the SAME character count scattered as three isolated inserts
+    # costs three opens — the affine property Levenshtein lacks
+    assert affine_gap_py("abcdef", "aXbcYdeZf") == 3 * AFFINE_OPEN
+    assert affine_gap_py("kitten", "kitten") == 0
+    # pure substitution path
+    assert affine_gap_py("kitten", "mitten") == 2
+    # sim form: identical -> 1, empty-vs-nonempty -> 0, monotone
+    assert affine_gap_sim_py("", "") == 1.0
+    assert affine_gap_sim_py("", "abc") == 0.0
+    block = affine_gap_sim_py("jonathan smith", "jonathan q smith")
+    scattered = affine_gap_sim_py("jonathan smith", "jXonathan Ysmith")
+    assert block > scattered
+
+
+def test_affine_gap_udf_and_dedupe_scorer(spark):
+    """affine_gap_sim_udf matches the scalar sim; dedupe_records
+    scorer="affine_gap" links the middle-initial variant that
+    whole-string JW at the same threshold misses."""
+    from hamerkop_spark.functions.textdist import (
+        affine_gap_sim_py,
+        affine_gap_sim_udf,
+    )
+    from hamerkop_spark.plans.dedupe import dedupe_records
+
+    df = spark.createDataFrame(
+        [("anna maria lopez", "anna ml lopez"),
+         ("john smith", "john quincy smith"),
+         ("", "x")],
+        "a string, b string",
+    )
+    rows = df.withColumn("s", affine_gap_sim_udf("a", "b")).collect()
+    for r in rows:
+        assert abs(r["s"] - affine_gap_sim_py(r["a"], r["b"])) < 1e-12
+
+    recs = spark.createDataFrame(
+        [(1, "jonathan smithfield"), (2, "jonathan q smithfield"),
+         (3, "maria lopez"), (4, "unrelated name")],
+        "record_id int, name string",
+    )
+    out = dedupe_records(
+        recs, blocking=("token",), scorer="affine_gap", jw_threshold=0.8
+    )
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    assert cl[1] == cl[2]
+    assert cl[3] != cl[1] and cl[4] != cl[1]
+    assert "affine_gap" in out["pairs"].columns
