@@ -13,6 +13,7 @@ records the weaker rows-only check for those.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -2181,6 +2182,8 @@ def q_er_uncertainty_queue(spark, sf):
 
 FS_M = {"g1": 0.95, "g2": 0.9, "g3": 0.8}
 FS_U = {"g1": 0.5, "g2": 0.33, "g3": 0.14}
+FS_TF_M = {"g_nat": 0.9, "g2": 0.9, "g3": 0.8}
+FS_TF_U = {"g_nat": 0.04, "g2": 0.33, "g3": 0.14}
 
 
 def q_fs_match_weight(spark, sf):
@@ -2205,6 +2208,44 @@ def q_fs_match_weight(spark, sf):
         (F.col("chain_id") % 7 == F.col("entity_id") % 7).cast("int").alias("g3"),
     )
     return fs_match_weight(cmp_df, ["g1", "g2", "g3"], FS_M, FS_U)
+
+
+def q_fs_tf_weight(spark, sf):
+    """Term-frequency-adjusted Fellegi-Sunter weight (operators/
+    linkage.fs_tf_match_weight, Winkler 1995 value-specific weights):
+    the nation field's agreement weight is re-priced per agreeing
+    VALUE from a corpus rarity table (tf_table — log2(N/n_v) in
+    fixed-point), clamped to [dw, aw+8 bits]; the other two fields
+    score as plain fs_match_weight."""
+    from hamerkop_spark.operators.linkage import fs_tf_match_weight, tf_table
+
+    cust = _t(spark, sf, "customer")
+    tf = tf_table(cust.select(F.col("c_nationkey").alias("nat")), "nat")
+    c = cust.select(
+        F.col("c_custkey").alias("chain_id"),
+        (F.col("c_custkey") % 25).alias("bkey"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        (F.col("s_suppkey") % 25).alias("bkey"),
+        F.col("s_nationkey").alias("b_nat"),
+    )
+    cmp_df = c.join(s, "bkey").select(
+        "chain_id",
+        "entity_id",
+        "a_nat",
+        (F.col("a_nat") == F.col("b_nat")).cast("int").alias("g_nat"),
+        (F.col("chain_id") % 3 == F.col("entity_id") % 3).cast("int").alias("g2"),
+        (F.col("chain_id") % 7 == F.col("entity_id") % 7).cast("int").alias("g3"),
+    )
+    out = fs_tf_match_weight(
+        cmp_df, ["g_nat", "g2", "g3"], FS_TF_M, FS_TF_U,
+        {"g_nat": ("a_nat", tf)},
+    )
+    return out.select(
+        "chain_id", "entity_id", "g_nat", "g2", "g3", "a_nat", "fs_weight_fp"
+    )
 
 
 def _assignment_pairs(spark, sf, cap_chain=None, cap_ent=None):
@@ -2801,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_scheme_masks": q_er_scheme_masks,
         "er_uncertainty_queue": q_er_uncertainty_queue,
         "c10_blanc": q_c10_blanc,
+        "fs_tf_weight": q_fs_tf_weight,
     }
 
 
@@ -3069,6 +3111,24 @@ def oracle_sql() -> dict[str, str]:
     fs_terms = " + ".join(
         f"CASE WHEN g{i} = 1 THEN {fsw[f'g{i}'][0]} ELSE {fsw[f'g{i}'][1]} END"
         for i in (1, 2, 3)
+    )
+
+    # TF-adjusted FS twin (q_fs_tf_weight): same driver-computed
+    # constants embedded in both engines' expressions
+    from hamerkop_spark.operators.linkage import LOG2E_FP, _EPS
+
+    tfw = fs_weight_constants(FS_TF_M, FS_TF_U)
+    _tf_u = min(max(FS_TF_U["g_nat"], _EPS), 1.0 - _EPS)
+    tf_log2u_fp = math.floor(math.log2(_tf_u) * 1_000_000 + 0.5)
+    tf_cap_fp = 8_000_000  # default cap_bits=8.0
+    aw_nat, dw_nat = tfw["g_nat"]
+    fs_tf_terms = (
+        f"(CASE WHEN g_nat = 1 THEN greatest({dw_nat}, least({aw_nat}"
+        f" + CASE WHEN tf_log2_fp IS NULL THEN 0"
+        f" ELSE tf_log2_fp + ({tf_log2u_fp}) END,"
+        f" {aw_nat + tf_cap_fp})) ELSE {dw_nat} END"
+        f" + CASE WHEN g2 = 1 THEN {tfw['g2'][0]} ELSE {tfw['g2'][1]} END"
+        f" + CASE WHEN g3 = 1 THEN {tfw['g3'][0]} ELSE {tfw['g3'][1]} END)"
     )
 
     # Bipartite fixture shared by the assignment oracles (mirrors
@@ -3707,6 +3767,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT chain_id, entity_id, g1, g2, g3,
                    ({fs_terms})::BIGINT AS fs_weight_fp
             FROM cmp
+        """,
+        "fs_tf_weight": f"""
+            WITH tfreq AS (
+              SELECT c_nationkey AS nat, count(*) AS n_v
+              FROM customer WHERE c_nationkey IS NOT NULL
+              GROUP BY c_nationkey
+            ), tft AS (
+              SELECT nat,
+                     floor(ln((SELECT sum(n_v) FROM tfreq)::DOUBLE
+                              / n_v::DOUBLE)
+                           * {LOG2E_FP!r} + 0.5)::BIGINT AS tf_log2_fp
+              FROM tfreq
+            ), cmp AS (
+              SELECT c_custkey AS chain_id, s_suppkey AS entity_id,
+                     c_nationkey AS a_nat,
+                     CASE WHEN c_nationkey = s_nationkey
+                          THEN 1 ELSE 0 END AS g_nat,
+                     CASE WHEN c_custkey % 3 = s_suppkey % 3
+                          THEN 1 ELSE 0 END AS g2,
+                     CASE WHEN c_custkey % 7 = s_suppkey % 7
+                          THEN 1 ELSE 0 END AS g3
+              FROM customer
+              JOIN supplier ON c_custkey % 25 = s_suppkey % 25
+            ), wt AS (
+              SELECT cmp.*, t.tf_log2_fp
+              FROM cmp LEFT JOIN tft t ON cmp.a_nat = t.nat
+            )
+            SELECT chain_id, entity_id, g_nat, g2, g3, a_nat,
+                   ({fs_tf_terms})::BIGINT AS fs_weight_fp
+            FROM wt
         """,
         "r10_mutual_best": f"""
             WITH {_pairs_cte()}

@@ -98,6 +98,107 @@ def fs_match_weight(
     return comparisons.withColumn(weight_col, expr.cast("bigint"))
 
 
+# 1e6 / ln(2): multiplying a NATURAL log by this literal yields log2 in
+# fixed-point millionths. Both engines evaluate ln() with platform libm
+# (parity proven by the f_tfidf_cosine oracle) and then one float
+# multiply by the SAME literal + floor — bit-identical cross-engine.
+LOG2E_FP = 1_000_000 / math.log(2.0)
+
+
+def tf_table(records: DataFrame, value_col: str) -> DataFrame:
+    """Per-value rarity table for term-frequency adjustment (Winkler
+    1995 §3 "value-specific weights"; the same adjustment Splink calls
+    term_frequency_adjustments): ``(value, tf_log2_fp)`` where
+
+        tf_log2_fp = floor( log2(N / n_v) * 1e6 + 0.5 )
+
+    over the non-null values of ``value_col``. One groupBy count + a
+    1-row total broadcast — O(distinct values) output, joinable
+    (broadcast when small) against candidate pairs.
+    """
+    counts = (
+        records.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count("*").alias("n_v"))
+    )
+    total = counts.agg(F.sum("n_v").alias("n_total"))
+    return counts.join(F.broadcast(total)).select(
+        "value",
+        F.floor(
+            F.log(F.col("n_total").cast("double") / F.col("n_v").cast("double"))
+            * F.lit(LOG2E_FP)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tf_log2_fp"),
+    )
+
+
+def fs_tf_match_weight(
+    comparisons: DataFrame,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    tf: dict[str, tuple[str, DataFrame]],
+    weight_col: str = "fs_weight_fp",
+    cap_bits: float = 8.0,
+) -> DataFrame:
+    """Fellegi-Sunter match weight with term-frequency-adjusted
+    agreement weights (Winkler 1995): agreeing on "John Smith" is weak
+    evidence, agreeing on "Xochitl Nakamura" is strong. For a field in
+    ``tf`` agreeing on value v with share p_v = n_v/N, the agreement
+    weight log2(m/u) becomes
+
+        log2(m / p_v) = aw + delta(v),   delta(v) = log2(u) + log2(N/n_v)
+
+    i.e. the field's AVERAGE u-probability is replaced by the value's
+    own collision probability. delta is clamped to keep the adjusted
+    weight inside [dw, aw + cap_bits]: an ultra-common value can at
+    worst look like a disagreement, never worse (the conservative
+    convention), and an ultra-rare value's boost is capped so one
+    singleton value cannot dominate a whole weight vector.
+
+    :param tf: {field: (value_col, tf_table_df)} — value_col is the
+        comparison table's column holding the (agreed) value to look
+        up; non-TF fields score exactly as ``fs_match_weight``.
+
+    Scale shape: one left hash join per TF field against its
+    O(distinct values) rarity table (broadcast when small), then the
+    same codegen'd integer CASE-sum as ``fs_match_weight`` — all
+    fixed-point BIGINTs, so the DuckDB twin hash-matches.
+    """
+    consts = fs_weight_constants({f: m[f] for f in fields}, u)
+    df = comparisons
+    expr = None
+    drop_cols = []
+    for f in fields:
+        aw, dw = consts[f]
+        if f in tf:
+            value_col, tf_df = tf[f]
+            vcol, fpcol = f"_tfv_{f}", f"_tffp_{f}"
+            t = tf_df.select(
+                F.col("value").alias(vcol), F.col("tf_log2_fp").alias(fpcol)
+            )
+            df = df.join(t, df[value_col] == F.col(vcol), "left")
+            drop_cols += [vcol, fpcol]
+            ui = min(max(float(u[f]), _EPS), 1.0 - _EPS)
+            log2u_fp = math.floor(math.log2(ui) * FP_SCALE + 0.5)
+            cap_fp = math.floor(cap_bits * FP_SCALE + 0.5)
+            # value missing from the tf table (built on another corpus
+            # slice) -> no evidence either way: delta := 0
+            delta = F.when(F.col(fpcol).isNull(), F.lit(0)).otherwise(
+                F.col(fpcol) + F.lit(log2u_fp)
+            )
+            adj = F.greatest(
+                F.lit(dw), F.least(F.lit(aw) + delta, F.lit(aw + cap_fp))
+            )
+            term = F.when(F.col(f) == 1, adj).otherwise(F.lit(dw))
+        else:
+            term = F.when(F.col(f) == 1, F.lit(aw)).otherwise(F.lit(dw))
+        expr = term if expr is None else expr + term
+    return df.withColumn(weight_col, expr.cast("bigint")).drop(*drop_cols)
+
+
 def agreement_pattern_counts(
     comparisons: DataFrame, fields: list[str]
 ) -> DataFrame:

@@ -662,3 +662,109 @@ def test_uncertainty_queue_modes_agree_and_tiebreak(spark):
                         ab[0], ab[1]),
     )[:7])
     assert a == want
+
+
+# ------------------------------------------------ term-frequency adjustment
+
+
+def test_tf_table_exact_fp(spark):
+    import math
+
+    from hamerkop_spark.operators.linkage import LOG2E_FP, tf_table
+
+    recs = spark.createDataFrame(
+        [("smith",)] * 8 + [("nakamura",)] * 2 + [(None,)],
+        "name string",
+    )
+    got = {r["value"]: r["tf_log2_fp"] for r in tf_table(recs, "name").collect()}
+    # N=10 (null excluded): smith log2(10/8), nakamura log2(10/2)
+    assert got["smith"] == math.floor(math.log(10 / 8) * LOG2E_FP + 0.5)
+    assert got["nakamura"] == math.floor(math.log(10 / 2) * LOG2E_FP + 0.5)
+    assert None not in got
+
+
+def test_fs_tf_weight_rare_beats_common(spark):
+    from hamerkop_spark.operators.linkage import (
+        fs_match_weight,
+        fs_tf_match_weight,
+        fs_weight_constants,
+        tf_table,
+    )
+
+    recs = spark.createDataFrame(
+        [("smith",)] * 90 + [("nakamura",)] * 2 + [("lee",)] * 8,
+        "name string",
+    )
+    tf = tf_table(recs, "name")
+    m, u = {"g_name": 0.92}, {"g_name": 0.05}
+    cmp_df = spark.createDataFrame(
+        [(1, 1, "smith"), (2, 1, "nakamura"), (3, 0, "smith"),
+         (4, 1, "unseen-value")],
+        "pid int, g_name int, a_name string",
+    )
+    got = {
+        r["pid"]: r["fs_weight_fp"]
+        for r in fs_tf_match_weight(
+            cmp_df, ["g_name"], m, u, {"g_name": ("a_name", tf)}
+        ).collect()
+    }
+    aw, dw = fs_weight_constants(m, u)["g_name"]
+    # rare agreeing value outweighs the common one; common 'smith'
+    # (p=0.9 >> u=0.05) is penalized BELOW the unadjusted aw
+    assert got[2] > got[1]
+    assert got[1] < aw
+    # disagreement is untouched by TF
+    assert got[3] == dw
+    # value absent from the tf table -> delta 0 -> plain aw
+    assert got[4] == aw
+    # and with tf={} the function degrades to fs_match_weight exactly
+    plain = {
+        r["pid"]: r["fs_weight_fp"]
+        for r in fs_match_weight(cmp_df, ["g_name"], m, u).collect()
+    }
+    un = {
+        r["pid"]: r["fs_weight_fp"]
+        for r in fs_tf_match_weight(cmp_df, ["g_name"], m, u, {}).collect()
+    }
+    assert un == plain
+
+
+def test_fs_tf_weight_clamps(spark):
+    import math
+
+    from hamerkop_spark.operators.linkage import (
+        FP_SCALE,
+        fs_tf_match_weight,
+        fs_weight_constants,
+        tf_table,
+    )
+
+    # upper cap: a 1-in-1024 value's boost is log2(1024)+log2(u) bits;
+    # cap_bits=1 must clip it to aw + 1e6
+    recs = spark.createDataFrame(
+        [("common",)] * 1023 + [("rare",)], "name string"
+    )
+    tf = tf_table(recs, "name")
+    m, u = {"g": 0.9}, {"g": 0.5}
+    cmp_df = spark.createDataFrame(
+        [(1, 1, "rare"), (2, 1, "common")], "pid int, g int, a_name string"
+    )
+    aw, dw = fs_weight_constants(m, u)["g"]
+    got = {
+        r["pid"]: r["fs_weight_fp"]
+        for r in fs_tf_match_weight(
+            cmp_df, ["g"], m, u, {"g": ("a_name", tf)}, cap_bits=1.0
+        ).collect()
+    }
+    assert got[1] == aw + FP_SCALE
+    # lower clamp: with small m, an all-one-value field's adjusted
+    # weight log2(m/p_v)=log2(m) would fall BELOW dw; clamp holds at dw
+    m2, u2 = {"g": 0.2}, {"g": 0.1}
+    aw2, dw2 = fs_weight_constants(m2, u2)["g"]
+    assert math.floor(math.log2(0.2) * FP_SCALE + 0.5) < dw2
+    one = spark.createDataFrame([("x",)] * 50, "name string")
+    cmp2 = spark.createDataFrame([(1, 1, "x")], "pid int, g int, a_name string")
+    got2 = fs_tf_match_weight(
+        cmp2, ["g"], m2, u2, {"g": ("a_name", tf_table(one, "name"))}
+    ).collect()[0]["fs_weight_fp"]
+    assert got2 == dw2
