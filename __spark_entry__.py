@@ -2703,6 +2703,92 @@ def q_er_pr_curve(spark, sf):
     return pr_curve(scored)
 
 
+def q_er_swoosh(spark, sf):
+    """Swoosh merge-closure ER (operators/swoosh.py; Benjelloun et al.
+    VLDB J 2009): records = first-5 word sets of documents.text, match
+    = >=4 shared distinct tokens, union merge, re-matched on the
+    composites to the fixpoint. At sf0.01 this takes 4 merge rounds
+    (500 records -> 15 entities) where single-pass CC over the BASE
+    pair graph leaves 411 — the merge-enabled cascade is what the
+    decision-based operators cannot produce. Oracle: the identical
+    round algebra unrolled 6x in SQL (rounds past the fixpoint are
+    exact no-ops: empty pair set -> identity components)."""
+    from hamerkop_spark.operators.swoosh import swoosh_merge
+
+    docs = _t(spark, sf, "documents")
+    recs = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("record_id"),
+        F.array_remove(
+            F.slice(F.split(F.col("text"), " "), 1, 5), ""
+        ).alias("values"),
+    )
+    entities, membership = swoosh_merge(recs, min_shared=4)
+    ent = entities.select(
+        "entity_id",
+        F.size("values").cast("bigint").alias("entity_tokens"),
+        "n_members",
+    )
+    return membership.join(ent, "entity_id").select(
+        F.col("record_id").cast("bigint").alias("record_id"),
+        F.col("entity_id").cast("bigint").alias("entity_id"),
+        "entity_tokens",
+        "n_members",
+    )
+
+
+def _swoosh_oracle_sql(rounds: int = 6, min_shared: int = 4,
+                       k: int = 5) -> str:
+    """Unrolled merge-closure SQL twin of q_er_swoosh: `rounds` copies
+    of (pair-match >= min_shared, recursive-CTE transitive closure,
+    min-id relabel). Any round past the data's fixpoint is an exact
+    no-op (no pairs -> identity closure -> identity relabel), so the
+    unroll depth only needs to be >= the true round count (measured: 4
+    at sf0.001/sf0.01, 2 at sf0.1; 6 leaves margin)."""
+    parts = [f"""rec0 AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS rid, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')[1:{k}]) AS tok
+            FROM documents) WHERE tok <> ''
+        ), map0 AS MATERIALIZED (
+          SELECT doc_id AS record_id, doc_id AS rid FROM documents
+        )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""pairs{i} AS MATERIALIZED (
+          SELECT a.rid AS s, b.rid AS d
+          FROM rec{p} a JOIN rec{p} b ON a.tok = b.tok AND a.rid < b.rid
+          GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+        ), sym{i} AS MATERIALIZED (
+          SELECT s, d FROM pairs{i} UNION SELECT d, s FROM pairs{i}
+        ), reach{i}(node, r) AS (
+          SELECT rid, rid FROM (SELECT DISTINCT rid FROM map{p})
+          UNION
+          SELECT q.node, e.d FROM reach{i} q JOIN sym{i} e ON e.s = q.r
+        ), comp{i} AS MATERIALIZED (
+          SELECT node, min(r) AS c FROM reach{i} GROUP BY node
+        ), rec{i} AS MATERIALIZED (
+          SELECT DISTINCT c.c AS rid, t.tok
+          FROM rec{p} t JOIN comp{i} c ON t.rid = c.node
+        ), map{i} AS MATERIALIZED (
+          SELECT m.record_id, c.c AS rid
+          FROM map{p} m JOIN comp{i} c ON m.rid = c.node
+        )""")
+    n = rounds
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f"""
+        , ent AS (
+          SELECT rid, count(*) AS entity_tokens FROM rec{n} GROUP BY rid
+        ), mem AS (
+          SELECT rid, count(*) AS n_members FROM map{n} GROUP BY rid
+        )
+        SELECT m.record_id, m.rid AS entity_id,
+               coalesce(e.entity_tokens, 0) AS entity_tokens,
+               mm.n_members
+        FROM map{n} m
+        LEFT JOIN ent e ON e.rid = m.rid
+        JOIN mem mm ON mm.rid = m.rid"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2843,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_uncertainty_queue": q_er_uncertainty_queue,
         "c10_blanc": q_c10_blanc,
         "fs_tf_weight": q_fs_tf_weight,
+        "er_swoosh": q_er_swoosh,
     }
 
 
@@ -3889,6 +3976,7 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000.0 + 0.5)::BIGINT AS blanc_fp
             FROM g
         """,
+        "er_swoosh": _swoosh_oracle_sql(),
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,
