@@ -2789,6 +2789,105 @@ def _swoosh_oracle_sql(rounds: int = 6, min_shared: int = 4,
     )
 
 
+def q_er_hac_clusters(spark, sf):
+    """Threshold average-linkage HAC (operators/hac.py; the `dedupe`
+    toolchain's cut-threshold agglomeration, Bilenko & Mooney KDD
+    2003) over a deterministic weighted pair graph derived from
+    part keys: nodes = p_partkey, edges within 8-key groups kept at
+    75% density by a key hash, integer micro-unit weights
+    (a*2654435761 + b*40503) % 9000 + 1000, cut at 5500. Exercises
+    the full operator path: CC component tagging -> per-component
+    applyInPandas exact integer merge loop. Oracle: the identical
+    per-group argmax merge algebra unrolled 7x in SQL (one merge per
+    group per round; 8-node groups need <= 7 merges, and within a
+    group the group-argmax sequence executes exactly the
+    per-component argmax sequences, so rounds past the fixpoint are
+    exact no-ops)."""
+    from hamerkop_spark.operators.hac import hac_clusters
+
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("bigint").alias("r")
+    )
+    g = p.select("r", (F.col("r") - F.col("r") % 8).alias("g"))
+    a = g.select(F.col("r").alias("a_id"), "g")
+    b = g.select(F.col("r").alias("b_id"), "g")
+    edges = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where((F.col("a_id") * 7 + F.col("b_id") * 13) % 4 < 3)
+        .select(
+            "a_id",
+            "b_id",
+            (
+                (
+                    F.col("a_id") * F.lit(2654435761)
+                    + F.col("b_id") * 40503
+                ) % 9000
+                + 1000
+            ).alias("w_micro"),
+        )
+    )
+    return hac_clusters(edges, threshold_micro=5500)
+
+
+def _hac_oracle_sql(rounds: int = 7, thr: int = 5500) -> str:
+    """Unrolled HAC SQL twin of q_er_hac_clusters: `rounds` copies of
+    (cluster-pair linkage sums over the base edges, per-group argmax
+    among pairs passing the cut — exact integer cross-product compare
+    s1*n2 vs s2*n1 with the ascending (px,py) tie-break — one merge
+    per group). Groups hold <= 8 nodes so <= 7 merges ever happen in
+    one group; each productive round performs exactly one, and rounds
+    past a group's fixpoint are exact no-ops (no passing pair -> no
+    best row -> identity relabel)."""
+    parts = [f"""nodes AS (
+          SELECT CAST(p_partkey AS BIGINT) AS r FROM part
+        ), base AS MATERIALIZED (
+          SELECT a.r AS a, b.r AS b,
+                 (a.r * 2654435761 + b.r * 40503) % 9000 + 1000 AS w
+          FROM nodes a JOIN nodes b
+            ON a.r - a.r % 8 = b.r - b.r % 8 AND a.r < b.r
+          WHERE (a.r * 7 + b.r * 13) % 4 < 3
+        ), m0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS rep FROM (
+            SELECT a AS node FROM base UNION ALL SELECT b FROM base)
+        )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""cl{i} AS (
+          SELECT least(ma.rep, mb.rep) AS px,
+                 greatest(ma.rep, mb.rep) AS py, sum(e.w) AS s
+          FROM base e
+          JOIN m{p} ma ON e.a = ma.node
+          JOIN m{p} mb ON e.b = mb.node
+          WHERE ma.rep <> mb.rep GROUP BY 1, 2
+        ), sz{i} AS (
+          SELECT rep, count(*) AS n FROM m{p} GROUP BY rep
+        ), ok{i} AS MATERIALIZED (
+          SELECT c.px, c.py, c.s, nx.n * ny.n AS nxy
+          FROM cl{i} c
+          JOIN sz{i} nx ON c.px = nx.rep
+          JOIN sz{i} ny ON c.py = ny.rep
+          WHERE c.s >= {thr} * nx.n * ny.n
+        ), best{i} AS MATERIALIZED (
+          SELECT p.px, p.py FROM ok{i} p WHERE NOT EXISTS (
+            SELECT 1 FROM ok{i} q
+            WHERE q.px - q.px % 8 = p.px - p.px % 8
+              AND (q.px <> p.px OR q.py <> p.py)
+              AND (q.s * p.nxy > p.s * q.nxy
+                   OR (q.s * p.nxy = p.s * q.nxy
+                       AND (q.px < p.px
+                            OR (q.px = p.px AND q.py < p.py))))
+          )
+        ), m{i} AS MATERIALIZED (
+          SELECT m.node, coalesce(b.px, m.rep) AS rep
+          FROM m{p} m LEFT JOIN best{i} b ON m.rep = b.py
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS record_id, rep AS cluster_id FROM m{rounds}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -2930,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_blanc": q_c10_blanc,
         "fs_tf_weight": q_fs_tf_weight,
         "er_swoosh": q_er_swoosh,
+        "er_hac_clusters": q_er_hac_clusters,
     }
 
 
@@ -3977,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "er_swoosh": _swoosh_oracle_sql(),
+        "er_hac_clusters": _hac_oracle_sql(),
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,
