@@ -2888,6 +2888,81 @@ def _hac_oracle_sql(rounds: int = 7, thr: int = 5500) -> str:
     )
 
 
+def q_er_lpa_clusters(spark, sf):
+    """Weighted synchronous label propagation (operators/lpa.py;
+    Raghavan et al. 2007, weighted votes per Barber & Clark 2009)
+    over a deterministic weighted pair graph on 16-key p_partkey
+    groups (60% edge density by key hash, integer micro-unit
+    weights) for exactly 4 synchronous rounds — the O(E)-per-round
+    weighted partitioner of the clustering matrix. Oracle: the
+    identical round algebra unrolled 4x in SQL (neighbour-label
+    vote sums, per-node argmax with the min-label tie-break — all
+    integer, so bit-exact; the operator's fixpoint early-exit is a
+    provable no-op vs the fixed-round unroll)."""
+    from hamerkop_spark.operators.lpa import label_propagation
+
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("bigint").alias("r")
+    )
+    g = p.select("r", (F.col("r") - F.col("r") % 16).alias("g"))
+    a = g.select(F.col("r").alias("a_id"), "g")
+    b = g.select(F.col("r").alias("b_id"), "g")
+    edges = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where((F.col("a_id") * 11 + F.col("b_id") * 3) % 5 < 3)
+        .select(
+            "a_id",
+            "b_id",
+            (
+                (
+                    F.col("a_id") * F.lit(2654435761)
+                    + F.col("b_id") * 40503
+                ) % 9000
+                + 1000
+            ).alias("w_micro"),
+        )
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled LPA SQL twin of q_er_lpa_clusters: `rounds` copies of
+    (neighbour-label vote sum, per-node argmax with exact integer
+    compare and the min-label tie-break). Synchronous and
+    deterministic, so the unroll replays the operator bit-exactly;
+    rounds past a fixpoint reproduce the same labels (no-op)."""
+    parts = ["""nodes AS (
+          SELECT CAST(p_partkey AS BIGINT) AS r FROM part
+        ), e AS MATERIALIZED (
+          SELECT a.r AS a, b.r AS b,
+                 (a.r * 2654435761 + b.r * 40503) % 9000 + 1000 AS w
+          FROM nodes a JOIN nodes b
+            ON a.r - a.r % 16 = b.r - b.r % 16 AND a.r < b.r
+          WHERE (a.r * 11 + b.r * 3) % 5 < 3
+        ), sym AS MATERIALIZED (
+          SELECT a AS v, b AS u, w FROM e
+          UNION ALL SELECT b AS v, a AS u, w FROM e
+        ), lab0 AS MATERIALIZED (
+          SELECT DISTINCT v AS node, v AS lab FROM sym
+        )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""nb{i} AS (
+          SELECT sy.v AS v, l.lab AS lab, sum(sy.w) AS s
+          FROM sym sy JOIN lab{p} l ON sy.u = l.node GROUP BY 1, 2
+        ), lab{i} AS MATERIALIZED (
+          SELECT p.v AS node, p.lab FROM nb{i} p WHERE NOT EXISTS (
+            SELECT 1 FROM nb{i} q WHERE q.v = p.v
+              AND (q.s > p.s OR (q.s = p.s AND q.lab < p.lab))
+          )
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS record_id, lab AS cluster_id FROM lab{rounds}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -3030,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_weight": q_fs_tf_weight,
         "er_swoosh": q_er_swoosh,
         "er_hac_clusters": q_er_hac_clusters,
+        "er_lpa_clusters": q_er_lpa_clusters,
     }
 
 
@@ -4078,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_swoosh": _swoosh_oracle_sql(),
         "er_hac_clusters": _hac_oracle_sql(),
+        "er_lpa_clusters": _lpa_oracle_sql(),
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,
