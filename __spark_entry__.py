@@ -2963,6 +2963,108 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     )
 
 
+def q_er_constrained_clusters(spark, sf):
+    """Cannot-link constrained greedy agglomeration
+    (operators/constrained.py; Wagstaff & Cardie ICML 2000
+    COP-constraints) over the same deterministic 8-key-group weighted
+    pair graph as er_hac_clusters, with cannot-link pairs at
+    (a*5 + b*7) % 11 == 0 — the clerical-review enforcement rule:
+    descending-weight union-find sweep that skips any union joining a
+    constrained pair. Oracle: 'repeatedly merge the max-weight VALID
+    cross edge' unrolled 7x in SQL (equivalent to the one-pass sweep
+    because constraint violations are monotone under cluster growth;
+    per-group argmax executes the per-component sequences exactly, as
+    in the HAC oracle)."""
+    from hamerkop_spark.operators.constrained import constrained_clusters
+
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("bigint").alias("r")
+    )
+    g = p.select("r", (F.col("r") - F.col("r") % 8).alias("g"))
+    a = g.select(F.col("r").alias("a_id"), "g")
+    b = g.select(F.col("r").alias("b_id"), "g")
+    pairs = a.join(b, "g").where(F.col("a_id") < F.col("b_id"))
+    edges = pairs.where(
+        (F.col("a_id") * 7 + F.col("b_id") * 13) % 4 < 3
+    ).select(
+        "a_id",
+        "b_id",
+        (
+            (F.col("a_id") * F.lit(2654435761) + F.col("b_id") * 40503)
+            % 9000
+            + 1000
+        ).alias("w_micro"),
+    )
+    cons = pairs.where(
+        (F.col("a_id") * 5 + F.col("b_id") * 7) % 11 == 0
+    ).select("a_id", "b_id")
+    return constrained_clusters(edges, cons)
+
+
+def _constrained_oracle_sql(rounds: int = 7) -> str:
+    """Unrolled constrained-agglomeration SQL twin of
+    q_er_constrained_clusters: `rounds` copies of (cross-cluster
+    edges under current membership, validity = no cannot-link pair
+    whose endpoint reps are exactly the edge's two cluster reps,
+    per-group argmax by (w DESC, a ASC, b ASC), one merge per
+    group). Violations are monotone under cluster growth, so the
+    repeated-argmax form equals the operator's one-pass descending
+    sweep; 8-node groups need <= 7 merges and later rounds are
+    exact no-ops."""
+    parts = ["""nodes AS (
+          SELECT CAST(p_partkey AS BIGINT) AS r FROM part
+        ), base AS MATERIALIZED (
+          SELECT a.r AS a, b.r AS b,
+                 (a.r * 2654435761 + b.r * 40503) % 9000 + 1000 AS w
+          FROM nodes a JOIN nodes b
+            ON a.r - a.r % 8 = b.r - b.r % 8 AND a.r < b.r
+          WHERE (a.r * 7 + b.r * 13) % 4 < 3
+        ), cons AS MATERIALIZED (
+          SELECT a.r AS a, b.r AS b
+          FROM nodes a JOIN nodes b
+            ON a.r - a.r % 8 = b.r - b.r % 8 AND a.r < b.r
+          WHERE (a.r * 5 + b.r * 7) % 11 = 0
+        ), m0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS rep FROM (
+            SELECT a AS node FROM base UNION ALL SELECT b FROM base)
+        )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""xe{i} AS (
+          SELECT e.a, e.b, e.w,
+                 least(ma.rep, mb.rep) AS px,
+                 greatest(ma.rep, mb.rep) AS py
+          FROM base e
+          JOIN m{p} ma ON e.a = ma.node
+          JOIN m{p} mb ON e.b = mb.node
+          WHERE ma.rep <> mb.rep
+        ), valid{i} AS MATERIALIZED (
+          SELECT * FROM xe{i} c WHERE NOT EXISTS (
+            SELECT 1 FROM cons k
+            JOIN m{p} mp ON k.a = mp.node
+            JOIN m{p} mq ON k.b = mq.node
+            WHERE (mp.rep = c.px AND mq.rep = c.py)
+               OR (mp.rep = c.py AND mq.rep = c.px)
+          )
+        ), best{i} AS MATERIALIZED (
+          SELECT p.px, p.py FROM valid{i} p WHERE NOT EXISTS (
+            SELECT 1 FROM valid{i} q
+            WHERE q.px - q.px % 8 = p.px - p.px % 8
+              AND (q.a <> p.a OR q.b <> p.b)
+              AND (q.w > p.w
+                   OR (q.w = p.w
+                       AND (q.a < p.a OR (q.a = p.a AND q.b < p.b))))
+          )
+        ), m{i} AS MATERIALIZED (
+          SELECT m.node, coalesce(b.px, m.rep) AS rep
+          FROM m{p} m LEFT JOIN best{i} b ON m.rep = b.py
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS record_id, rep AS cluster_id FROM m{rounds}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -3106,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_swoosh": q_er_swoosh,
         "er_hac_clusters": q_er_hac_clusters,
         "er_lpa_clusters": q_er_lpa_clusters,
+        "er_constrained_clusters": q_er_constrained_clusters,
     }
 
 
@@ -4155,6 +4258,7 @@ def oracle_sql() -> dict[str, str]:
         "er_swoosh": _swoosh_oracle_sql(),
         "er_hac_clusters": _hac_oracle_sql(),
         "er_lpa_clusters": _lpa_oracle_sql(),
+        "er_constrained_clusters": _constrained_oracle_sql(),
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,
