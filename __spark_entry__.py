@@ -3065,6 +3065,100 @@ def _constrained_oracle_sql(rounds: int = 7) -> str:
     )
 
 
+def q_er_hac_complete(spark, sf):
+    """Complete-linkage HAC (operators/hac.py, linkage='complete'):
+    the strict clique-style cut — a cluster pair merges only when
+    EVERY cross pair is observed and its weakest cross weight clears
+    the threshold — over the same deterministic 8-key-group weighted
+    pair graph as er_hac_clusters, cut at 3000. Oracle: the
+    (count, min) merge algebra unrolled 7x in SQL with a plain
+    integer argmax on the min weight (same per-group-argmax
+    equivalence as the average-linkage oracle)."""
+    from hamerkop_spark.operators.hac import hac_clusters
+
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("bigint").alias("r")
+    )
+    g = p.select("r", (F.col("r") - F.col("r") % 8).alias("g"))
+    a = g.select(F.col("r").alias("a_id"), "g")
+    b = g.select(F.col("r").alias("b_id"), "g")
+    edges = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where((F.col("a_id") * 7 + F.col("b_id") * 13) % 4 < 3)
+        .select(
+            "a_id",
+            "b_id",
+            (
+                (
+                    F.col("a_id") * F.lit(2654435761)
+                    + F.col("b_id") * 40503
+                ) % 9000
+                + 1000
+            ).alias("w_micro"),
+        )
+    )
+    return hac_clusters(edges, threshold_micro=3000, linkage="complete")
+
+
+def _hac_complete_oracle_sql(rounds: int = 7, thr: int = 3000) -> str:
+    """Unrolled complete-linkage SQL twin of q_er_hac_complete:
+    cluster-pair state is (count(*), min(w)) over the base edges
+    under current membership; a pair is mergeable when count equals
+    |A|*|B| (no unscored cross pair) and min(w) >= thr; per-group
+    argmax on min(w) with the ascending (px,py) tie-break. Same
+    one-merge-per-group-per-round unroll and no-op-past-fixpoint
+    argument as _hac_oracle_sql."""
+    parts = ["""nodes AS (
+          SELECT CAST(p_partkey AS BIGINT) AS r FROM part
+        ), base AS MATERIALIZED (
+          SELECT a.r AS a, b.r AS b,
+                 (a.r * 2654435761 + b.r * 40503) % 9000 + 1000 AS w
+          FROM nodes a JOIN nodes b
+            ON a.r - a.r % 8 = b.r - b.r % 8 AND a.r < b.r
+          WHERE (a.r * 7 + b.r * 13) % 4 < 3
+        ), m0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS rep FROM (
+            SELECT a AS node FROM base UNION ALL SELECT b FROM base)
+        )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""cl{i} AS (
+          SELECT least(ma.rep, mb.rep) AS px,
+                 greatest(ma.rep, mb.rep) AS py,
+                 count(*) AS c, min(e.w) AS mn
+          FROM base e
+          JOIN m{p} ma ON e.a = ma.node
+          JOIN m{p} mb ON e.b = mb.node
+          WHERE ma.rep <> mb.rep GROUP BY 1, 2
+        ), sz{i} AS (
+          SELECT rep, count(*) AS n FROM m{p} GROUP BY rep
+        ), ok{i} AS MATERIALIZED (
+          SELECT c.px, c.py, c.mn
+          FROM cl{i} c
+          JOIN sz{i} nx ON c.px = nx.rep
+          JOIN sz{i} ny ON c.py = ny.rep
+          WHERE c.c = nx.n * ny.n AND c.mn >= {thr}
+        ), best{i} AS MATERIALIZED (
+          SELECT p.px, p.py FROM ok{i} p WHERE NOT EXISTS (
+            SELECT 1 FROM ok{i} q
+            WHERE q.px - q.px % 8 = p.px - p.px % 8
+              AND (q.px <> p.px OR q.py <> p.py)
+              AND (q.mn > p.mn
+                   OR (q.mn = p.mn
+                       AND (q.px < p.px
+                            OR (q.px = p.px AND q.py < p.py))))
+          )
+        ), m{i} AS MATERIALIZED (
+          SELECT m.node, coalesce(b.px, m.rep) AS rep
+          FROM m{p} m LEFT JOIN best{i} b ON m.rep = b.py
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS record_id, rep AS cluster_id FROM m{rounds}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -3209,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_hac_clusters": q_er_hac_clusters,
         "er_lpa_clusters": q_er_lpa_clusters,
         "er_constrained_clusters": q_er_constrained_clusters,
+        "er_hac_complete": q_er_hac_complete,
     }
 
 
@@ -4259,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
         "er_hac_clusters": _hac_oracle_sql(),
         "er_lpa_clusters": _lpa_oracle_sql(),
         "er_constrained_clusters": _constrained_oracle_sql(),
+        "er_hac_complete": _hac_complete_oracle_sql(),
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,

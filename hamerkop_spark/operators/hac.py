@@ -29,6 +29,13 @@ Semantics (exact, deterministic):
   id, every edge endpoint covered (never-merged nodes are singleton
   clusters).
 
+``linkage="complete"`` swaps the rule for the strict clique-style
+cut: linkage(A,B) = min observed cross weight when ALL |A||B| cross
+pairs are observed, else 0 (one unscored pair vetoes the merge) —
+state per cluster pair becomes (count, min) and the argmax is a
+plain integer max, no ratios. Average dilutes weak evidence;
+complete refuses it outright.
+
 Scale shape: HAC is quadratic in cluster-pair state, so it runs WHERE
 the graph is small — per connected component. Stage 1 is the audited
 two-phase large-star/small-star closure (operators/cc.py, measured
@@ -121,6 +128,58 @@ def _hac_component(
     return rep
 
 
+def _hac_complete_component(
+    ids: np.ndarray, src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+    threshold: int,
+) -> np.ndarray:
+    """Complete-linkage twin of :func:`_hac_component`: linkage(A,B)
+    is the MINIMUM observed cross weight when every one of the
+    |A||B| cross pairs is observed, else 0 (an unscored pair counts
+    0, and min includes it) — so only fully-scored cluster pairs can
+    merge, the strict clique-style rule. State per cluster pair is
+    (count, min); the argmax compare is a plain integer max on the
+    min weight (no ratios), ties by the ascending pair key."""
+    k = len(ids)
+    size = np.ones(k, dtype=np.int64)
+    members: dict[int, list[int]] = {i: [i] for i in range(k)}
+    px, py, mn = src.copy(), dst.copy(), w.astype(np.int64).copy()
+    cnt = np.ones(len(mn), dtype=np.int64)
+    while len(mn):
+        full = cnt == size[px] * size[py]
+        ok = full & (mn >= threshold)
+        if not ok.any():
+            break
+        cand = np.flatnonzero(ok)
+        best = None
+        for i in cand.tolist():
+            if best is None or mn[i] > mn[best] or (
+                mn[i] == mn[best]
+                and (px[i], py[i]) < (px[best], py[best])
+            ):
+                best = i
+        x, y = int(px[best]), int(py[best])
+        members[x].extend(members.pop(y))
+        size[x] += size[y]
+        px = np.where(px == y, x, px)
+        py = np.where(py == y, x, py)
+        keep = px != py
+        px, py, mn, cnt = px[keep], py[keep], mn[keep], cnt[keep]
+        lo, hi = np.minimum(px, py), np.maximum(px, py)
+        key = lo * k + hi
+        order = np.argsort(key, kind="stable")
+        key, lo, hi = key[order], lo[order], hi[order]
+        mn, cnt = mn[order], cnt[order]
+        uniq, start = np.unique(key, return_index=True)
+        if len(key):
+            mn = np.minimum.reduceat(mn, start)
+            cnt = np.add.reduceat(cnt, start)
+        px, py = lo[start], hi[start]
+    rep = np.arange(k, dtype=np.int64)
+    for r, ms in members.items():
+        rep[np.asarray(ms, dtype=np.int64)] = min(ms)
+    return rep
+
+
 def hac_clusters(
     edges: DataFrame,
     threshold_micro: int,
@@ -128,13 +187,15 @@ def hac_clusters(
     b_col: str = "b_id",
     w_col: str = "w_micro",
     max_component: int = 100_000,
+    linkage: str = "average",
 ) -> DataFrame:
-    """(record_id, cluster_id) threshold average-linkage HAC
-    memberships over scored candidate pairs.
+    """(record_id, cluster_id) threshold HAC memberships over scored
+    candidate pairs.
 
     :param edges: canonical scored pairs; ``a_col``/``b_col`` any
         orderable id type (numeric or string), ``w_col`` similarity in
         nonnegative integer micro-units. Duplicate pairs are summed
+        under average linkage and min'd under complete linkage
         (callers should pre-aggregate; symmetric duplicates are the
         caller's bug).
     :param threshold_micro: cut threshold in micro-units, >= 1 (a
@@ -143,6 +204,11 @@ def hac_clusters(
     :param max_component: hard guard on component size; a component
         above it raises with remediation guidance instead of letting
         one executor run an unbounded quadratic loop.
+    :param linkage: ``"average"`` (S_AB/(|A||B|), unscored pairs
+        dilute) or ``"complete"`` (the minimum cross weight, and ANY
+        unscored cross pair vetoes the merge — the strict clique-style
+        rule; single linkage is deliberately absent: with a threshold
+        it IS transitive closure over the passing edges, cc.py).
     :return: one row per distinct edge endpoint; ``cluster_id`` is the
         minimum member id (same dtype as the inputs). Records with no
         candidate edge are absent — union singletons at the call site,
@@ -153,6 +219,8 @@ def hac_clusters(
             "threshold_micro must be >= 1 (0 degenerates to transitive "
             "closure; use operators/cc.py)"
         )
+    if linkage not in ("average", "complete"):
+        raise ValueError("linkage must be 'average' or 'complete'")
     id_type = edges.schema[a_col].dataType
     e = edges.select(
         F.col(a_col).alias("a"),
@@ -178,6 +246,7 @@ def hac_clusters(
         ]
     )
     thr, cap = int(threshold_micro), int(max_component)
+    complete = linkage == "complete"
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(
@@ -193,15 +262,18 @@ def hac_clusters(
         dst = np.searchsorted(ids, pdf["b"].to_numpy())
         lo, hi = np.minimum(src, dst), np.maximum(src, dst)
         w = pdf["w"].to_numpy().astype(np.int64)
-        # sum duplicate observations of one unordered pair up front
-        # (the loop's own re-aggregation only runs after a merge)
+        # fold duplicate observations of one unordered pair up front
+        # (the loop's own re-aggregation only runs after a merge):
+        # sum under average linkage, min under complete
         key = lo * len(ids) + hi
         order = np.argsort(key, kind="stable")
         key, lo, hi, w = key[order], lo[order], hi[order], w[order]
         _, start = np.unique(key, return_index=True)
-        w = np.add.reduceat(w, start) if len(key) else w
+        if len(key):
+            w = (np.minimum if complete else np.add).reduceat(w, start)
         lo, hi = lo[start], hi[start]
-        rep = _hac_component(ids, lo, hi, w, thr)
+        fn = _hac_complete_component if complete else _hac_component
+        rep = fn(ids, lo, hi, w, thr)
         return pd.DataFrame(
             {"record_id": ids, "cluster_id": ids[rep]}
         )

@@ -172,3 +172,87 @@ def test_hac_component_guard(spark):
 def test_hac_rejects_zero_threshold(spark):
     with pytest.raises(ValueError, match="threshold_micro"):
         hac_clusters(_edges_df(spark, [(1, 2, 5)]), 0)
+
+
+def _scalar_hac_complete(edges, threshold):
+    """Sequential exact complete-linkage cut: merge the argmax pair
+    by MIN observed cross weight, valid only when every cross pair
+    is observed; duplicates of one unordered pair fold by min."""
+    w = {}
+    nodes = set()
+    for a, b, s in edges:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        w[k] = min(w[k], s) if k in w else s
+        nodes.update(k)
+    members = {u: {u} for u in nodes}
+    while True:
+        rep = {u: r for r, ms in members.items() for u in ms}
+        stats = {}
+        for (a, b), s in w.items():
+            ra, rb = rep[a], rep[b]
+            if ra == rb:
+                continue
+            k = (min(ra, rb), max(ra, rb))
+            c, m = stats.get(k, (0, None))
+            stats[k] = (c + 1, s if m is None else min(m, s))
+        best = None
+        for (x, y), (c, m) in stats.items():
+            if c != len(members[x]) * len(members[y]) or m < threshold:
+                continue
+            if best is None or m > best[2] or (
+                m == best[2] and (x, y) < (best[0], best[1])
+            ):
+                best = (x, y, m)
+        if best is None:
+            break
+        x, y, _ = best
+        members[x] |= members.pop(y)
+    return {(u, min(ms)) for r, ms in members.items() for u in ms}
+
+
+def test_hac_complete_matches_scalar_reference(spark):
+    for seed in (5, 13, 29, 41):
+        edges = _rand_weighted(seed)
+        thr = 400_000
+        got = set(rows(hac_clusters(
+            _edges_df(spark, edges), thr, linkage="complete")))
+        assert got == _scalar_hac_complete(edges, thr), f"seed {seed}"
+
+
+def test_hac_complete_vetoes_unscored_pair(spark):
+    # (1,2) and (1,3) strong, (2,3) never scored: average linkage
+    # would admit 3 ({1,2}-{3} = 900k/2 = 450k >= 400k), complete
+    # linkage refuses the unscored (2,3) outright.
+    edges = [(1, 2, 900_000), (1, 3, 900_000)]
+    avg = set(rows(hac_clusters(_edges_df(spark, edges), 400_000)))
+    comp = set(rows(hac_clusters(
+        _edges_df(spark, edges), 400_000, linkage="complete")))
+    assert avg == {(1, 1), (2, 1), (3, 1)}
+    assert comp == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_hac_complete_merges_full_clique_on_weakest_edge(spark):
+    # a triangle merges under complete linkage iff its WEAKEST edge
+    # clears the cut
+    tri = [(1, 2, 500_000), (1, 3, 450_000), (2, 3, 410_000)]
+    got = set(rows(hac_clusters(
+        _edges_df(spark, tri), 400_000, linkage="complete")))
+    assert got == {(1, 1), (2, 1), (3, 1)}
+    low = [(1, 2, 500_000), (1, 3, 450_000), (2, 3, 390_000)]
+    got2 = set(rows(hac_clusters(
+        _edges_df(spark, low), 400_000, linkage="complete")))
+    # (1,2) merges; both cluster pairs to 3 then carry min < cut
+    assert got2 == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_hac_complete_duplicates_fold_by_min(spark):
+    df = _edges_df(spark, [(1, 2, 500), (2, 1, 100)])
+    got = set(rows(hac_clusters(df, 200, linkage="complete")))
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_hac_rejects_unknown_linkage(spark):
+    with pytest.raises(ValueError, match="linkage"):
+        hac_clusters(_edges_df(spark, [(1, 2, 5)]), 1, linkage="single")
