@@ -2896,7 +2896,8 @@ def q_er_lpa_clusters(spark, sf):
     weights) for exactly 4 synchronous rounds — the O(E)-per-round
     weighted partitioner of the clustering matrix. Oracle: the
     identical round algebra unrolled 4x in SQL (neighbour-label
-    vote sums, per-node argmax with the min-label tie-break — all
+    vote sums plus the max-incident self-retention vote of Leung
+    et al. 2009, per-node argmax with the min-label tie-break — all
     integer, so bit-exact; the operator's fixpoint early-exit is a
     provable no-op vs the fixed-round unroll)."""
     from hamerkop_spark.operators.lpa import label_propagation
@@ -2928,10 +2929,11 @@ def q_er_lpa_clusters(spark, sf):
 
 def _lpa_oracle_sql(rounds: int = 4) -> str:
     """Unrolled LPA SQL twin of q_er_lpa_clusters: `rounds` copies of
-    (neighbour-label vote sum, per-node argmax with exact integer
-    compare and the min-label tie-break). Synchronous and
-    deterministic, so the unroll replays the operator bit-exactly;
-    rounds past a fixpoint reproduce the same labels (no-op)."""
+    (neighbour-label vote sum UNION the static max-incident
+    self-retention vote, per-node argmax with exact integer compare
+    and the min-label tie-break). Synchronous and deterministic, so
+    the unroll replays the operator bit-exactly; rounds past a
+    fixpoint reproduce the same labels (no-op)."""
     parts = ["""nodes AS (
           SELECT CAST(p_partkey AS BIGINT) AS r FROM part
         ), e AS MATERIALIZED (
@@ -2943,14 +2945,21 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         ), sym AS MATERIALIZED (
           SELECT a AS v, b AS u, w FROM e
           UNION ALL SELECT b AS v, a AS u, w FROM e
+        ), mw AS MATERIALIZED (
+          SELECT v, max(w) AS mw FROM sym GROUP BY v
         ), lab0 AS MATERIALIZED (
           SELECT DISTINCT v AS node, v AS lab FROM sym
         )"""]
     for i in range(1, rounds + 1):
         p = i - 1
         parts.append(f"""nb{i} AS (
-          SELECT sy.v AS v, l.lab AS lab, sum(sy.w) AS s
-          FROM sym sy JOIN lab{p} l ON sy.u = l.node GROUP BY 1, 2
+          SELECT v, lab, sum(w) AS s FROM (
+            SELECT sy.v AS v, l.lab AS lab, sy.w AS w
+            FROM sym sy JOIN lab{p} l ON sy.u = l.node
+            UNION ALL
+            SELECT l.node AS v, l.lab AS lab, m.mw AS w
+            FROM lab{p} l JOIN mw m ON l.node = m.v
+          ) GROUP BY 1, 2
         ), lab{i} AS MATERIALIZED (
           SELECT p.v AS node, p.lab FROM nb{i} p WHERE NOT EXISTS (
             SELECT 1 FROM nb{i} q WHERE q.v = p.v

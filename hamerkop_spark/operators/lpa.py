@@ -17,16 +17,26 @@ Semantics (exact, deterministic — no randomized visit order):
 * labels start as the node's own id;
 * one SYNCHRONOUS round relabels every node to
   ``argmax_L sum(w(u,v) for u in N(v) if label(u) = L)`` — the
-  weighted-degree vote of its neighbourhood — with exact integer
-  sums and ties broken by the MINIMUM label, so rounds are
-  bit-reproducible on any engine (the paper's random asynchronous
-  order is deliberately replaced: determinism is what lets a DuckDB
-  twin replay the rounds);
+  weighted-degree vote of its neighbourhood — PLUS a self-retention
+  vote for the node's CURRENT label weighted by its maximum
+  incident edge weight (static across rounds). The retention term
+  is the self-loop regularization of Leung et al. 2009 (Phys. Rev.
+  E 79, "preference"): without it, every isolated duplicate PAIR —
+  the most common entity-resolution component — swaps labels
+  forever under synchronous updates (GraphFrames' LPA documents the
+  same caveat); with it, a pair ties at the max weight and the
+  MIN-label tie-break converges both sides to the smaller id. A
+  single edge therefore pulls a node only if its label sorts lower;
+  two corroborating same-label neighbours pull it regardless
+  (their sum beats the max-incident retention). Exact integer sums,
+  ties broken by the minimum label — bit-reproducible on any engine
+  (the paper's random asynchronous order is deliberately replaced:
+  determinism is what lets a DuckDB twin replay the rounds);
 * exactly ``rounds`` rounds run, stopping early only at a fixpoint
   (a no-change round — provably a no-op for every later round, so
-  early exit never diverges from the fixed-round contract; the
-  classic synchronous-LPA bipartite 2-cycle oscillation is bounded
-  by the same fixed-round contract rather than hidden by it);
+  early exit never diverges from the fixed-round contract; any
+  residual multi-node oscillation is bounded by the same
+  fixed-round contract rather than hidden by it);
 * output = (record_id, cluster_id = final label), one row per
   distinct edge endpoint. LPA labels need not induce connected
   clusters (a node can keep a label whose holders all relabelled
@@ -93,18 +103,27 @@ def label_propagation(
         )
         .localCheckpoint(eager=False)
     )
-    labels = (
-        sym.select(F.col("v").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lab"))
-        .localCheckpoint(eager=False)
+    # static self-retention weight: the node's max incident edge
+    # (Leung et al. 2009 self-loop preference — kills the isolated-
+    # pair swap 2-cycle that pure synchronous LPA oscillates on)
+    mw = sym.groupBy("v").agg(F.max("w").alias("mw")).localCheckpoint(
+        eager=False
     )
+    labels = mw.select(
+        F.col("v").alias("node"), F.col("v").alias("lab")
+    ).localCheckpoint(eager=False)
     top = Window.partitionBy("v").orderBy(
         F.col("s").desc(), F.col("lab").asc()
     )
     for _ in range(int(rounds)):
+        nbr_votes = sym.join(labels, sym["u"] == labels["node"]).select(
+            "v", "lab", "w"
+        )
+        self_votes = labels.join(
+            mw, labels["node"] == mw["v"]
+        ).select("v", "lab", F.col("mw").alias("w"))
         votes = (
-            sym.join(labels, sym["u"] == labels["node"])
+            nbr_votes.unionByName(self_votes)
             .groupBy("v", "lab")
             .agg(F.sum("w").alias("s"))
         )

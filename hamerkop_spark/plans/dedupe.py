@@ -36,6 +36,8 @@ from hamerkop_spark.operators.canopy import (
     canopy_candidates,
 )
 from hamerkop_spark.operators.cc import connected_components
+from hamerkop_spark.operators.hac import hac_clusters
+from hamerkop_spark.operators.lpa import label_propagation
 from hamerkop_spark.operators.pivot import pivot_clusters
 
 #: blocking key generators: name -> Column producing an ARRAY of keys
@@ -65,6 +67,7 @@ def dedupe_records(
     canopy_t1: int = 3,
     canopy_t2: int = 2,
     clustering: str = "cc",
+    lpa_rounds: int = 5,
     scorer: str = "jw",
     soft_theta_micro: int = 800_000,
     budget: int | None = None,
@@ -88,11 +91,18 @@ def dedupe_records(
         skipped (the standard block-purge bound — a stop-word token
         must not generate cap² pairs).
     :param clustering: "cc" (default — transitive closure; one match
-        chain merges everything reachable) or "pivot" (KwikCluster
+        chain merges everything reachable), "pivot" (KwikCluster
         correlation clustering, operators/pivot.py — partitions the
         match graph, so a single borderline edge cannot chain two
         dense groups into one mega-cluster; expected disagreement
-        cost ≤ 3× optimal).
+        cost ≤ 3× optimal), "hac" (threshold average-linkage,
+        operators/hac.py — WEIGHTED anti-chaining: clusters grow only
+        while their cross-pair average score stays ≥ `jw_threshold`,
+        so a lone borderline edge dilutes instead of chaining), or
+        "lpa" (weighted label propagation, operators/lpa.py —
+        weighted voting at O(E)/round with no per-component state;
+        `lpa_rounds` synchronous rounds).
+    :param lpa_rounds: round count for clustering="lpa".
     :param scorer: "jw" (default — whole-string Jaro-Winkler, the
         Arrow-vectorized UDF) or "soft_tfidf" (SoftTFIDF with the
         exact-integer Levenshtein kernel, functions/tfidf.
@@ -250,10 +260,35 @@ def dedupe_records(
     nodes = records.select(F.col(id_col).cast("string").alias("node"))
     if clustering == "cc":
         comps = connected_components(edges, nodes=nodes)
-    elif clustering == "pivot":
-        asn = pivot_clusters(
-            edges, a_col="src", b_col="dst", string_ids=True
-        )
+    elif clustering in ("pivot", "hac", "lpa"):
+        if clustering == "pivot":
+            asn = pivot_clusters(
+                edges, a_col="src", b_col="dst", string_ids=True
+            )
+        else:
+            wedges = scored.where(
+                F.col("score") >= F.lit(float(jw_threshold))
+            ).select(
+                F.col("a_id").cast("string").alias("src"),
+                F.col("b_id").cast("string").alias("dst"),
+                F.round(F.col("score") * F.lit(1e6))
+                .cast("bigint")
+                .alias("w_micro"),
+            )
+            if clustering == "hac":
+                # cut = the decision threshold itself: a cluster may
+                # only grow while its cross-pair AVERAGE stays at
+                # least as good as the pairwise accept bar
+                asn = hac_clusters(
+                    wedges,
+                    threshold_micro=int(round(jw_threshold * 1e6)),
+                    a_col="src",
+                    b_col="dst",
+                )
+            else:
+                asn = label_propagation(
+                    wedges, rounds=lpa_rounds, a_col="src", b_col="dst"
+                )
         covered = asn.select(
             F.col("record_id").alias("node"),
             F.col("cluster_id").alias("component"),

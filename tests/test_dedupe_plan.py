@@ -183,3 +183,49 @@ def test_dedupe_soft_tfidf_scorer_handles_token_reorder(spark):
 def test_dedupe_unknown_scorer_raises(spark, noisy):
     with pytest.raises(ValueError):
         dedupe_records(noisy, scorer="zz_bogus")
+
+
+def test_dedupe_hac_clustering_partitions(spark, noisy):
+    out = dedupe_records(
+        noisy, attrs=["name", "city"], jw_threshold=0.85, clustering="hac"
+    )
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    assert sorted(cl) == [1, 2, 3, 4, 5, 6, 7]
+    assert cl[4] == cl[5]
+    # the john triple is a clique at this threshold: its cross-pair
+    # averages stay above the cut, so average linkage keeps it whole
+    assert cl[1] == cl[2] == cl[3]
+
+
+def test_dedupe_hac_dilutes_chain_cc_merges(spark):
+    # same A~B~C chain as the pivot test: after {1,2} (or {2,3})
+    # merges, the cluster-pair average to the third record falls
+    # under the cut (the unscored far pair counts 0), so HAC splits
+    # what CC chains.
+    data = [
+        (1, "jonathan smithers"),
+        (2, "jonathan smither"),
+        (3, "jonathan smitherx"),
+    ]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    probe = dedupe_records(df, jw_threshold=0.0)["pairs"].collect()
+    jw = {(r.a_id, r.b_id): r.jw for r in probe}
+    thr = (jw[(1, 3)] + min(jw[(1, 2)], jw[(2, 3)])) / 2
+    cc = dedupe_records(df, jw_threshold=thr, clustering="cc")
+    hc = dedupe_records(df, jw_threshold=thr, clustering="hac")
+    cc_cl = {r.record_id: r.cluster for r in cc["clusters"].collect()}
+    hc_cl = {r.record_id: r.cluster for r in hc["clusters"].collect()}
+    assert cc_cl[1] == cc_cl[2] == cc_cl[3]
+    assert not (hc_cl[1] == hc_cl[2] == hc_cl[3])
+    assert len(set(hc_cl.values())) == 2
+
+
+def test_dedupe_lpa_clustering_covers_all_records(spark, noisy):
+    out = dedupe_records(
+        noisy, attrs=["name", "city"], jw_threshold=0.85,
+        clustering="lpa", lpa_rounds=4,
+    )
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    assert sorted(cl) == [1, 2, 3, 4, 5, 6, 7]
+    assert cl[4] == cl[5]
+    assert cl[1] == cl[2] == cl[3]

@@ -16,7 +16,8 @@ def rows(df):
 
 def _scalar_lpa(edges, rounds):
     """Sequential exact replay: synchronous rounds, integer vote
-    sums, argmax label with min-label tie-break, early fixpoint."""
+    sums plus the max-incident self-retention vote, argmax label
+    with min-label tie-break, early fixpoint."""
     w = {}
     for a, b, s in edges:
         if a == b:
@@ -27,11 +28,12 @@ def _scalar_lpa(edges, rounds):
     for (a, b), s in w.items():
         adj.setdefault(a, {})[b] = s
         adj.setdefault(b, {})[a] = s
+    mw = {v: max(nbrs.values()) for v, nbrs in adj.items()}
     lab = {u: u for u in adj}
     for _ in range(rounds):
         new = {}
         for v, nbrs in adj.items():
-            votes = {}
+            votes = {lab[v]: mw[v]}
             for u, s in nbrs.items():
                 votes[lab[u]] = votes.get(lab[u], 0) + s
             new[v] = min(
@@ -90,20 +92,30 @@ def test_lpa_splits_weak_bridge_that_cc_chains(spark):
 
 
 def test_lpa_tie_break_is_min_label(spark):
-    # node 2 hears equal-weight votes for labels 1 and 3 in round 1:
-    # the deterministic rule picks 1.
+    # node 2 hears equal-weight votes for labels 1 and 3 (and its
+    # own retention vote ties too): the deterministic rule picks 1.
     edges = [(1, 2, 50), (2, 3, 50)]
     got = dict(rows(label_propagation(_edges_df(spark, edges), 1)))
     assert got[2] == 1
     assert set(got.items()) == _scalar_lpa(edges, 1)
 
 
+def test_lpa_isolated_pair_converges_to_min_label(spark):
+    # THE entity-resolution base case: one duplicate pair. Pure
+    # synchronous LPA swaps labels forever (4 takes 5's, 5 takes
+    # 4's); the max-incident retention vote ties both sides and the
+    # min-label rule lands them together on 4 — stably.
+    got = dict(rows(label_propagation(_edges_df(spark, [(4, 5, 100)]), 6)))
+    assert got == {4: 4, 5: 4}
+
+
 def test_lpa_duplicate_pairs_are_summed(spark):
-    # (2,3) observed twice at 30 -> 60 outweighs (1,2) at 50
-    edges = [(1, 2, 50), (2, 3, 30), (3, 2, 30)]
-    got = dict(rows(label_propagation(_edges_df(spark, edges), 1)))
-    assert got[2] == 3
-    assert set(got.items()) == _scalar_lpa(edges, 1)
+    # duplicate observations of (2,3) fold before voting and before
+    # the retention max; parity with the scalar replay proves both
+    edges = [(1, 2, 50), (2, 3, 30), (3, 2, 30), (1, 3, 20)]
+    for rounds in (1, 2, 4):
+        got = set(rows(label_propagation(_edges_df(spark, edges), rounds)))
+        assert got == _scalar_lpa(edges, rounds), rounds
 
 
 def test_lpa_fixpoint_early_exit_matches_fixed_rounds(spark):
