@@ -103,12 +103,16 @@ def label_propagation(
         )
         .localCheckpoint(eager=False)
     )
-    # static self-retention weight: the node's max incident edge
-    # (Leung et al. 2009 self-loop preference — kills the isolated-
-    # pair swap 2-cycle that pure synchronous LPA oscillates on)
-    mw = sym.groupBy("v").agg(F.max("w").alias("mw")).localCheckpoint(
-        eager=False
-    )
+    # static self-retention vote = a SELF-LOOP of the node's max
+    # incident weight (Leung et al. 2009 self-loop preference —
+    # kills the isolated-pair swap 2-cycle that pure synchronous LPA
+    # oscillates on): folding it into the edge list keeps each round
+    # at ONE join, since a self-loop (v,v,mw) votes for v's current
+    # label by construction
+    mw = sym.groupBy("v").agg(F.max("w").alias("mw"))
+    sym = sym.unionByName(
+        mw.select("v", F.col("v").alias("u"), F.col("mw").alias("w"))
+    ).localCheckpoint(eager=False)
     labels = mw.select(
         F.col("v").alias("node"), F.col("v").alias("lab")
     ).localCheckpoint(eager=False)
@@ -116,14 +120,8 @@ def label_propagation(
         F.col("s").desc(), F.col("lab").asc()
     )
     for _ in range(int(rounds)):
-        nbr_votes = sym.join(labels, sym["u"] == labels["node"]).select(
-            "v", "lab", "w"
-        )
-        self_votes = labels.join(
-            mw, labels["node"] == mw["v"]
-        ).select("v", "lab", F.col("mw").alias("w"))
         votes = (
-            nbr_votes.unionByName(self_votes)
+            sym.join(labels, sym["u"] == labels["node"])
             .groupBy("v", "lab")
             .agg(F.sum("w").alias("s"))
         )
