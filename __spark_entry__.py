@@ -3168,6 +3168,206 @@ def _hac_complete_oracle_sql(rounds: int = 7, thr: int = 3000) -> str:
     )
 
 
+def _web_urls(spark, sf):
+    """Deterministic messy-URL synthesis over `documents` (the twin SQL
+    builds the identical strings): crawl variants of one page — scheme/
+    host casing, explicit default port, tracking params, fragments —
+    plus root-URL variants, a userinfo+non-default-port carve-out, and
+    non-URL garbage rows. page = doc_id div 4; the four doc_id%4
+    variants of a page canonicalize to ONE url."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    page = F.expr("doc_id div 4")
+    v = F.pmod(d, 4)
+    ds = d.cast("string")
+    ps = page.cast("string")
+    host = (
+        F.when(F.pmod(page, 3) == 0, F.lit("shop.Example.co.uk"))
+        .when(F.pmod(page, 3) == 1, F.lit("news.example.com"))
+        .otherwise(F.lit("example.com"))
+    )
+    item = F.concat(F.lit("/item/"), ps)
+    url_item = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, item,
+                                F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host),
+                               F.lit(":80"), item,
+                               F.lit("?a=1&utm_source=feed&b=2")))
+        .when(v == 2, F.concat(F.lit("http://"), host, item,
+                               F.lit("?b=2&a=1&gclid=g"), ps,
+                               F.lit("#sec")))
+        .otherwise(F.concat(F.lit("http://"), host, item,
+                            F.lit("?a=1&b=2&ref=tw")))
+    )
+    url_root = (
+        F.when(v == 0, F.concat(F.lit("https://"), host))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443/")))
+        .when(v == 2, F.concat(F.lit("https://"), host,
+                               F.lit("/?utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://"), F.upper(host),
+                            F.lit("/#top")))
+    )
+    url = (
+        F.when(F.pmod(d, 101) == 0, F.concat(F.lit("not a url "), ds))
+        .when(F.pmod(d, 97) == 0,
+              F.concat(F.lit("http://u:p@Host"), ds,
+                       F.lit(".com:8080/x?z=1&utm_x=1")))
+        .when(F.pmod(page, 7) == 0, url_root)
+        .otherwise(url_item)
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_web_url_canonical(spark, sf):
+    """Native-column URL parse + RFC 3986 §6 canonicalization +
+    registrable domain (functions/url.py) over the synthesized crawl
+    URLs. Non-URLs surface as NULLs (never a merged garbage group)."""
+    from hamerkop_spark.functions.url import (
+        registrable_domain,
+        url_canonicalize,
+        url_parts,
+    )
+
+    base = _web_urls(spark, sf)
+    p = url_parts("url")
+    return base.select(
+        "doc_id",
+        "url",
+        url_canonicalize("url").alias("canon_url"),
+        F.lower(p["host"]).alias("host"),
+        registrable_domain(p["host"]).alias("domain"),
+    )
+
+
+def q_web_dedup_url(spark, sf):
+    """Crawl-frontier dedup: group fetches by canonical URL, keep the
+    duplicate sets with their first-seen doc. The cheapest dedup tier —
+    one string expression + one groupBy, no content pass."""
+    from hamerkop_spark.functions.url import url_canonicalize
+
+    base = _web_urls(spark, sf)
+    return (
+        base.select("doc_id", url_canonicalize("url").alias("canon_url"))
+        .where(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_fetches") >= 2)
+    )
+
+
+def _web_urls_sql() -> str:
+    """DuckDB twin of _web_urls (string-identical synthesis)."""
+    return """
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 101 = 0 THEN 'not a url ' || doc_id::VARCHAR
+          WHEN doc_id % 97 = 0 THEN
+            'http://u:p@Host' || doc_id::VARCHAR || '.com:8080/x?z=1&utm_x=1'
+          WHEN (doc_id // 4) % 7 = 0 THEN
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://' || host
+              WHEN 1 THEN 'https://' || host || ':443/'
+              WHEN 2 THEN 'https://' || host || '/?utm_campaign=x'
+              ELSE 'https://' || upper(host) || '/#top'
+            END
+          ELSE
+            CASE doc_id % 4
+              WHEN 0 THEN 'http://' || host || item || '?b=2&a=1'
+              WHEN 1 THEN 'HTTP://' || upper(host) || ':80' || item
+                          || '?a=1&utm_source=feed&b=2'
+              WHEN 2 THEN 'http://' || host || item || '?b=2&a=1&gclid=g'
+                          || (doc_id // 4)::VARCHAR || '#sec'
+              ELSE 'http://' || host || item || '?a=1&b=2&ref=tw'
+            END
+        END AS url
+      FROM (
+        SELECT doc_id,
+          CASE (doc_id // 4) % 3
+            WHEN 0 THEN 'shop.Example.co.uk'
+            WHEN 1 THEN 'news.example.com'
+            ELSE 'example.com' END AS host,
+          '/item/' || (doc_id // 4)::VARCHAR AS item
+        FROM documents
+      )
+    """
+
+
+def _web_canon_sql() -> str:
+    """DuckDB re-implementation of functions/url.py canonicalization
+    (independent SQL twin, same documented rules): yields
+    canon(doc_id, url, host, domain, canon_url)."""
+    from hamerkop_spark.functions.url import (
+        MULTI_SUFFIXES,
+        TRACKING_PARAM_RE,
+        URL_RE,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+      urls AS ({_web_urls_sql()}),
+      parsed AS (
+        SELECT doc_id, url,
+          regexp_extract(url, '{URL_RE}', 1) AS scheme,
+          regexp_extract(url, '{URL_RE}', 2) AS auth,
+          regexp_extract(url, '{URL_RE}', 3) AS path,
+          regexp_extract(url, '{URL_RE}', 4) AS query
+        FROM urls
+      ),
+      hp AS (
+        SELECT *,
+          list_extract(string_split(auth, '@'), -1) AS hostport,
+          CASE WHEN contains(auth, '@')
+               THEN regexp_replace(auth, '@[^@]*$', '') ELSE '' END
+            AS userinfo
+        FROM parsed
+      ),
+      fields AS (
+        SELECT *,
+          regexp_extract(hostport, ':([0-9]*)$', 1) AS port,
+          regexp_replace(hostport, ':[0-9]*$', '') AS rawhost,
+          -- array_to_string on an EMPTY list is NULL in DuckDB (Spark's
+          -- array_join gives ''): coalesce to keep the engines aligned
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+          )), '&'), '') AS cq
+        FROM hp
+      ),
+      dom AS (
+        SELECT *, string_split(lower(rawhost), '.') AS labels
+        FROM fields
+      ),
+      canon AS (
+        SELECT doc_id, url,
+          CASE WHEN scheme = '' THEN NULL ELSE lower(rawhost) END AS host,
+          CASE
+            WHEN scheme = '' THEN NULL
+            WHEN regexp_matches(lower(rawhost), '^[0-9]+(\\.[0-9]+){{3}}$')
+                 OR len(labels) <= 1 THEN lower(rawhost)
+            WHEN len(labels) >= 3
+                 AND array_to_string(labels[-2:], '.') IN ({suffixes})
+              THEN array_to_string(labels[-3:], '.')
+            ELSE array_to_string(labels[-2:], '.')
+          END AS domain,
+          CASE WHEN scheme = '' THEN NULL ELSE
+            lower(scheme) || '://'
+            || CASE WHEN userinfo = '' THEN '' ELSE userinfo || '@' END
+            || lower(rawhost)
+            || CASE WHEN port = ''
+                    OR (lower(scheme) = 'http' AND port = '80')
+                    OR (lower(scheme) = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+            || CASE WHEN path = '' THEN '/' ELSE path END
+            || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+          END AS canon_url
+        FROM dom
+      )
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the B3 ngram-IDF fuzzy-blocking retrieval at sf0.001."""
     return q_b3_ngram_idf(spark, "/root/testdata/sf0.001")
@@ -3313,6 +3513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lpa_clusters": q_er_lpa_clusters,
         "er_constrained_clusters": q_er_constrained_clusters,
         "er_hac_complete": q_er_hac_complete,
+        "web_url_canonical": q_web_url_canonical,
+        "web_dedup_url": q_web_dedup_url,
     }
 
 
@@ -4364,6 +4566,17 @@ def oracle_sql() -> dict[str, str]:
         "er_lpa_clusters": _lpa_oracle_sql(),
         "er_constrained_clusters": _constrained_oracle_sql(),
         "er_hac_complete": _hac_complete_oracle_sql(),
+        "web_url_canonical": f"""
+            WITH {_web_canon_sql()}
+            SELECT doc_id, url, canon_url, host, domain FROM canon
+        """,
+        "web_dedup_url": f"""
+            WITH {_web_canon_sql()}
+            SELECT canon_url, count(*) AS n_fetches,
+                   min(doc_id) AS first_doc
+            FROM canon WHERE canon_url IS NOT NULL
+            GROUP BY canon_url HAVING count(*) >= 2
+        """,
         "f_tfidf_cosine": """
             WITH docs AS (
               SELECT doc_id AS record_id,
