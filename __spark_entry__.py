@@ -3168,6 +3168,49 @@ def _hac_complete_oracle_sql(rounds: int = 7, thr: int = 3000) -> str:
     )
 
 
+def q_block_meta_wep(spark, sf):
+    """Weighted Edge Pruning meta-blocking with ECBS weights (Papadakis
+    TKDE '14, operators/blocking_eval.meta_blocking_wep): the global
+    mean-weight bar over the same token-blocking graph block_meta_cnp
+    prunes per-node."""
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_wep
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    blocks = part.select(
+        F.explode(F.split(F.lower("p_name"), " ")).alias("block_key"),
+        F.col("p_partkey").alias("record_id"),
+    )
+    return meta_blocking_wep(blocks, max_block_size=100, scheme="ecbs")
+
+
+def q_c11_modularity(spark, sf):
+    """Newman weighted modularity of a partition vs the scored pair
+    graph (operators/scoring.modularity) — same synthesized
+    clusters/edges as q_cluster_audit, so the two audits read
+    side-by-side."""
+    from hamerkop_spark.operators.scoring import modularity
+
+    cust = _t(spark, sf, "customer")
+    asg = cust.select(
+        F.col("c_custkey").alias("mention_key"),
+        F.concat_ws(
+            "-", "c_mktsegment", (F.col("c_nationkey") % 5).cast("string")
+        ).alias("cluster"),
+    )
+    a = cust.select(F.col("c_custkey").alias("a_id"))
+    edges = (
+        a.select("a_id", (F.col("a_id") + 7).alias("b_id"))
+        .join(cust.select(F.col("c_custkey").alias("b_id")), "b_id")
+        .withColumn(
+            "score",
+            ((F.col("a_id") + F.col("b_id")) % 97).cast("double") / 100.0,
+        )
+    )
+    return modularity(asg, edges)
+
+
 def _web_urls(spark, sf):
     """Deterministic messy-URL synthesis over `documents` (the twin SQL
     builds the identical strings): crawl variants of one page — scheme/
@@ -3515,6 +3558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_hac_complete": q_er_hac_complete,
         "web_url_canonical": q_web_url_canonical,
         "web_dedup_url": q_web_dedup_url,
+        "block_meta_wep": q_block_meta_wep,
+        "c11_modularity": q_c11_modularity,
     }
 
 
@@ -4576,6 +4621,98 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc
             FROM canon WHERE canon_url IS NOT NULL
             GROUP BY canon_url HAVING count(*) >= 2
+        """,
+        "block_meta_wep": """
+            WITH b AS (
+              SELECT DISTINCT tok AS bk, p_partkey AS rid
+              FROM (SELECT p_partkey,
+                           unnest(string_split(lower(p_name), ' ')) AS tok
+                    FROM part
+                    WHERE p_partkey % 10 = 0 AND p_partkey < 5000)
+            ), sizes AS (
+              SELECT bk, count(*) AS bsz FROM b GROUP BY bk
+            ), kept AS (
+              SELECT b.bk, b.rid FROM b JOIN sizes USING (bk)
+              WHERE bsz >= 2 AND bsz <= 100
+            ), pairs AS (
+              SELECT x.bk, x.rid AS a_id, y.rid AS b_id
+              FROM kept x JOIN kept y ON x.bk = y.bk AND x.rid < y.rid
+            ), edges AS (
+              SELECT a_id, b_id, count(*) AS cbs FROM pairs
+              GROUP BY a_id, b_id
+            ), nb AS (
+              SELECT rid, count(DISTINCT bk) AS nbl FROM kept GROUP BY rid
+            ), bt AS (
+              SELECT count(DISTINCT bk)::DOUBLE AS nb_total FROM kept
+            ), w AS (
+              SELECT a_id, b_id,
+                     floor(cbs::DOUBLE
+                           * ln(nb_total / na.nbl::DOUBLE)
+                           * ln(nb_total / nbb.nbl::DOUBLE)
+                           * 1e6)::BIGINT AS w_micro
+              FROM edges
+              JOIN nb na ON na.rid = a_id
+              JOIN nb nbb ON nbb.rid = b_id, bt
+            ), s AS (
+              SELECT sum(w_micro)::BIGINT AS ws, count(*)::BIGINT AS n
+              FROM w
+            )
+            SELECT a_id, b_id, w_micro FROM w, s
+            WHERE w_micro * n >= ws
+        """,
+        "c11_modularity": """
+            WITH asg AS (
+              SELECT c_custkey AS node,
+                     c_mktsegment || '-' || (c_nationkey % 5)::VARCHAR AS cl
+              FROM customer
+            ), e0 AS (
+              SELECT a.c_custkey AS ea, a.c_custkey + 7 AS eb,
+                     ((a.c_custkey + a.c_custkey + 7) % 97)::DOUBLE / 100.0
+                       AS score
+              FROM customer a
+              JOIN customer b ON b.c_custkey = a.c_custkey + 7
+            ), e AS (
+              SELECT least(ea, eb) AS ea2, greatest(ea, eb) AS eb2,
+                     min(floor(score * 1e6 + 0.5)::BIGINT) AS w
+              FROM e0 WHERE ea <> eb GROUP BY 1, 2
+            ), bo AS (
+              SELECT x.cl AS cla, y.cl AS clb, e.w FROM e
+              JOIN asg x ON x.node = e.ea2
+              JOIN asg y ON y.node = e.eb2
+            ), deg AS (
+              SELECT cl, sum(w)::BIGINT AS deg_fp FROM (
+                SELECT cla AS cl, w FROM bo
+                UNION ALL SELECT clb AS cl, w FROM bo
+              ) GROUP BY cl
+            ), win AS (
+              SELECT cla AS cl, sum(w)::BIGINT AS w_in_fp FROM bo
+              WHERE cla = clb GROUP BY cla
+            ), ns AS (
+              SELECT cl, count(*) AS n_nodes FROM asg GROUP BY cl
+            ), m AS (
+              SELECT coalesce(sum(w), 0)::BIGINT AS mv FROM bo
+            ), per AS (
+              SELECT ns.cl AS cluster, n_nodes,
+                     coalesce(w_in_fp, 0)::BIGINT AS w_in_fp,
+                     coalesce(deg_fp, 0)::BIGINT AS deg_fp
+              FROM ns LEFT JOIN deg ON deg.cl = ns.cl
+              LEFT JOIN win ON win.cl = ns.cl
+            ), perc AS (
+              SELECT cluster, n_nodes, w_in_fp, deg_fp,
+                     CASE WHEN mv > 0 THEN
+                       (floor(w_in_fp::DOUBLE * 1e9 / mv::DOUBLE)
+                        - floor(deg_fp::DOUBLE * deg_fp::DOUBLE * 1e9
+                                / (4.0 * mv::DOUBLE * mv::DOUBLE)))::BIGINT
+                     ELSE 0 END AS contrib_nano
+              FROM per, m
+            )
+            SELECT cluster::VARCHAR AS cluster, n_nodes, w_in_fp, deg_fp,
+                   contrib_nano
+            FROM perc
+            UNION ALL
+            SELECT '__total__', sum(n_nodes)::BIGINT, sum(w_in_fp)::BIGINT,
+                   sum(deg_fp)::BIGINT, sum(contrib_nano)::BIGINT
+            FROM perc
         """,
         "f_tfidf_cosine": """
             WITH docs AS (

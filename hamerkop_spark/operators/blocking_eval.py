@@ -473,6 +473,108 @@ def meta_blocking_cnp(
     )
 
 
+def meta_blocking_wep(
+    blocks: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "record_id",
+    max_block_size: int = 100,
+    scheme: str = "cbs",
+) -> DataFrame:
+    """Weighted Edge Pruning meta-blocking (Papadakis et al., TKDE
+    2014): keep every comparison whose weight is >= the MEAN edge
+    weight of the blocking graph. The global-threshold complement to
+    ``meta_blocking_cnp`` — CNP guarantees each record keeps its
+    best-k neighbours (recall-shaped, bounded output per node); WEP
+    applies one corpus-level evidence bar (precision-shaped: sparse
+    records keep nothing rather than their least-bad neighbours).
+
+    Weighting schemes (both integer/fixed-point so the survivor set is
+    hash-stable across engines):
+      * ``cbs``  — common-blocks count; the mean test is the EXACT
+        integer compare ``cbs * n_edges >= sum_cbs`` (no division);
+      * ``ecbs`` — Enhanced CBS, ``cbs * ln(|B|/|B_a|) * ln(|B|/|B_b|)``
+        (|B| = #blocks after purging, |B_x| = #blocks containing x),
+        floored to micro-units before the same integer mean test —
+        down-weights records that appear in many blocks (stopword-ish
+        keys) exactly like IDF.
+
+    Output: (a_id, b_id, w_micro) — CBS edges report ``cbs * 1e6``
+    so both schemes share one schema.
+
+    Plan shape: the same purge + bounded within-block self-join + CBS
+    partial-agg as CNP, one tiny global aggregate (2 scalars, crossed
+    back via broadcast-of-1-row), and for ecbs one broadcast-sized
+    per-record block-count join per endpoint. No windows; the only
+    quadratic term is capped by ``max_block_size``.
+    """
+    if scheme not in ("cbs", "ecbs"):
+        raise ValueError(f"unknown WEP scheme: {scheme!r}")
+    b = (
+        blocks.select(
+            F.col(key_col).alias("bk"), F.col(id_col).alias("rid")
+        )
+        .where(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+        .distinct()
+    )
+    sizes = b.groupBy("bk").agg(F.count("*").alias("bsz"))
+    kept = b.join(
+        sizes.where(
+            (F.col("bsz") >= 2) & (F.col("bsz") <= max_block_size)
+        ).select("bk"),
+        "bk",
+    ).localCheckpoint(eager=False)
+    pairs = (
+        kept.select("bk", F.col("rid").alias("a_id"))
+        .join(kept.select("bk", F.col("rid").alias("b_id")), "bk")
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+    edges = pairs.groupBy("a_id", "b_id").agg(F.count("*").alias("cbs"))
+    if scheme == "cbs":
+        weighted = edges.select(
+            "a_id", "b_id",
+            (F.col("cbs") * F.lit(1_000_000)).cast("bigint").alias(
+                "w_micro"
+            ),
+        )
+    else:
+        n_blocks = kept.select("bk").distinct().count()
+        per_rec = kept.groupBy("rid").agg(
+            F.countDistinct("bk").alias("nb")
+        )
+        weighted = (
+            edges.join(
+                F.broadcast(per_rec.withColumnsRenamed(
+                    {"rid": "a_id", "nb": "nb_a"}
+                )),
+                "a_id",
+            )
+            .join(
+                F.broadcast(per_rec.withColumnsRenamed(
+                    {"rid": "b_id", "nb": "nb_b"}
+                )),
+                "b_id",
+            )
+            .select(
+                "a_id", "b_id",
+                F.floor(
+                    F.col("cbs").cast("double")
+                    * F.log(F.lit(float(n_blocks)) / F.col("nb_a"))
+                    * F.log(F.lit(float(n_blocks)) / F.col("nb_b"))
+                    * F.lit(1e6)
+                ).cast("bigint").alias("w_micro"),
+            )
+        )
+    weighted = weighted.localCheckpoint(eager=False)
+    stats = weighted.agg(
+        F.sum("w_micro").alias("w_sum"), F.count("*").alias("n_e")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(stats))
+        .where(F.col("w_micro") * F.col("n_e") >= F.col("w_sum"))
+        .select("a_id", "b_id", "w_micro")
+    )
+
+
 def blocking_quality(
     candidates: DataFrame,
     gold_pairs: DataFrame,

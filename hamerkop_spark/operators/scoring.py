@@ -776,3 +776,131 @@ def cluster_audit(
             "chaining_suspect",
         )
     )
+
+
+def modularity(
+    assignments: DataFrame,
+    edges: DataFrame,
+    key: str = "mention_key",
+    cluster_col: str = "cluster",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Newman-Girvan weighted modularity of a clustering against the
+    scored pair graph — the label-free companion to ``cluster_audit``:
+    the audit flags individual chained clusters; modularity scores the
+    WHOLE partition (did the clusterer cut where the evidence is thin
+    and keep where it is dense?) with one number comparable across
+    clusterers (cc vs star vs pivot vs hac vs lpa on the same edges).
+
+    Q = sum_c [ w_in_c / m  -  (deg_c / 2m)^2 ]  (Newman, PNAS 2006)
+
+    with w_in_c = total intra-cluster edge weight, deg_c = summed
+    weighted degree of the cluster's nodes (intra edges count twice,
+    by definition), m = total edge weight. Range (-0.5, 1]; a random
+    cut scores ~0, a partition that respects dense groups scores high.
+
+    Determinism contract (the repo-wide fixed-point discipline): edge
+    weights floor to integer micro-units FIRST; w_in/deg/m aggregate
+    exactly as integers; each cluster's contribution becomes
+    ``contrib_nano = floor(1e9*w_in/m) - floor(1e9*deg^2/(4m^2))``
+    (IEEE-identical two-integer divisions, inputs < 2^53 at any
+    realistic per-cluster scale) and the global Q is their INTEGER sum
+    — no float accumulation anywhere, so the result hashes identically
+    on any engine. Q_nano slightly under-reports (<= 2 ulp-of-floor
+    per cluster) which is harmless for comparing clusterings.
+
+    Output, one row per cluster plus a ``__total__`` row:
+      (cluster, n_nodes, w_in_fp, deg_fp, contrib_nano)
+    where the total row carries sums (its contrib_nano IS Q_nano).
+
+    Scale shape: same joins as cluster_audit (edge endpoints ->
+    assignments), then two keyed partial aggs; the only broadcast is
+    the 1-row global (m). Self-loops are dropped, duplicate pairs
+    collapse to min score, either orientation accepted. Nodes missing
+    from ``assignments`` contribute degree only if their edge partner
+    resolves — edges with ANY unassigned endpoint are excluded
+    entirely (a blocking artifact, not partition evidence).
+    """
+    asg = assignments.select(
+        F.col(key).alias("_node"), F.col(cluster_col).alias("_cl")
+    )
+    swap = F.col(a_col) > F.col(b_col)
+    e = (
+        edges.select(
+            F.when(swap, F.col(b_col)).otherwise(F.col(a_col)).alias("_a"),
+            F.when(swap, F.col(a_col)).otherwise(F.col(b_col)).alias("_b"),
+            F.floor(
+                F.col(score_col).cast("double") * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("_w"),
+        )
+        .where(F.col(a_col) != F.col(b_col))
+        .groupBy("_a", "_b")
+        .agg(F.min("_w").alias("_w"))
+    )
+    # pin the resolved-endpoints table: it fans out FOUR ways (two
+    # degree union branches, w_in, and the global m) and the endpoint
+    # joins would otherwise replay per branch (plan-audited: 43
+    # Exchanges unpinned, 11 pinned at the driver query's shape)
+    both = (
+        e.join(asg.withColumnRenamed("_node", "_a"), "_a")
+        .withColumnRenamed("_cl", "_cl_a")
+        .join(asg.withColumnRenamed("_node", "_b"), "_b")
+        .withColumnRenamed("_cl", "_cl_b")
+    ).localCheckpoint(eager=False)
+    # weighted degree per cluster: each edge endpoint adds w to its
+    # endpoint's cluster (intra edges thus count twice — by definition)
+    deg = (
+        both.select(F.col("_cl_a").alias("cluster"), "_w")
+        .unionByName(both.select(F.col("_cl_b").alias("cluster"), "_w"))
+        .groupBy("cluster")
+        .agg(F.sum("_w").alias("deg_fp"))
+    )
+    w_in = (
+        both.where(F.col("_cl_a") == F.col("_cl_b"))
+        .groupBy(F.col("_cl_a").alias("cluster"))
+        .agg(F.sum("_w").alias("w_in_fp"))
+    )
+    nodes = asg.groupBy(F.col("_cl").alias("cluster")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    per = (
+        nodes.join(deg, "cluster", "left")
+        .join(w_in, "cluster", "left")
+        .select(
+            "cluster",
+            "n_nodes",
+            F.coalesce("w_in_fp", F.lit(0)).cast("bigint").alias("w_in_fp"),
+            F.coalesce("deg_fp", F.lit(0)).cast("bigint").alias("deg_fp"),
+        )
+    )
+    m = both.agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("_m")
+    )
+    # ALL-DOUBLE inner math (explicit casts, mirrored in the SQL twin):
+    # deg^2 and w_in*1e9 overflow 64-bit integers long before they lose
+    # double precision in any way that matters, and IEEE doubles give
+    # the identical floor on every engine
+    degd = F.col("deg_fp").cast("double")
+    md = F.col("_m").cast("double")
+    contrib = F.when(F.col("_m") > 0, (
+        F.floor(F.col("w_in_fp").cast("double") * F.lit(1e9) / md)
+        - F.floor(degd * degd * F.lit(1e9) / (F.lit(4.0) * md * md))
+    ).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    per = per.crossJoin(F.broadcast(m)).withColumn(
+        "contrib_nano", contrib
+    )
+    total = per.agg(
+        F.lit("__total__").alias("cluster"),
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("w_in_fp").alias("w_in_fp"),
+        F.sum("deg_fp").alias("deg_fp"),
+        F.sum("contrib_nano").alias("contrib_nano"),
+    )
+    return per.select(
+        F.col("cluster").cast("string").alias("cluster"),
+        "n_nodes", "w_in_fp", "deg_fp", "contrib_nano",
+    ).unionByName(total)
