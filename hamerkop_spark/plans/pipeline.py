@@ -299,6 +299,7 @@ def run_pipeline(
     broadcast_postings_limit: int = 2_000_000,
     translation_map: dict | None = None,
     catalog=None,
+    dedup_urls: bool = False,
 ) -> dict:
     """Run end-to-end. `tables` needs: pages, conll, kb_entities_raw,
     kb_alt_names (DataFrames). Returns dict with every stage DataFrame
@@ -325,8 +326,40 @@ def run_pipeline(
     cap, None disables it."""
     runner = StageRunner(spark, workdir, resume=resume, catalog=catalog)
 
+    # 0. (opt-in) crawl re-fetch collapse: one page per CANONICAL url
+    # (functions/url.url_canonicalize — casing/default-port/tracking-
+    # param/fragment variants), keeping the latest fetch with the raw
+    # url as tie-break. Off by default: the flagship contract keys
+    # documents by RAW url (input_hint), and mentions referencing a
+    # dropped variant url would dangle — enable it for crawl corpora
+    # where the mention source is derived from the pages themselves.
+    # Deterministic representative => resume/fingerprint-stable.
+    pages = tables["pages"]
+    if dedup_urls:
+        def mk_pages_dedup():
+            from pyspark.sql import Window as W
+
+            from hamerkop_spark.functions.url import url_canonicalize
+
+            canon = F.coalesce(url_canonicalize("url"), F.col("url"))
+            w = W.partitionBy(canon).orderBy(
+                F.desc("warc_ts"), F.asc("url")
+            )
+            return (
+                pages.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .drop("_rk")
+            )
+
+        pages = runner.run(
+            "pages_dedup", mk_pages_dedup, params={"dedup_urls": True}
+        )
+
     # 1. ingest + extraction invariant
-    documents = runner.run("documents", lambda: ingest_pages(tables["pages"]))
+    documents = runner.run(
+        "documents", lambda: ingest_pages(pages),
+        deps=("pages_dedup",) if dedup_urls else (),
+    )
     violations = check_extraction_invariant(documents)
     if violations:
         raise AssertionError(

@@ -222,3 +222,35 @@ def test_resolve_ngram_max_df_auto_semantics():
     assert resolve_ngram_max_df(500, 10_000_000, 2) == 500
     with pytest.raises(ValueError):
         resolve_ngram_max_df("2000", 0, 2_000_000)
+
+
+def test_dedup_urls_collapses_refetch_variants(spark, tmp_path):
+    """Opt-in canonical-URL pre-dedup: re-fetches of the same page under
+    tracking-param/casing URL variants collapse to the latest fetch
+    before extraction; answers match the clean run bit-for-bit."""
+    corpus = dict(make_corpus(spark, n_docs=12, seed=42))
+    pages = corpus["pages"]
+    n0 = pages.count()
+    # re-fetch every page under a tracking-variant URL, one hour later;
+    # extraction reads only <article>, so the html bytes stay valid for
+    # the variant row and the invariant must still hold after dedup
+    variants = pages.select(
+        F.concat(F.col("url"), F.lit("?utm_source=refetch")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    corpus["pages"] = pages.unionByName(variants)
+    res = run_pipeline(
+        spark, corpus, str(tmp_path / "wd"), resume=False, dedup_urls=True
+    )
+    docs = res["documents"]
+    assert docs.count() == n0
+    # the survivor of each canonical group is the LATEST fetch -> every
+    # surviving raw url carries the tracking variant
+    n_variant = docs.where(F.col("url").contains("utm_source")).count()
+    assert n_variant == n0
+    # without the flag, both fetches flow through as separate documents
+    res2 = run_pipeline(
+        spark, corpus, str(tmp_path / "wd2"), resume=False
+    )
+    assert res2["documents"].count() == 2 * n0
