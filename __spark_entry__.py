@@ -3185,6 +3185,26 @@ def q_block_meta_wep(spark, sf):
     return meta_blocking_wep(blocks, max_block_size=100, scheme="ecbs")
 
 
+def q_block_adaptive_sn(spark, sf):
+    """Adaptive sorted-neighborhood blocking (Yan et al. JCDL '07,
+    operators/blocking_eval.adaptive_sorted_neighborhood): cut the
+    sort order where adjacent keys jump (lev > 6), pair within the
+    variable blocks. Same bounded record set as the other blocking
+    queries."""
+    from hamerkop_spark.operators.blocking_eval import (
+        adaptive_sorted_neighborhood,
+    )
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    recs = part.select("p_partkey", F.lower(F.col("p_name")).alias("nm"))
+    return adaptive_sorted_neighborhood(
+        recs, key_col="nm", id_col="p_partkey",
+        max_key_dist=6, max_block_size=50,
+    )
+
+
 def q_c11_modularity(spark, sf):
     """Newman weighted modularity of a partition vs the scored pair
     graph (operators/scoring.modularity) — same synthesized
@@ -3560,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_dedup_url": q_web_dedup_url,
         "block_meta_wep": q_block_meta_wep,
         "c11_modularity": q_c11_modularity,
+        "block_adaptive_sn": q_block_adaptive_sn,
     }
 
 
@@ -4659,6 +4680,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, w_micro FROM w, s
             WHERE w_micro * n >= ws
+        """,
+        "block_adaptive_sn": """
+            WITH recs AS (
+              SELECT p_partkey AS rid, lower(p_name) AS k FROM part
+              WHERE p_partkey % 10 = 0 AND p_partkey < 5000
+            ), r AS (
+              SELECT rid, k, row_number() OVER (ORDER BY k, rid) AS rnk
+              FROM recs
+            ), f AS (
+              SELECT rid, rnk,
+                     CASE WHEN lag(k) OVER (ORDER BY rnk) IS NULL
+                          OR levenshtein(lag(k) OVER (ORDER BY rnk), k) <= 6
+                       THEN 0 ELSE 1 END AS cut
+              FROM r
+            ), b AS (
+              SELECT rid, rnk,
+                     (sum(cut) OVER (ORDER BY rnk) + 1)::BIGINT AS block_id
+              FROM f
+            ), sz AS (
+              SELECT block_id, count(*) AS c FROM b GROUP BY block_id
+            ), kept AS (
+              SELECT b.rid, b.rnk, b.block_id FROM b
+              JOIN sz USING (block_id) WHERE c >= 2 AND c <= 50
+            )
+            SELECT x.rid AS a_id, y.rid AS b_id, x.block_id
+            FROM kept x JOIN kept y
+              ON x.block_id = y.block_id AND x.rnk < y.rnk
         """,
         "c11_modularity": """
             WITH asg AS (

@@ -664,3 +664,103 @@ def blocking_quality(
         "pq_fp",
         "rr_fp",
     )
+
+
+def adaptive_sorted_neighborhood(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_key_dist: int = 2,
+    max_block_size: int = 50,
+    bucket: int = 8192,
+    source: str = "adaptive_sn",
+) -> DataFrame:
+    """Adaptive sorted-neighborhood blocking (Yan, Lee, Kan & Giles,
+    JCDL 2007): instead of a FIXED window over the sort order, cut the
+    sorted sequence wherever adjacent sorting keys jump apart
+    (levenshtein distance > ``max_key_dist``) and pair records within
+    the resulting variable-size blocks. Fixes both failure modes of
+    fixed-window SN: a duplicate family larger than the window loses
+    pairs (here the block grows until the keys change), and sparse key
+    regions waste comparisons on sort-neighbours that share nothing
+    (here a key jump closes the block immediately).
+
+    Output: (a_id, b_id, block_id) — a before b in sort order,
+    block_id = 1-based index of the adaptive block in key order
+    (deterministic, so the result is hash-stable for the oracle gate).
+    Blocks larger than ``max_block_size`` are purged whole (the same
+    guard as every capped family here: a run of identical keys is
+    equality-blocking's job, and quadratic pair cost inside one block
+    must stay bounded).
+
+    Scale shape: rank via ``global_sorted_rank`` (range partition +
+    Arrow local index + tiny offsets job — never one partition);
+    boundary detection is an equi-join on adjacent ranks (uniform
+    integer key, skew-free); the running block counter is a TWO-LEVEL
+    cumulative sum — within-bucket window (bounded partitions of
+    ``bucket`` rows) plus a bucket-offset cumsum over #rows/bucket
+    rows — so no global single-partition window ever materializes.
+    The final within-block self-join is capped by the purge.
+    """
+    slim = records.select(
+        F.col(id_col).alias("rec_id"), F.col(key_col).alias("sn_key")
+    ).where(F.col(key_col).isNotNull())
+    ranked = global_sorted_rank(slim, ["sn_key", "rec_id"])
+    prev = ranked.select(
+        (F.col("rank") + 1).alias("rank"),
+        F.col("sn_key").alias("prev_key"),
+    )
+    flagged = ranked.join(prev, "rank", "left").select(
+        "rec_id", "sn_key", "rank",
+        F.when(
+            F.col("prev_key").isNull()
+            | (F.levenshtein("prev_key", "sn_key") <= max_key_dist),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("cut"),
+    )
+    bkt = ((F.col("rank") - 1) / bucket).cast("bigint")
+    flagged = flagged.withColumn("bkt", bkt)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # bucket offsets: #rows/bucket rows — tiny; its own cumsum window
+    # is over that tiny table (re-bucketable the same way if it ever
+    # isn't)
+    w_off = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        flagged.groupBy("bkt")
+        .agg(F.sum("cut").alias("bsum"))
+        .withColumn(
+            "base", F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
+        )
+        .select("bkt", "base")
+    )
+    blocks = (
+        flagged.withColumn("run", F.sum("cut").over(w_in))
+        .join(offsets, "bkt")
+        .select(
+            "rec_id", "rank",
+            (F.col("base") + F.col("run") + 1).alias("block_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = blocks.groupBy("block_id").agg(F.count("*").alias("bsz"))
+    kept = blocks.join(
+        sizes.where(
+            (F.col("bsz") >= 2) & (F.col("bsz") <= max_block_size)
+        ).select("block_id"),
+        "block_id",
+    )
+    a = kept.select("block_id", F.col("rec_id").alias("a_id"),
+                    F.col("rank").alias("a_rank"))
+    b = kept.select("block_id", F.col("rec_id").alias("b_id"),
+                    F.col("rank").alias("b_rank"))
+    return (
+        a.join(b, "block_id")
+        .where(F.col("a_rank") < F.col("b_rank"))
+        .select("a_id", "b_id", "block_id")
+    )
