@@ -3185,6 +3185,20 @@ def q_block_meta_wep(spark, sf):
     return meta_blocking_wep(blocks, max_block_size=100, scheme="ecbs")
 
 
+def q_dedup_winnow(spark, sf):
+    """Winnowing shared-passage detection (Schleimer et al. SIGMOD '03,
+    operators/dedup.winnow_fingerprints/winnow_overlap_pairs): k=8
+    grams, window 4, md5-60bit hashes (the oracle-checkable path),
+    hot-fingerprint purge at df 50, pairs at >= 3 shared
+    fingerprints."""
+    from hamerkop_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    return winnow_overlap_pairs(
+        docs, k=8, window=4, max_df=50, min_shared=3, hash_fn="md5"
+    )
+
+
 def q_block_adaptive_sn(spark, sf):
     """Adaptive sorted-neighborhood blocking (Yan et al. JCDL '07,
     operators/blocking_eval.adaptive_sorted_neighborhood): cut the
@@ -3319,6 +3333,57 @@ def q_web_dedup_url(spark, sf):
         )
         .where(F.col("n_fetches") >= 2)
     )
+
+
+def _winnow_oracle_sql() -> str:
+    """DuckDB twin of q_dedup_winnow: the winnowing algebra restated
+    with list comprehensions (DuckDB list slices are INCLUSIVE, so a
+    4-gram window is hs[i:i+3])."""
+    import string as _string
+
+    punct = _string.punctuation.replace("'", "''")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ), n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   translate(lower(text), '{punct}', ''),
+                   '\\s+', ' ', 'g')) AS s
+          FROM d
+        ), g AS (
+          SELECT doc_id,
+                 [substr(s, i, 8)
+                  FOR i IN generate_series(1, greatest(length(s) - 7, 0))]
+                   AS grams
+          FROM n
+        ), h AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5('17:' || g), 1, 15))::BIGINT
+                  FOR g IN grams] AS hs
+          FROM g
+        ), w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE [list_min(hs[i:i+3])
+                            FOR i IN generate_series(1, len(hs) - 3)]
+                 END AS wm
+          FROM h
+        ), f AS (
+          SELECT DISTINCT doc_id, unnest(wm) AS fp FROM w
+        ), dfc AS (
+          SELECT fp, count(*) AS c FROM f GROUP BY fp
+        ), kept AS (
+          SELECT f.doc_id, f.fp FROM f
+          JOIN dfc USING (fp) WHERE c >= 2 AND c <= 50
+        )
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               count(*) AS n_shared
+        FROM kept x JOIN kept y USING (fp)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    """
 
 
 def _web_urls_sql() -> str:
@@ -3581,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_meta_wep": q_block_meta_wep,
         "c11_modularity": q_c11_modularity,
         "block_adaptive_sn": q_block_adaptive_sn,
+        "dedup_winnow": q_dedup_winnow,
     }
 
 
@@ -4681,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, w_micro FROM w, s
             WHERE w_micro * n >= ws
         """,
+        "dedup_winnow": _winnow_oracle_sql(),
         "block_adaptive_sn": """
             WITH recs AS (
               SELECT p_partkey AS rid, lower(p_name) AS k FROM part

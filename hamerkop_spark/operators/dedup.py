@@ -457,3 +457,126 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= min_cosine)
         .select("src", "dst", det_round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+    seed: int = 17,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) — the LOCAL-overlap member of the dedup family: where
+    MinHash/SimHash answer "are these documents globally similar?",
+    winnowing answers "do they SHARE A PASSAGE?" (quotation, template
+    reuse, partial scrape), with the paper's guarantee: any shared
+    substring of length >= k + window - 1 produces at least one shared
+    fingerprint, because it spans a full window of k-grams whose
+    minimum hash is selected on both sides.
+
+    Pipeline (one Catalyst projection, zero shuffles, zero UDFs):
+    normalize (lowercase/strip-punct/collapse-ws) -> char k-grams
+    (CSE-safe zip-of-slices) -> 64-bit gram hashes -> per-window
+    minima over every window of `window` consecutive gram hashes ->
+    distinct minima per document. The classic algorithm additionally
+    records positions and breaks window ties rightmost; the selected
+    HASH SET is what overlap detection consumes, and taking distinct
+    window minima preserves both the density bound (>= 1 fingerprint
+    per window) and the guarantee above, so positions are deliberately
+    dropped. Documents shorter than k normalize to zero fingerprints;
+    docs with fewer than `window` grams contribute their global min
+    (the paper's short-document convention).
+
+    ``hash_fn``: 'xxhash64' (JVM-fast default) or 'md5' (60-bit md5
+    prefix, bit-identical in DuckDB — the oracle-checkable path, same
+    convention as minhash/simhash in blocking.py).
+
+    Output: (id_col, fp) — one row per selected fingerprint.
+    """
+    if hash_fn == "xxhash64":
+        def hfn(g):
+            return F.xxhash64(g, F.lit(seed))
+    elif hash_fn == "md5":
+        def hfn(g):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(seed)), g)), 1, 15
+                ),
+                16, 10,
+            ).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    base = docs.select(
+        F.col(id_col).alias("_wid"),
+        F.transform(
+            char_ngrams(normalize_for_fingerprint(F.col(text_col)), k),
+            hfn,
+        ).alias("_h"),
+    )
+    m = F.size("_h") - (window - 1)
+    winmins = (
+        F.when(F.size("_h") <= 0, F.array().cast("array<bigint>"))
+        .when(m < 1, F.array(F.array_min("_h")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
+            )
+        )
+    )
+    return base.select(
+        F.col("_wid").alias(id_col),
+        F.explode(F.array_distinct(winmins)).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_df: int = 200,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+    seed: int = 17,
+) -> DataFrame:
+    """Shared-passage candidate pairs from winnowing fingerprints:
+    inverted index on the fingerprint, hot fingerprints purged at
+    ``max_df`` (boilerplate passages shared by everything discriminate
+    nothing and would contribute quadratic pairs), pairs scored by the
+    number of distinct shared fingerprints and kept at
+    ``n_shared >= min_shared`` (one shared fingerprint ~ one shared
+    window-length passage; require `min_shared` of them to suppress
+    chance hash collisions and trivial short overlaps).
+
+    Output: (a_id, b_id, n_shared), a < b. Plan: the fingerprint
+    projection above (shuffle-free), one partial-agg shuffle for df,
+    one bounded self-join on fp (every surviving fp has df <=
+    max_df), one pair-keyed partial-agg shuffle — the same cost
+    envelope as the ngram-jaccard blocker (dedup.py) with the
+    winnowing guarantee instead of whole-document similarity.
+    """
+    fps = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window,
+        hash_fn=hash_fn, seed=seed,
+    )
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    kept = fps.join(
+        dfc.where((F.col("_df") >= 2) & (F.col("_df") <= max_df)).select(
+            "fp"
+        ),
+        "fp",
+    ).localCheckpoint(eager=False)
+    a = kept.select("fp", F.col(id_col).alias("a_id"))
+    b = kept.select("fp", F.col(id_col).alias("b_id"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
