@@ -72,6 +72,9 @@ def dedupe_records(
     soft_theta_micro: int = 800_000,
     budget: int | None = None,
     budget_mode: str = "sort",
+    meta_pruning: str | None = None,
+    meta_top_k: int = 5,
+    asn_key_dist: int = 2,
 ) -> dict:
     """Deduplicate a single record table by name similarity.
 
@@ -79,12 +82,13 @@ def dedupe_records(
         participate, others come back as singleton clusters.
     :param attrs: columns to canonicalize into the golden record
         (defaults to just `name_col`).
-    :param blocking: subset of {"exact", "soundex", "token",
-        "canopy"} — sources are unioned, so recall is the union of the
-        generators' reach. "canopy" is corpus-level (McCallum et al.
-        2000, operators/canopy.py): token-overlap canopies with the
-        min-id dominance center rule, tight/loose thresholds
-        ``canopy_t1``/``canopy_t2``.
+    :param blocking: subset of {"exact", "soundex", "token", "canopy",
+        "adaptive_sn"} — sources are unioned, so recall is the union
+        of the generators' reach. "canopy" is corpus-level (McCallum
+        et al. 2000, operators/canopy.py): token-overlap canopies with
+        the min-id dominance center rule, tight/loose thresholds
+        ``canopy_t1``/``canopy_t2``. "adaptive_sn" is sort-based
+        (Yan et al. 2007 — see ``asn_key_dist``).
     :param jw_threshold: Jaro-Winkler decision threshold on the
         normalized names.
     :param max_block: per-key pair-generation cap; a hotter key is
@@ -125,19 +129,46 @@ def dedupe_records(
     :param budget_mode: "sort" (TakeOrderedAndProject; budgets up to
         a few million) or "threshold" (exact radix quickselect; the
         scale path — see progressive.select_top_pairs).
+    :param meta_pruning: None (default), "cnp", or "wep" — graph
+        meta-blocking over the key-based block collection
+        (operators/blocking_eval.meta_blocking_cnp / _wep): candidate
+        pairs are pruned to each record's CBS top-`meta_top_k`
+        neighbours (cnp) or to pairs at/above the global mean CBS
+        weight (wep) BEFORE any scoring runs. The standard lever when
+        token blocking over web text yields a redundancy-positive
+        pair explosion. Mutually exclusive with `budget` (both rank
+        pairs); applies to the key-based generators only ("canopy" /
+        "adaptive_sn" pairs union in unpruned — they carry no block
+        evidence to weigh).
+    :param asn_key_dist: boundary distance for the "adaptive_sn"
+        blocking generator (Yan et al. 2007,
+        operators/blocking_eval.adaptive_sorted_neighborhood): sorted
+        normalized names are cut into variable blocks wherever
+        adjacent keys differ by more than this levenshtein distance.
+        A pair-based generator like "canopy" (excluded from budget
+        ranking), catching sort-adjacent misspelling families that
+        share no exact token or soundex key.
     :return: {"pairs": scored candidate pairs (a_id, b_id, score[,
                   jw | soft_tfidf_lev_fp]),
               "clusters": (id, cluster),
               "golden": one canonical row per cluster,
               "n_pairs": int, "n_clusters": int}
     """
-    unknown = set(blocking) - set(_KEYERS) - {"canopy"}
+    unknown = set(blocking) - set(_KEYERS) - {"canopy", "adaptive_sn"}
     if unknown:
         raise ValueError(f"unknown blocking generators: {sorted(unknown)}")
-    if budget is not None and "canopy" in blocking:
+    pair_gens = {"canopy", "adaptive_sn"} & set(blocking)
+    if budget is not None and pair_gens:
         raise ValueError(
-            "budget ranking requires key-based generators only: canopy "
-            "pairs carry no per-key evidence for ARCS weighting"
+            "budget ranking requires key-based generators only: "
+            f"{sorted(pair_gens)} pairs carry no per-key evidence for "
+            "ARCS weighting"
+        )
+    if meta_pruning not in (None, "cnp", "wep"):
+        raise ValueError(f"unknown meta_pruning: {meta_pruning!r}")
+    if meta_pruning is not None and budget is not None:
+        raise ValueError(
+            "meta_pruning and budget both rank candidate pairs; pick one"
         )
     norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"\s+", " "))
     recs = records.withColumn("_norm", norm)
@@ -148,7 +179,7 @@ def dedupe_records(
     cand = None
     melted = None
     for gen in blocking:
-        if gen == "canopy":
+        if gen in ("canopy", "adaptive_sn"):
             continue
         part = keyed_src.select(
             "_id", F.explode(_KEYERS[gen](F.col("_norm"))).alias("_key")
@@ -169,6 +200,22 @@ def dedupe_records(
             cand = select_top_pairs(
                 weighted, budget, mode=budget_mode
             ).select("a_id", "b_id")
+        elif meta_pruning is not None:
+            from hamerkop_spark.operators.blocking_eval import (
+                meta_blocking_cnp,
+                meta_blocking_wep,
+            )
+
+            if meta_pruning == "cnp":
+                cand = meta_blocking_cnp(
+                    melted, key_col="_key", id_col="_id",
+                    top_k=meta_top_k, max_block_size=max_block,
+                ).select("a_id", "b_id")
+            else:
+                cand = meta_blocking_wep(
+                    melted, key_col="_key", id_col="_id",
+                    max_block_size=max_block,
+                ).select("a_id", "b_id")
         else:
             ok_keys = (
                 melted.groupBy("_key")
@@ -184,6 +231,22 @@ def dedupe_records(
                 .where(F.col("a_id") < F.col("b_id"))
                 .select("a_id", "b_id")
             )
+    if "adaptive_sn" in blocking:
+        from hamerkop_spark.operators.blocking_eval import (
+            adaptive_sorted_neighborhood,
+        )
+
+        # ASN emits a<b in SORT order (by key); re-canonicalize by ID
+        # so the cross-generator distinct can actually dedupe
+        asn_raw = adaptive_sorted_neighborhood(
+            keyed_src, key_col="_norm", id_col="_id",
+            max_key_dist=asn_key_dist, max_block_size=max_block,
+        )
+        apairs = asn_raw.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        cand = apairs if cand is None else cand.unionByName(apairs)
     if "canopy" in blocking:
         asn = canopy_assignments(
             keyed_src.select(

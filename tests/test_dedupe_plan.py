@@ -229,3 +229,53 @@ def test_dedupe_lpa_clustering_covers_all_records(spark, noisy):
     assert sorted(cl) == [1, 2, 3, 4, 5, 6, 7]
     assert cl[4] == cl[5]
     assert cl[1] == cl[2] == cl[3]
+
+
+def test_dedupe_meta_pruning_keeps_dups_prunes_chaff(spark):
+    """On a realistic mix (multi-key duplicate families + one-shared-
+    token chaff) the WEP mean bar and CNP top-k both keep the true
+    pairs and prune chaff volume. (On a chaff-FREE graph WEP's mean is
+    all signal and correctly prunes the weaker true pairs — that
+    degenerate case is pinned in test_meta_wep_modularity.py.)"""
+    data = [
+        (1, "John Smith", None), (2, "Jon Smith", None),
+        (3, "JOHN  SMITH", None), (4, "Mary Jones", None),
+        (5, "Marie Jones", None),
+    ]
+    # chaff: 20 records whose pairs share only the "common" token and
+    # its soundex (CBS 2) — distinct first letters keep the filler
+    # words' soundex codes from forming a 20-record block of their own
+    data += [
+        (10 + i, f"{chr(98 + i)}iller{i} common", None) for i in range(20)
+    ]
+    df = spark.createDataFrame(data, "record_id int, name string, x string")
+    base = dedupe_records(df, jw_threshold=0.85)
+    for mode in ("wep", "cnp"):
+        out = dedupe_records(df, jw_threshold=0.85, meta_pruning=mode)
+        cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+        assert cl[1] == cl[2] == cl[3], mode
+        assert cl[4] == cl[5], mode
+        assert out["n_pairs"] <= base["n_pairs"], mode
+
+
+def test_dedupe_adaptive_sn_generator_catches_sort_adjacent(spark):
+    # single-token misspelling: no shared exact/token key; with ONLY
+    # the adaptive_sn generator the sort-adjacency still pairs them
+    data = [(1, "katherine"), (2, "katherina"), (3, "zzz unrelated")]
+    df = spark.createDataFrame(data, "record_id int, name string")
+    out = dedupe_records(
+        df, blocking=("adaptive_sn",), jw_threshold=0.9, asn_key_dist=2
+    )
+    pairs = rows(out["pairs"], "a_id", "b_id")
+    assert (1, 2) in pairs
+    cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
+    assert cl[1] == cl[2] != cl[3]
+
+
+def test_dedupe_meta_and_budget_guards(spark, noisy):
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, meta_pruning="wep", budget=10)
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, meta_pruning="zz")
+    with pytest.raises(ValueError):
+        dedupe_records(noisy, blocking=("adaptive_sn",), budget=10)
