@@ -3219,6 +3219,25 @@ def q_block_adaptive_sn(spark, sf):
     )
 
 
+def q_block_meta_rcnp(spark, sf):
+    """Reciprocal CNP meta-blocking (Papadakis TKDE '14,
+    meta_blocking_cnp(reciprocal=True)): an edge survives only in
+    BOTH endpoints' CBS top-k — the precision-sharpened CNP over the
+    same token-blocking graph."""
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_cnp
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    blocks = part.select(
+        F.explode(F.split(F.lower("p_name"), " ")).alias("block_key"),
+        F.col("p_partkey").alias("record_id"),
+    )
+    return meta_blocking_cnp(
+        blocks, top_k=3, max_block_size=100, reciprocal=True
+    )
+
+
 def q_c11_modularity(spark, sf):
     """Newman weighted modularity of a partition vs the scored pair
     graph (operators/scoring.modularity) — same synthesized
@@ -3647,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_modularity": q_c11_modularity,
         "block_adaptive_sn": q_block_adaptive_sn,
         "dedup_winnow": q_dedup_winnow,
+        "block_meta_rcnp": q_block_meta_rcnp,
     }
 
 
@@ -4748,6 +4768,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE w_micro * n >= ws
         """,
         "dedup_winnow": _winnow_oracle_sql(),
+        "block_meta_rcnp": """
+            WITH b AS (
+              SELECT DISTINCT tok AS bk, p_partkey AS rid
+              FROM (SELECT p_partkey,
+                           unnest(string_split(lower(p_name), ' ')) AS tok
+                    FROM part
+                    WHERE p_partkey % 10 = 0 AND p_partkey < 5000)
+            ), sizes AS (
+              SELECT bk, count(*) AS bsz FROM b GROUP BY bk
+            ), kept AS (
+              SELECT b.bk, b.rid FROM b JOIN sizes USING (bk)
+              WHERE bsz >= 2 AND bsz <= 100
+            ), pairs AS (
+              SELECT x.bk, x.rid AS a_id, y.rid AS b_id
+              FROM kept x JOIN kept y ON x.bk = y.bk AND x.rid < y.rid
+            ), edges AS (
+              SELECT a_id, b_id, count(*) AS cbs FROM pairs
+              GROUP BY a_id, b_id
+            ), directed AS (
+              SELECT a_id AS node, b_id AS nbr, cbs FROM edges
+              UNION ALL
+              SELECT b_id AS node, a_id AS nbr, cbs FROM edges
+            ), rk AS (
+              SELECT node, nbr,
+                     row_number() OVER (
+                       PARTITION BY node ORDER BY cbs DESC, nbr) AS rn
+              FROM directed
+            ), surv AS (
+              SELECT least(node, nbr) AS a_id,
+                     greatest(node, nbr) AS b_id
+              FROM rk WHERE rn <= 3
+              GROUP BY 1, 2 HAVING count(*) = 2
+            )
+            SELECT s.a_id, s.b_id, e.cbs
+            FROM surv s JOIN edges e USING (a_id, b_id)
+        """,
         "block_adaptive_sn": """
             WITH recs AS (
               SELECT p_partkey AS rid, lower(p_name) AS k FROM part

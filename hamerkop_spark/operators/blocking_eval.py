@@ -404,6 +404,7 @@ def meta_blocking_cnp(
     id_col: str = "record_id",
     top_k: int = 5,
     max_block_size: int = 100,
+    reciprocal: bool = False,
 ) -> DataFrame:
     """Graph meta-blocking with CBS weighting and Cardinality Node
     Pruning over an existing block collection (one row per
@@ -421,6 +422,11 @@ def meta_blocking_cnp(
          of EITHER endpoint by (CBS desc, neighbour id asc). The
          per-node window is bounded: a node's degree after purging is
          at most (#blocks it appears in) * (max_block_size - 1).
+         With ``reciprocal=True`` (Reciprocal CNP, Papadakis et al.
+         TKDE '14 §redefined-pruning): keep an edge iff it ranks in
+         the top `top_k` of BOTH endpoints — the precision-sharpened
+         variant that drops one-sided affinities (a sparse record's
+         best neighbour that the neighbour itself would never pick).
 
     Output: (a_id, b_id, cbs). Integer weights and deterministic
     tie-breaks make the result hash-stable for the oracle gate.
@@ -459,15 +465,25 @@ def meta_blocking_cnp(
         )
     )
     w = Window.partitionBy("node").orderBy(F.desc("cbs"), "nbr")
-    survivors = (
+    ranked = (
         directed.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .select(
             F.least("node", "nbr").alias("a_id"),
             F.greatest("node", "nbr").alias("b_id"),
         )
-        .distinct()
     )
+    if reciprocal:
+        # each canonical pair appears once per endpoint whose top-k
+        # kept it; both directions <=> count == 2
+        survivors = (
+            ranked.groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("_nd"))
+            .where(F.col("_nd") == 2)
+            .select("a_id", "b_id")
+        )
+    else:
+        survivors = ranked.distinct()
     return survivors.join(edges, ["a_id", "b_id"]).select(
         "a_id", "b_id", "cbs"
     )

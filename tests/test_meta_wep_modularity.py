@@ -221,3 +221,71 @@ def test_modularity_excludes_unassigned_endpoints(spark):
     out = {r["cluster"]: (r["w_in_fp"], r["deg_fp"])
            for r in _mod_df(spark, assign, edges).collect()}
     assert out["a"] == (1_000_000, 2_000_000)
+
+
+# ------------------------------------------------------- RCNP
+
+
+def _scalar_cnp(blocks, top_k=5, max_block_size=100, reciprocal=False):
+    by_key = {}
+    for k, r in set(blocks):
+        by_key.setdefault(k, set()).add(r)
+    kept = {
+        k: v for k, v in by_key.items() if 2 <= len(v) <= max_block_size
+    }
+    cbs = {}
+    for members in kept.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cbs[(a, b)] = cbs.get((a, b), 0) + 1
+    keep_dirs = {}
+    nbrs = {}
+    for (a, b), c in cbs.items():
+        nbrs.setdefault(a, []).append((b, c))
+        nbrs.setdefault(b, []).append((a, c))
+    for node, lst in nbrs.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for nbr, _ in lst[:top_k]:
+            p = (min(node, nbr), max(node, nbr))
+            keep_dirs[p] = keep_dirs.get(p, 0) + 1
+    need = 2 if reciprocal else 1
+    return sorted(
+        (a, b, cbs[(a, b)])
+        for (a, b), n in keep_dirs.items() if n >= need
+    )
+
+
+def test_rcnp_differential_and_subset(spark):
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_cnp
+
+    rng = random.Random(13)
+    for trial in range(3):
+        blocks = _random_blocks(rng)
+        df = spark.createDataFrame(blocks, ["block_key", "record_id"])
+        cnp = rows(meta_blocking_cnp(df, top_k=3), "a_id", "b_id", "cbs")
+        rcnp = rows(
+            meta_blocking_cnp(df, top_k=3, reciprocal=True),
+            "a_id", "b_id", "cbs",
+        )
+        assert cnp == _scalar_cnp(blocks, top_k=3), trial
+        assert rcnp == _scalar_cnp(blocks, top_k=3, reciprocal=True), trial
+        assert set(rcnp) <= set(cnp), trial
+
+
+def test_rcnp_drops_one_sided_affinity(spark):
+    """Record 9 shares one block with hub 0, but the hub's top-1 is its
+    3-block partner 1: CNP keeps (0,9) via 9's side, RCNP drops it."""
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_cnp
+
+    blocks = [
+        ("h1", 0), ("h1", 1), ("h2", 0), ("h2", 1), ("h3", 0), ("h3", 1),
+        ("w", 0), ("w", 9),
+    ]
+    df = spark.createDataFrame(blocks, ["block_key", "record_id"])
+    cnp = rows(meta_blocking_cnp(df, top_k=1), "a_id", "b_id")
+    rcnp = rows(
+        meta_blocking_cnp(df, top_k=1, reciprocal=True), "a_id", "b_id"
+    )
+    assert (0, 9) in cnp and (0, 1) in cnp
+    assert rcnp == [(0, 1)]
