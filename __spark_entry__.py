@@ -3238,6 +3238,23 @@ def q_block_meta_rcnp(spark, sf):
     )
 
 
+def q_block_meta_wnp(spark, sf):
+    """Weighted Node Pruning meta-blocking (Papadakis TKDE '14,
+    operators/blocking_eval.meta_blocking_wnp): per-node LOCAL
+    mean-weight bar (exact integer test) over the same token-blocking
+    graph as the other meta queries."""
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_wnp
+
+    part = _t(spark, sf, "part").where(
+        (F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") < 5000)
+    )
+    blocks = part.select(
+        F.explode(F.split(F.lower("p_name"), " ")).alias("block_key"),
+        F.col("p_partkey").alias("record_id"),
+    )
+    return meta_blocking_wnp(blocks, max_block_size=100)
+
+
 def q_c11_modularity(spark, sf):
     """Newman weighted modularity of a partition vs the scored pair
     graph (operators/scoring.modularity) — same synthesized
@@ -3667,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_adaptive_sn": q_block_adaptive_sn,
         "dedup_winnow": q_dedup_winnow,
         "block_meta_rcnp": q_block_meta_rcnp,
+        "block_meta_wnp": q_block_meta_wnp,
     }
 
 
@@ -4768,6 +4786,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE w_micro * n >= ws
         """,
         "dedup_winnow": _winnow_oracle_sql(),
+        "block_meta_wnp": """
+            WITH b AS (
+              SELECT DISTINCT tok AS bk, p_partkey AS rid
+              FROM (SELECT p_partkey,
+                           unnest(string_split(lower(p_name), ' ')) AS tok
+                    FROM part
+                    WHERE p_partkey % 10 = 0 AND p_partkey < 5000)
+            ), sizes AS (
+              SELECT bk, count(*) AS bsz FROM b GROUP BY bk
+            ), kept AS (
+              SELECT b.bk, b.rid FROM b JOIN sizes USING (bk)
+              WHERE bsz >= 2 AND bsz <= 100
+            ), pairs AS (
+              SELECT x.bk, x.rid AS a_id, y.rid AS b_id
+              FROM kept x JOIN kept y ON x.bk = y.bk AND x.rid < y.rid
+            ), edges AS (
+              SELECT a_id, b_id, count(*) AS cbs FROM pairs
+              GROUP BY a_id, b_id
+            ), directed AS (
+              SELECT a_id AS node, b_id AS nbr, cbs FROM edges
+              UNION ALL
+              SELECT b_id AS node, a_id AS nbr, cbs FROM edges
+            ), ns AS (
+              SELECT node, sum(cbs) AS ws, count(*) AS wn
+              FROM directed GROUP BY node
+            ), kd AS (
+              SELECT least(d.node, d.nbr) AS a_id,
+                     greatest(d.node, d.nbr) AS b_id
+              FROM directed d JOIN ns USING (node)
+              WHERE d.cbs * wn >= ws
+            ), surv AS (
+              SELECT a_id, b_id FROM kd
+              GROUP BY a_id, b_id HAVING count(*) >= 1
+            )
+            SELECT s.a_id, s.b_id, e.cbs
+            FROM surv s JOIN edges e USING (a_id, b_id)
+        """,
         "block_meta_rcnp": """
             WITH b AS (
               SELECT DISTINCT tok AS bk, p_partkey AS rid

@@ -489,6 +489,87 @@ def meta_blocking_cnp(
     )
 
 
+def meta_blocking_wnp(
+    blocks: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "record_id",
+    max_block_size: int = 100,
+    reciprocal: bool = False,
+) -> DataFrame:
+    """Weighted Node Pruning meta-blocking (Papadakis et al., TKDE
+    2014): each node keeps its incident edges whose CBS weight is >=
+    the node's OWN mean incident weight; an edge survives when kept by
+    EITHER endpoint (``reciprocal=True``: BOTH). Completes the pruning
+    quartet — CNP/RCNP bound each node's degree (cardinality), WEP
+    applies one corpus-global weight bar, WNP applies a LOCAL bar: a
+    moderately-weighted edge in a weak neighbourhood survives WNP but
+    not WEP, and a hub's mediocre edges die under WNP even when they
+    clear the global mean.
+
+    The local mean test is the exact integer compare
+    ``cbs * n_incident >= sum_incident`` — no division, so the
+    survivor set is hash-stable on any engine.
+
+    Output: (a_id, b_id, cbs). Plan shape: the same purge + capped
+    within-block self-join + CBS partial-agg as CNP, one per-node
+    (sum, count) aggregate joined back on the node key, a groupBy
+    count over canonical pairs. No windows at all (vs CNP's per-node
+    rank) — the pruning stage is two keyed partial aggs.
+    """
+    b = (
+        blocks.select(
+            F.col(key_col).alias("bk"), F.col(id_col).alias("rid")
+        )
+        .where(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+        .distinct()
+    )
+    sizes = b.groupBy("bk").agg(F.count("*").alias("bsz"))
+    kept = b.join(
+        sizes.where(
+            (F.col("bsz") >= 2) & (F.col("bsz") <= max_block_size)
+        ).select("bk"),
+        "bk",
+    )
+    pairs = (
+        kept.select("bk", F.col("rid").alias("a_id"))
+        .join(kept.select("bk", F.col("rid").alias("b_id")), "bk")
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+    edges = (
+        pairs.groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cbs"))
+        .localCheckpoint(eager=False)
+    )
+    directed = edges.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr"), "cbs"
+    ).unionByName(
+        edges.select(
+            F.col("b_id").alias("node"), F.col("a_id").alias("nbr"), "cbs"
+        )
+    )
+    node_stats = directed.groupBy("node").agg(
+        F.sum("cbs").alias("_ws"), F.count("*").alias("_wn")
+    )
+    kept_dir = (
+        directed.join(node_stats, "node")
+        .where(F.col("cbs") * F.col("_wn") >= F.col("_ws"))
+        .select(
+            F.least("node", "nbr").alias("a_id"),
+            F.greatest("node", "nbr").alias("b_id"),
+        )
+    )
+    need = 2 if reciprocal else 1
+    survivors = (
+        kept_dir.groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= need)
+        .select("a_id", "b_id")
+    )
+    return survivors.join(edges, ["a_id", "b_id"]).select(
+        "a_id", "b_id", "cbs"
+    )
+
+
 def meta_blocking_wep(
     blocks: DataFrame,
     key_col: str = "block_key",

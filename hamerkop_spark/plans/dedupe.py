@@ -129,13 +129,14 @@ def dedupe_records(
     :param budget_mode: "sort" (TakeOrderedAndProject; budgets up to
         a few million) or "threshold" (exact radix quickselect; the
         scale path — see progressive.select_top_pairs).
-    :param meta_pruning: None (default), "cnp", "rcnp", or "wep" —
+    :param meta_pruning: None (default), "cnp", "rcnp", "wnp", or "wep" —
         graph meta-blocking over the key-based block collection
         (operators/blocking_eval.meta_blocking_cnp / _wep): candidate
         pairs are pruned to each record's CBS top-`meta_top_k`
-        neighbours (cnp; rcnp requires BOTH endpoints' top-k) or to
-        pairs at/above the global mean CBS weight (wep) BEFORE any
-        scoring runs. The standard lever when
+        neighbours (cnp; rcnp requires BOTH endpoints' top-k), to
+        pairs at/above each endpoint's LOCAL mean incident weight
+        (wnp), or to pairs at/above the global mean CBS weight (wep)
+        BEFORE any scoring runs. The standard lever when
         token blocking over web text yields a redundancy-positive
         pair explosion. Mutually exclusive with `budget` (both rank
         pairs); applies to the key-based generators only ("canopy" /
@@ -165,7 +166,7 @@ def dedupe_records(
             f"{sorted(pair_gens)} pairs carry no per-key evidence for "
             "ARCS weighting"
         )
-    if meta_pruning not in (None, "cnp", "rcnp", "wep"):
+    if meta_pruning not in (None, "cnp", "rcnp", "wep", "wnp"):
         raise ValueError(f"unknown meta_pruning: {meta_pruning!r}")
     if meta_pruning is not None and budget is not None:
         raise ValueError(
@@ -205,6 +206,7 @@ def dedupe_records(
             from hamerkop_spark.operators.blocking_eval import (
                 meta_blocking_cnp,
                 meta_blocking_wep,
+                meta_blocking_wnp,
             )
 
             if meta_pruning in ("cnp", "rcnp"):
@@ -212,6 +214,11 @@ def dedupe_records(
                     melted, key_col="_key", id_col="_id",
                     top_k=meta_top_k, max_block_size=max_block,
                     reciprocal=meta_pruning == "rcnp",
+                ).select("a_id", "b_id")
+            elif meta_pruning == "wnp":
+                cand = meta_blocking_wnp(
+                    melted, key_col="_key", id_col="_id",
+                    max_block_size=max_block,
                 ).select("a_id", "b_id")
             else:
                 cand = meta_blocking_wep(

@@ -250,7 +250,7 @@ def test_dedupe_meta_pruning_keeps_dups_prunes_chaff(spark):
     ]
     df = spark.createDataFrame(data, "record_id int, name string, x string")
     base = dedupe_records(df, jw_threshold=0.85)
-    for mode in ("wep", "cnp", "rcnp"):
+    for mode in ("wep", "cnp", "rcnp", "wnp"):
         out = dedupe_records(df, jw_threshold=0.85, meta_pruning=mode)
         cl = {r.record_id: r.cluster for r in out["clusters"].collect()}
         assert cl[1] == cl[2] == cl[3], mode

@@ -289,3 +289,84 @@ def test_rcnp_drops_one_sided_affinity(spark):
     )
     assert (0, 9) in cnp and (0, 1) in cnp
     assert rcnp == [(0, 1)]
+
+
+# -------------------------------------------------------- WNP
+
+
+def _scalar_wnp(blocks, max_block_size=100, reciprocal=False):
+    by_key = {}
+    for k, r in set(blocks):
+        by_key.setdefault(k, set()).add(r)
+    kept = {
+        k: v for k, v in by_key.items() if 2 <= len(v) <= max_block_size
+    }
+    cbs = {}
+    for members in kept.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cbs[(a, b)] = cbs.get((a, b), 0) + 1
+    inc = {}
+    for (a, b), c in cbs.items():
+        inc.setdefault(a, []).append(c)
+        inc.setdefault(b, []).append(c)
+    votes = {}
+    for (a, b), c in cbs.items():
+        for node in (a, b):
+            lst = inc[node]
+            if c * len(lst) >= sum(lst):
+                votes[(a, b)] = votes.get((a, b), 0) + 1
+    need = 2 if reciprocal else 1
+    return sorted(
+        (a, b, cbs[(a, b)]) for (a, b), v in votes.items() if v >= need
+    )
+
+
+def test_wnp_differential_both_modes(spark):
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_wnp
+
+    rng = random.Random(17)
+    for trial in range(3):
+        blocks = _random_blocks(rng)
+        df = spark.createDataFrame(blocks, ["block_key", "record_id"])
+        for recip in (False, True):
+            got = rows(
+                meta_blocking_wnp(df, reciprocal=recip),
+                "a_id", "b_id", "cbs",
+            )
+            assert got == _scalar_wnp(blocks, reciprocal=recip), (
+                trial, recip,
+            )
+
+
+def test_wnp_local_bar_vs_wep_global_bar(spark):
+    """A locally-strong edge in a weak neighbourhood: pair (8,9) shares
+    2 blocks while the corpus is dominated by a 5-block clique pair, so
+    the GLOBAL mean (WEP) kills (8,9) but each of 8 and 9 sees it as
+    their best-and-only edge, so the LOCAL bar (WNP) keeps it."""
+    from hamerkop_spark.operators.blocking_eval import (
+        meta_blocking_wep,
+        meta_blocking_wnp,
+    )
+
+    blocks = []
+    for i in range(5):  # pair (1,2): CBS 5
+        blocks += [(f"s{i}", 1), (f"s{i}", 2)]
+    blocks += [("w1", 8), ("w1", 9), ("w2", 8), ("w2", 9)]  # CBS 2
+    df = spark.createDataFrame(blocks, ["block_key", "record_id"])
+    wep = rows(meta_blocking_wep(df), "a_id", "b_id")
+    wnp = rows(meta_blocking_wnp(df), "a_id", "b_id")
+    assert (8, 9) not in wep          # 2*2 < 5+2
+    assert (8, 9) in wnp and (1, 2) in wnp
+
+
+def test_wnp_reciprocal_subset(spark):
+    from hamerkop_spark.operators.blocking_eval import meta_blocking_wnp
+
+    rng = random.Random(19)
+    blocks = _random_blocks(rng)
+    df = spark.createDataFrame(blocks, ["block_key", "record_id"])
+    either = set(rows(meta_blocking_wnp(df), "a_id", "b_id"))
+    both = set(rows(meta_blocking_wnp(df, reciprocal=True), "a_id", "b_id"))
+    assert both <= either
