@@ -36,6 +36,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism. The driver
+    tables are single-row-group parquet files, and a row group is the
+    minimum scan-split unit — so EVERY scan of part/documents/embeddings
+    is exactly one task no matter what maxPartitionBytes says, and any
+    per-row compute fused into the scan stage (md5, shingling, regex,
+    higher-order functions) runs on one core. A keyless repartition of
+    the (small) raw rows costs one tiny exchange and unlocks N-way
+    compute. Scale-adaptive: defaultParallelism tracks the master's
+    core count (local[$SPARK_GRAFT_CPUS] here, cluster cores there);
+    on a many-file production table the exchange stays harmless
+    (rows are already spread; the cost is one pass of small rows).
+    Only used where per-row compute dominates AND every downstream
+    aggregate is order-independent (min/max/integer sums), so the
+    repartition cannot perturb float accumulation order."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _fmt_name(c):
     """'_new_york_' formatter (hamerkop_spark.functions.strings.format_ngram_name
     restated with the portable punct class)."""
@@ -172,17 +190,45 @@ def q_b3_ngram_idf(spark, sf):
     (map-side partial agg) + broadcast join-back — never a window over the
     intrinsically hot ngram key — and the probe side joins a BROADCAST
     postings table, so no probe shuffle on the skewed key exists at any
-    scale where the postings fit (else the max_df cap + AQE path)."""
+    scale where the postings fit (else the max_df cap + AQE path).
+
+    r6 restructure (same result, unchanged oracle): every per-key
+    quantity here is a function of the key's NAME — gram counts, IDF
+    mass, threshold — so the whole retrieval runs on the distinct-name
+    table (guide §8: decide on small rows, attach keys last). df keeps
+    its per-KEY semantics via sum(n_cnt * nkeys); the per-query rank by
+    (mass desc, p_partkey asc) needs only each name's FIVE smallest
+    keys (any later key of a name is preceded by >= 5 same-mass keys,
+    so it can never enter a top-5). This shrinks the broadcast postings
+    from one row per (gram, key) — millions at sf1.0, the dominant
+    build cost — to one row per (gram, distinct name), and the rank
+    window input from |queries| x |matching keys| to
+    |query names| x |matching names| x 5. All-distinct names degrade
+    gracefully to the original shape."""
     part = _t(spark, sf, "part")
-    names = part.select("p_partkey", _fmt_name(F.col("p_name")).alias("fname"),
-                        F.lower("p_name").alias("lname"))
+    names = _spread(part).select(
+        "p_partkey", _fmt_name(F.col("p_name")).alias("fname"),
+        F.lower("p_name").alias("lname"))
     n_unique = names.select("lname").distinct().count()
-    grams = names.select(
-        "p_partkey",
+    # distinct-name stats: key multiplicity + the 5 smallest keys
+    # (sorted collect is bounded by the name's key count; only the
+    # first 5 survive the slice)
+    fstats = names.groupBy("fname").agg(
+        F.count("*").alias("nkeys"),
+        F.slice(F.sort_array(F.collect_list("p_partkey")), 1, 5).alias("k5"),
+    )
+    grams = fstats.select(
+        "fname", "nkeys",
         F.explode(_char_ngrams(F.col("fname"), NGRAM_N)).alias("ng"),
     )
-    per_name = grams.groupBy("ng", "p_partkey").agg(F.count("*").alias("n_cnt"))
-    df_tbl = per_name.groupBy("ng").agg(F.sum("n_cnt").alias("df_cnt"))
+    per_name = grams.groupBy("ng", "fname", "nkeys").agg(
+        F.count("*").alias("n_cnt")
+    )
+    # df over KEYS (the original semantics): each name contributes its
+    # gram count once per key carrying that name
+    df_tbl = per_name.groupBy("ng").agg(
+        F.sum(F.col("n_cnt") * F.col("nkeys")).alias("df_cnt")
+    )
     postings = per_name.join(F.broadcast(df_tbl), "ng").withColumn(
         # fixed-point idf (floor(idf * 1e6) as BIGINT): float SUMs are
         # order-sensitive (Spark's partial aggregation vs DuckDB's scan
@@ -204,7 +250,7 @@ def q_b3_ngram_idf(spark, sf):
     ).groupBy("qname", "ng").agg(F.count("*").alias("q_cnt"))
     mass = (
         qgrams.join(F.broadcast(postings), "ng")
-        .groupBy("qname", "p_partkey")
+        .groupBy("qname", "fname")
         .agg(
             F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf_fp")).alias(
                 "mass_fp"
@@ -216,6 +262,8 @@ def q_b3_ngram_idf(spark, sf):
     return (
         mass.withColumn("mx", F.max("mass_fp").over(wq))
         .where(F.col("mass_fp") * 2 > F.col("mx"))  # mass > mx/2, integral
+        .join(F.broadcast(fstats.select("fname", "k5")), "fname")
+        .select("qname", "mass_fp", F.explode("k5").alias("p_partkey"))
         .withColumn("rk", F.row_number().over(wrank))
         .where(F.col("rk") <= 5)
         .select("qname", F.col("p_partkey").alias("match_key"),
@@ -329,7 +377,24 @@ def q_f9_levenshtein_argmin(spark, sf):
     resolver.py:306-322). Candidates are generated by a shared-token
     inverted-index join — the production shape (the resolver only ever
     scores blocked pairs); an unblocked argmin would be a cartesian
-    O(|q|*|c|), a scale-killer demonstrated nowhere in the engine."""
+    O(|q|*|c|), a scale-killer demonstrated nowhere in the engine.
+
+    r6 restructure (same result, proven equal on the unchanged oracle):
+    the edit distance is a function of the NAME PAIR alone, so it is
+    computed once per distinct (q_name, c_name) that shares a token —
+    the guide-§8 move: decide on the small distinct-value table, then
+    re-attach the decision to the keyed rows. Because every key of a
+    candidate name sits at the same distance, the per-query argmin by
+    (dist asc, c_key asc) needs only each name's two smallest c_keys
+    (the second covers the q_key == c_key self-exclusion); the global
+    winner is then min(struct(dist, eff_key)) over name-level rows.
+    The ``dist < 0.5`` emission filter is pushed below the argmin: a
+    query whose true argmin passes keeps it (only non-minimal rows are
+    dropped), and a query whose argmin fails emits nothing either way.
+    When names are all-distinct this degrades gracefully to the
+    original per-pair shape; when names repeat (the driver corpus has
+    heavy repetition) the levenshtein count drops from |pairs| to
+    |distinct name pairs|."""
     part = _t(spark, sf, "part")
     q = part.where(F.col("p_partkey") % 23 == 0).select(
         F.col("p_partkey").alias("q_key"), F.lower("p_name").alias("q_name")
@@ -337,23 +402,42 @@ def q_f9_levenshtein_argmin(spark, sf):
     c = part.where(F.col("p_partkey") % 7 == 0).select(
         F.col("p_partkey").alias("c_key"), F.lower("p_name").alias("c_name")
     )
-    qtok = q.select("q_key", F.explode(F.split("q_name", " ")).alias("tok")).distinct()
-    ctok = c.select("c_key", F.explode(F.split("c_name", " ")).alias("tok")).distinct()
-    blocked = qtok.join(ctok, "tok").select("q_key", "c_key").distinct()
-    pairs = (
-        blocked.join(q, "q_key").join(c, "c_key")
-        .where(F.col("q_key") != F.col("c_key"))
+    qd = q.select("q_name").distinct()
+    # per candidate name: the two smallest keys (sorted collect is
+    # bounded by the name's key count; only positions 1-2 are kept)
+    cstats = c.groupBy("c_name").agg(
+        F.slice(F.sort_array(F.collect_list("c_key")), 1, 2).alias("k12")
     )
+    qtokd = qd.select(
+        "q_name", F.explode(F.split("q_name", " ")).alias("tok")
+    ).distinct()
+    ctokd = cstats.select(
+        "c_name", F.explode(F.split("c_name", " ")).alias("tok")
+    ).distinct()
     dist = F.levenshtein("q_name", "c_name") / F.greatest(
         F.length("q_name"), F.length("c_name")
     )
-    w = Window.partitionBy("q_key").orderBy("dist", "c_key")
-    return (
-        pairs.withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("dist") < 0.5))
-        .select("q_key", F.col("c_key").alias("best_key"),
-                det_round(F.col("dist"), 4).alias("dist"))
+    name_pairs = (
+        qtokd.join(ctokd, "tok")
+        .select("q_name", "c_name")
+        .distinct()
+        .join(cstats, "c_name")
+        .select("q_name", "k12", dist.alias("dist"))
+        .where(F.col("dist") < 0.5)
+    )
+    k1, k2 = F.get("k12", 0), F.get("k12", 1)
+    cand = (
+        q.join(F.broadcast(name_pairs), "q_name")
+        .withColumn("eff", F.when(k1 != F.col("q_key"), k1).otherwise(k2))
+        .where(F.col("eff").isNotNull())
+    )
+    best = cand.groupBy("q_key").agg(
+        F.min(F.struct("dist", F.col("eff").alias("c_key"))).alias("b")
+    )
+    return best.select(
+        "q_key",
+        F.col("b.c_key").alias("best_key"),
+        det_round(F.col("b.dist"), 4).alias("dist"),
     )
 
 
@@ -471,10 +555,19 @@ def q_r2_one_many_none(spark, sf):
     (resolver.py:253-272): decide only when exactly one lineitem matches."""
     li = _t(spark, sf, "lineitem")
     match = (F.col("l_discount") > 0.09).cast("int")
-    w = Window.partitionBy("l_orderkey")
-    flagged = li.withColumn("m", match).withColumn("nm", F.sum("m").over(w))
-    return flagged.where((F.col("nm") == 1) & (F.col("m") == 1)).select(
-        "l_orderkey", F.col("l_partkey").alias("decided_partkey")
+    # r6: the partitionBy-only window (exchange + sort of all rows, then
+    # a per-row join against the group sum) became ONE hash aggregate
+    # with map-side partial agg — same result: when exactly one row per
+    # order matches, max(partkey over matching rows) IS that row's
+    # partkey, and groups with nm != 1 emit nothing either way.
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(match).alias("nm"),
+            F.max(F.when(match == 1, F.col("l_partkey"))).alias("pk"),
+        )
+        .where(F.col("nm") == 1)
+        .select("l_orderkey", F.col("pk").alias("decided_partkey"))
     )
 
 
@@ -483,13 +576,28 @@ def q_r5_linear_argmax(spark, sf):
     (resolver.py:325-343)."""
     li = _t(spark, sf, "lineitem")
     score = F.col("l_quantity") * 2.0 + F.col("l_discount") * 100.0 - 50.0
-    w = Window.partitionBy("l_orderkey").orderBy(F.desc("score"), "l_linenumber")
-    return (
-        li.withColumn("score", score)
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("score") >= 30.0))
-        .select("l_orderkey", F.col("l_linenumber").alias("best_line"),
-                det_round(F.col("score"), 4).alias("score"))
+    # r6: row_number window (full sort + exchange) -> map-side-partial
+    # max(struct(score, -l_linenumber)) — lexicographic struct max is
+    # exactly the (score desc, linenumber asc) rank-1 row. The score
+    # threshold is pushed below the argmax: a group whose max is below
+    # the bar emits nothing either way, and pre-filtering sub-bar rows
+    # never removes a surviving group's max.
+    best = (
+        li.select("l_orderkey", score.alias("score"), "l_linenumber")
+        .where(F.col("score") >= 30.0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("l_linenumber")).alias("nl")
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "l_orderkey",
+        (-F.col("b.nl")).alias("best_line"),
+        det_round(F.col("b.score"), 4).alias("score"),
     )
 
 
@@ -603,8 +711,12 @@ def q_r5_margin_gate(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup on md5 content fingerprint (operators/dedup.exact_dedup)."""
-    docs = _t(spark, sf, "documents")
+    """Exact dedup on md5 content fingerprint (operators/dedup.exact_dedup).
+
+    r6: spread the single-row-group scan before the normalize+md5
+    projection so the hashing runs N-wide instead of inside the one
+    scan task; the window min over fp is order-independent."""
+    docs = _spread(_t(spark, sf, "documents"))
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower("text"), PUNCT_CLASS, ""), r"\s+", " "
@@ -668,24 +780,40 @@ def q_dedup_embedding_cosine(spark, sf):
 
 
 def q_ann_cosine_search(spark, sf):
-    """ANN baseline: cosine search, threshold form (operators/similarity)."""
+    """ANN baseline: cosine search, threshold form (operators/similarity).
+
+    r6: (a) per-side norms are computed once per vector in a projection
+    BEFORE the crossJoin instead of once per (query, candidate) pair;
+    (b) the per-pair dot product is an unrolled 64-term codegen sum —
+    the higher-order aggregate/zip_with pair is interpreted per element
+    and allocates a zipped array per pair; the unrolled chain is the
+    SAME left-associated IEEE addition order ((0+x0)+x1)+..., so the
+    value is bit-identical; (c) the candidate side is spread across
+    cores (single-row-group file -> one scan task otherwise)."""
     emb = _t(spark, sf, "embeddings")
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
-    c = emb.select(
+    ).withColumn("nq", _norm(F.col("qv")))
+    c = _spread(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, x: acc + x)
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    ).withColumn("nc", _norm(F.col("cv")))
+    # unrolled dot: identical fold order to
+    # aggregate(zip_with(qv, cv, x*y), 0.0, acc+x)
+    dot = F.lit(0.0)
+    for i in range(EMB_DIM):
+        dot = dot + F.col("qv")[i] * F.col("cv")[i]
     return (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", det_round(dot / (nq * nc), 4))
+        .withColumn("cosine", det_round(dot / (F.col("nq") * F.col("nc")), 4))
         .where(F.col("cosine") >= 0.2)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -706,8 +834,12 @@ def q_text_token_stats(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    """Quality scoring (functions/quality.quality_score restated portably)."""
-    docs = _t(spark, sf, "documents")
+    """Quality scoring (functions/quality.quality_score restated portably).
+
+    r6: spread the single-row-group scan across cores before the
+    regex/HOF-heavy per-row projection (purely per-row -> repartition
+    cannot change any value)."""
+    docs = _spread(_t(spark, sf, "documents"))
     text = F.col("text")
     total = F.greatest(F.length(text), F.lit(1)).cast("double")
     n_tok = F.size(_tokens(text)).cast("double")
@@ -1155,7 +1287,12 @@ def q_dedup_minhash_lsh(spark, sf):
     cost of the old per-seed md5 variant)."""
     from hamerkop_spark.operators.dedup import minhash_dedup_pairs
 
-    docs = _t(spark, sf, "documents").selectExpr("cast(doc_id as string) doc_id", "text")
+    # r6: spread the single-row-group scan so the shingle+md5+perm-min
+    # pipeline (the dominant cost) runs N-wide; every downstream
+    # aggregate (min per id, collect per bucket) is order-independent
+    docs = _spread(_t(spark, sf, "documents")).selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
     return minhash_dedup_pairs(
         docs, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
         max_bucket=MINHASH_MAX_BUCKET, hash_fn="md5perm",

@@ -159,17 +159,46 @@ def minhash_dedup_pairs(
     cost; same LSH semantics.
 
     Returns (src, dst) pairs with src < dst; feed to
-    connected_components for cluster-level dedup."""
+    connected_components for cluster-level dedup.
+
+    r6 restructure (byte-identical output): the bucket self-join +
+    ``_drop_hot_keys`` anti-join referenced the band DataFrame three
+    times, and Catalyst does not CSE across self-join branches — the
+    whole tokenize→shingle→hash→min-agg signature pipeline executed
+    4x per run (measured in the sf1.0 plan: two full signature subtrees
+    under the join plus one per anti-join side). One
+    ``groupBy(band, bucket).collect_list`` computes the pipeline ONCE,
+    the ``size(ids) <= max_bucket`` filter IS the hot-bucket cap
+    (same keep/drop set as the count-then-anti-join), and in-bucket
+    ordered pairs come from a sorted-array index fan-out — the exact
+    pair set the self-join's ``src < dst`` produced, each pair emitted
+    once per bucket. collect_list is bounded: oversized buckets are
+    dropped afterwards, but the list itself never exceeds the bucket's
+    band-row count, the same rows the self-join would have streamed."""
     bands = minhash_doc_bands(
         docs, id_col, text_col, shingle_k, num_hashes, num_bands, hash_fn
     )
-    bounded = _drop_hot_keys(bands, ["band", "bucket"], max_bucket)
-    a = bounded.select("band", "bucket", F.col("_id").alias("src"))
-    b = bounded.select("band", "bucket", F.col("_id").alias("dst"))
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where((F.size("ids") <= max_bucket) & (F.size("ids") > 1))
+        .select(F.sort_array("ids").alias("ids"))
+    )
+    # ordered index pairs (i < j) over the value-sorted ids == the
+    # self-join's src < dst pairs (ids are distinct within a bucket:
+    # one band row per (_id, band))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )
 
