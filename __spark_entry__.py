@@ -209,7 +209,11 @@ def q_b3_ngram_idf(spark, sf):
     names = _spread(part).select(
         "p_partkey", _fmt_name(F.col("p_name")).alias("fname"),
         F.lower("p_name").alias("lname"))
-    n_unique = names.select("lname").distinct().count()
+    # r6: n_unique as a broadcast one-row aggregate instead of a
+    # .count() driver action — the old form ran a whole separate job
+    # (scan + distinct) before the main query could even be built;
+    # float(n) == cast(bigint as double) exactly for any realistic n
+    nu = names.agg(F.countDistinct("lname").alias("nu"))
     # distinct-name stats: key multiplicity + the 5 smallest keys
     # (sorted collect is bounded by the name's key count; only the
     # first 5 survive the slice)
@@ -217,11 +221,14 @@ def q_b3_ngram_idf(spark, sf):
         F.count("*").alias("nkeys"),
         F.slice(F.sort_array(F.collect_list("p_partkey")), 1, 5).alias("k5"),
     )
+    # k5 rides along as a (functionally fname-dependent) grouping key so
+    # the fstats subtree is computed once — no second scan+agg to
+    # re-attach the keys at the end
     grams = fstats.select(
-        "fname", "nkeys",
+        "fname", "nkeys", "k5",
         F.explode(_char_ngrams(F.col("fname"), NGRAM_N)).alias("ng"),
     )
-    per_name = grams.groupBy("ng", "fname", "nkeys").agg(
+    per_name = grams.groupBy("ng", "fname", "nkeys", "k5").agg(
         F.count("*").alias("n_cnt")
     )
     # df over KEYS (the original semantics): each name contributes its
@@ -229,16 +236,23 @@ def q_b3_ngram_idf(spark, sf):
     df_tbl = per_name.groupBy("ng").agg(
         F.sum(F.col("n_cnt") * F.col("nkeys")).alias("df_cnt")
     )
-    postings = per_name.join(F.broadcast(df_tbl), "ng").withColumn(
-        # fixed-point idf (floor(idf * 1e6) as BIGINT): float SUMs are
-        # order-sensitive (Spark's partial aggregation vs DuckDB's scan
-        # order differ in the last ulp), which flips near-tied top-5
-        # ranks at larger SFs; integer mass sums are order-independent,
-        # so threshold and rank are cross-engine exact
-        "idf_fp",
-        F.floor(
-            F.log1p(F.lit(float(n_unique)) / F.col("df_cnt")) * F.lit(1e6)
-        ).cast("bigint"),
+    postings = (
+        per_name.join(F.broadcast(df_tbl), "ng")
+        .crossJoin(F.broadcast(nu))
+        .withColumn(
+            # fixed-point idf (floor(idf * 1e6) as BIGINT): float SUMs
+            # are order-sensitive (Spark's partial aggregation vs
+            # DuckDB's scan order differ in the last ulp), which flips
+            # near-tied top-5 ranks at larger SFs; integer mass sums
+            # are order-independent, so threshold and rank are
+            # cross-engine exact
+            "idf_fp",
+            F.floor(
+                F.log1p(F.col("nu").cast("double") / F.col("df_cnt"))
+                * F.lit(1e6)
+            ).cast("bigint"),
+        )
+        .drop("nu")
     )
     queries = (
         part.where(F.col("p_partkey") % 17 == 0)
@@ -250,7 +264,7 @@ def q_b3_ngram_idf(spark, sf):
     ).groupBy("qname", "ng").agg(F.count("*").alias("q_cnt"))
     mass = (
         qgrams.join(F.broadcast(postings), "ng")
-        .groupBy("qname", "fname")
+        .groupBy("qname", "fname", "k5")
         .agg(
             F.sum(F.col("q_cnt") * F.col("n_cnt") * F.col("idf_fp")).alias(
                 "mass_fp"
@@ -262,7 +276,6 @@ def q_b3_ngram_idf(spark, sf):
     return (
         mass.withColumn("mx", F.max("mass_fp").over(wq))
         .where(F.col("mass_fp") * 2 > F.col("mx"))  # mass > mx/2, integral
-        .join(F.broadcast(fstats.select("fname", "k5")), "fname")
         .select("qname", "mass_fp", F.explode("k5").alias("p_partkey"))
         .withColumn("rk", F.row_number().over(wrank))
         .where(F.col("rk") <= 5)

@@ -55,7 +55,11 @@ def connected_components(
     def _persist(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        # r6: LAZY local checkpoint — the per-round fingerprint collect
+        # is the materializing action, so each round costs ONE job
+        # instead of two (eager checkpoint job + fingerprint job);
+        # later rounds read the checkpointed blocks exactly as before
+        return df.localCheckpoint(eager=False)
     # Alternating large-star / small-star (Kiveris et al., SoCC'14,
     # Two-Phase). Edges are kept in CANONICAL orientation (u, v) with
     # u > v (string order — the same order the component label uses).
@@ -85,12 +89,6 @@ def connected_components(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     ).distinct()
     e = _persist(canon)
-    if e.isEmpty():
-        if nodes is not None:
-            return nodes.select(
-                F.col("node"), F.col("node").alias("component")
-            ).distinct()
-        return spark.createDataFrame([], "node string, component string")
 
     def _fingerprint(df: DataFrame):
         row = df.agg(
@@ -101,18 +99,31 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    # the initial fingerprint doubles as the emptiness check (r6: the
+    # separate isEmpty() job is gone — n == 0 says the same thing)
+    prev_fp = _fingerprint(e)
+    if prev_fp[0] == 0:
+        if nodes is not None:
+            return nodes.select(
+                F.col("node"), F.col("node").alias("component")
+            ).distinct()
+        return spark.createDataFrame([], "node string, component string")
+
     def large_star(es: DataFrame) -> DataFrame:
         sym = es.unionByName(
             es.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         m = sym.groupBy("u").agg(F.min("v").alias("mn"))
         m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        # r6: no .distinct() here — small_star's min-agg is duplicate-
+        # insensitive and its own final distinct dedupes the round's
+        # output, so the per-round edge SET is unchanged while one full
+        # exchange per round disappears
         return (
             sym.where(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(es: DataFrame) -> DataFrame:
@@ -125,7 +136,6 @@ def connected_components(
 
     import time as _time
 
-    prev_fp = _fingerprint(e)
     for _ in range(max_iterations):
         t0 = _time.time()
         e_new = _persist(small_star(large_star(e)))
