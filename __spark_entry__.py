@@ -206,7 +206,11 @@ def q_b3_ngram_idf(spark, sf):
     |query names| x |matching names| x 5. All-distinct names degrade
     gracefully to the original shape."""
     part = _t(spark, sf, "part")
-    names = _spread(part).select(
+    # (no _spread here: after the distinct-name factorization the
+    # explode fans out over ~|distinct names| rows, so the single scan
+    # task only feeds a 200k-row partial aggregate — an exchange of the
+    # raw rows costs more than it parallelizes)
+    names = part.select(
         "p_partkey", _fmt_name(F.col("p_name")).alias("fname"),
         F.lower("p_name").alias("lname"))
     # r6: n_unique as a broadcast one-row aggregate instead of a
@@ -726,10 +730,12 @@ def q_r5_margin_gate(spark, sf):
 def q_dedup_exact(spark, sf):
     """Exact dedup on md5 content fingerprint (operators/dedup.exact_dedup).
 
-    r6: spread the single-row-group scan before the normalize+md5
-    projection so the hashing runs N-wide instead of inside the one
-    scan task; the window min over fp is order-independent."""
-    docs = _spread(_t(spark, sf, "documents"))
+    r6: measured with and without a pre-spread of the single-row-group
+    scan — neutral at sf1.0 and a regression at sf0.1 (the md5 work at
+    these document sizes is smaller than one exchange of the text), so
+    the scan is left fused; the window-by-fingerprint exchange provides
+    the post-hash parallelism."""
+    docs = _t(spark, sf, "documents")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower("text"), PUNCT_CLASS, ""), r"\s+", " "
@@ -912,18 +918,21 @@ def q_events_windowed(spark, sf):
 
 def q_events_sessionize(spark, sf):
     """Session windows via gap detection (stateful-streaming analog:
-    lag + cumulative sum assigns session ids)."""
+    lag + cumulative sum assigns session ids).
+
+    r6: the running-sum window is gone — every session-start marker is
+    non-negative and the cumulative sum ends at their total, so
+    max(cumsum) == sum(markers); one lag window (the unavoidable
+    per-user ordering) plus a hash aggregate replaces two window
+    passes."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = F.sum(newsess).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
     return (
-        ev.withColumn("sess", sess)
+        ev.withColumn("ns", newsess)
         .groupBy("user_id")
-        .agg(F.max("sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events"))
     )
 
 

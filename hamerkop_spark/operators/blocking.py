@@ -359,9 +359,15 @@ def minhash_signature(
         mins = []
         for s in range(num_hashes):
             a, b = perm_coeffs(s)
+            # r6: & (2^32-1) == % 2^32 exactly for the non-negative
+            # a*h0+b (< 2^62); the AND is cheaper in the 32-expression
+            # per-element hot loop and values are bit-identical, so the
+            # md5perm oracle SQL (which keeps %) stays green
             mins.append(
                 F.min(
-                    (F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(PERM_MOD)
+                    (F.lit(a) * F.col("_h0") + F.lit(b)).bitwiseAND(
+                        F.lit(PERM_MOD - 1)
+                    )
                 ).alias(f"_mh{s}")
             )
     else:

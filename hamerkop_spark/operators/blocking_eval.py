@@ -451,11 +451,16 @@ def meta_blocking_cnp(
         .where(F.col("a_id") < F.col("b_id"))
     )
     # edges fans out three ways (both union branches + the final weight
-    # re-attach); persist the post-aggregation table — it is the SMALL
-    # side (pairs collapsed to weights, bounded by the purge cap) — so
-    # the quadratic within-block self-join runs once, not per branch
+    # re-attach); materialize the post-aggregation table — it is the
+    # SMALL side (pairs collapsed to weights, bounded by the purge cap)
+    # — so the quadratic within-block self-join runs once, not per
+    # branch. r6: lazy localCheckpoint like the sibling WNP/WEP paths;
+    # the old .persist() was never unpersisted and leaked executor
+    # cache across repeated calls in one session (ADVICE r5).
     edges = (
-        pairs.groupBy("a_id", "b_id").agg(F.count("*").alias("cbs")).persist()
+        pairs.groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cbs"))
+        .localCheckpoint(eager=False)
     )
     directed = edges.select(
         F.col("a_id").alias("node"), F.col("b_id").alias("nbr"), "cbs"

@@ -365,16 +365,40 @@ def simhash_dedup_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(
-        "chunk_idx", "chunk", F.col("_id").alias("src"), F.col("sig").alias("sig_a")
+    # r6: the chunk-bucket self-join referenced `chunks` twice, and
+    # Catalyst does not CSE across self-join branches — the whole
+    # tokenize+md5+vote signature pipeline executed twice per run. One
+    # groupBy collect_list computes it once; sorted-index fan-out over
+    # (_id, sig) structs emits the identical src < dst pair set. The
+    # per-bucket list is bounded by the bucket's population (the same
+    # rows the self-join streamed; empty-doc mega-buckets are already
+    # excluded above).
+    grouped = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("sig")))
+            ).alias("mem")
+        )
+        .where(F.size("mem") > 1)
     )
-    b = chunks.select(
-        "chunk_idx", "chunk", F.col("_id").alias("dst"), F.col("sig").alias("sig_b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    x["_id"].alias("src"),
+                    y["_id"].alias("dst"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
     )
     cand = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", "sig_a", "sig_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst", "p.sig_a", "p.sig_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -414,6 +438,12 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     )
+    # r6: this plan references `grams` four times (hot-key count, its
+    # anti-join probe, sizes, both self-join sides) and Catalyst does
+    # not CSE across those branches — the normalize+ngram pipeline ran
+    # 4x. A lazy local checkpoint materializes it once on first use;
+    # every branch then reads the checkpointed rows.
+    grams = grams.localCheckpoint(eager=False)
     bounded = _drop_hot_keys(grams, ["g"], max_df)
     sizes = bounded.groupBy("_id").agg(F.count("*").alias("sz"))
     a = bounded.select("g", F.col("_id").alias("src"))

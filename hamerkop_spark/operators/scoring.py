@@ -802,14 +802,21 @@ def modularity(
     cut scores ~0, a partition that respects dense groups scores high.
 
     Determinism contract (the repo-wide fixed-point discipline): edge
-    weights floor to integer micro-units FIRST; w_in/deg/m aggregate
-    exactly as integers; each cluster's contribution becomes
-    ``contrib_nano = floor(1e9*w_in/m) - floor(1e9*deg^2/(4m^2))``
-    (IEEE-identical two-integer divisions, inputs < 2^53 at any
-    realistic per-cluster scale) and the global Q is their INTEGER sum
-    — no float accumulation anywhere, so the result hashes identically
-    on any engine. Q_nano slightly under-reports (<= 2 ulp-of-floor
-    per cluster) which is harmless for comparing clusterings.
+    weights ROUND-half-up to integer micro-units FIRST
+    (floor(x*1e6 + 0.5)); w_in/deg/m aggregate exactly as integers;
+    each cluster's contribution becomes
+    ``contrib_nano = floor(1e9*w_in/m) - floor(1e9*deg^2/(4m^2))``.
+    Precision note (ADVICE r5): the two divisions are evaluated in
+    double precision, and ``deg_fp^2 * 1e9`` exceeds 2^53 once a
+    cluster's summed weighted degree passes ~3 score units — past that
+    point the floors are computed on correctly-rounded doubles rather
+    than exact integers. The result stays IEEE-deterministic on any
+    engine that divides doubles (the cross-engine hash contract the
+    oracle checks), but it is NOT exact integer division at large
+    degree sums. The global Q is the INTEGER sum of the per-cluster
+    contributions — no float accumulation — and slightly under-reports
+    (<= 2 ulp-of-floor per cluster), harmless for comparing
+    clusterings.
 
     Output, one row per cluster plus a ``__total__`` row:
       (cluster, n_nodes, w_in_fp, deg_fp, contrib_nano)
