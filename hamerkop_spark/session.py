@@ -50,6 +50,19 @@ def get_spark(
         # then respects cluster parallelism instead of byte size.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # Scan split size, env-parameterised (r6). The default 128m
+        # yields TWO tasks for the driver's 132 MB 6-row-group lineitem
+        # file — a 16m split lets every row group scan in its own task
+        # (row groups are the minimum split unit, so smaller values
+        # change nothing further). Production: raise via
+        # HK_MAX_PARTITION_BYTES to 128m-1g for many-file tables where
+        # task-count, not per-file parallelism, is the constraint
+        # (guide §6); the local default only matters when files are few
+        # relative to cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("HK_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
