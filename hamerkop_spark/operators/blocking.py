@@ -353,33 +353,40 @@ def minhash_signature(
     # BEFORE the aggregation — the partial agg then reduces each
     # partition to one row per id anyway, so the only shuffle left is
     # the tiny one-row-per-id exchange
+    # The per-seed aggregate expressions are built as F.expr SQL
+    # strings, ONE py4j round-trip each, not Column-operator chains: a
+    # Python loop of Column ops costs ~4 py4j round-trips per operator
+    # (~0.3 s of driver wall per invocation at num_hashes=32, measured
+    # in the bench construct split). The parsed trees are the same
+    # expressions — int literals below 2^31 parse as INT exactly like
+    # F.lit, the 2^32-1 mask parses as BIGINT — so plans and values
+    # are bit-identical.
     elems = df.select(*id_cols, F.explode(set_col).alias("elem"))
     if hash_fn == "md5perm":
         elems = elems.withColumn("_h0", md5_base32(F.col("elem")))
-        mins = []
-        for s in range(num_hashes):
-            a, b = perm_coeffs(s)
-            # r6: & (2^32-1) == % 2^32 exactly for the non-negative
-            # a*h0+b (< 2^62); the AND is cheaper in the 32-expression
-            # per-element hot loop and values are bit-identical, so the
-            # md5perm oracle SQL (which keeps %) stays green
-            mins.append(
-                F.min(
-                    (F.lit(a) * F.col("_h0") + F.lit(b)).bitwiseAND(
-                        F.lit(PERM_MOD - 1)
-                    )
-                ).alias(f"_mh{s}")
-            )
+        # r6: & (2^32-1) == % 2^32 exactly for the non-negative
+        # a*h0+b (< 2^62); the AND is cheaper in the 32-expression
+        # per-element hot loop and values are bit-identical, so the
+        # md5perm oracle SQL (which keeps %) stays green
+        mins = [
+            F.expr(f"min(({a} * _h0 + {b}) & {PERM_MOD - 1}) AS _mh{s}")
+            for s, (a, b) in ((s, perm_coeffs(s)) for s in range(num_hashes))
+        ]
+    elif hash_fn == "xxhash64":
+        mins = [
+            F.expr(f"min(xxhash64(elem, {s + 1})) AS _mh{s}")
+            for s in range(num_hashes)
+        ]
     else:
         mins = [
             F.min(seeded_hash64(F.col("elem"), s + 1, hash_fn)).alias(f"_mh{s}")
             for s in range(num_hashes)
         ]
     agg = elems.groupBy(*id_cols).agg(*mins)
-    return agg.select(
-        *id_cols,
-        F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)]).alias("sig"),
+    sig = F.expr(
+        "array(" + ", ".join(f"_mh{s}" for s in range(num_hashes)) + ")"
     )
+    return agg.select(*id_cols, sig.alias("sig"))
 
 
 def minhash_bands(
@@ -392,19 +399,22 @@ def minhash_bands(
     """LSH banding: hash each band's signature slice to a bucket key.
     Narrow transform (posexplode of num_bands per row, no shuffle).
     Output: (id_cols..., band, bucket)."""
+    # single F.expr for the whole band array (one py4j round-trip; the
+    # parsed tree matches the former Column-built one, only the lambda
+    # variable NAME differs, which resolution renames anyway)
     def bucket_of(b):
-        joined = F.array_join(
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-            ",",
+        joined = (
+            "array_join(transform(slice(sig, "
+            f"{b * rows_per_band + 1}, {rows_per_band}), "
+            "v -> cast(v as string)), ',')"
         )
         if hash_fn == "xxhash64":
-            return F.xxhash64(joined)
-        return F.md5(joined)  # md5 and md5perm band identically
+            return f"xxhash64({joined})"
+        return f"md5({joined})"  # md5 and md5perm band identically
 
-    bands = F.array(*[bucket_of(b) for b in range(num_bands)])
+    bands = F.expr(
+        "array(" + ", ".join(bucket_of(b) for b in range(num_bands)) + ")"
+    )
     return signatures.select(
         *id_cols, F.posexplode(bands).alias("band", "bucket")
     )
