@@ -909,8 +909,11 @@ def q_text_quality(spark, sf):
     text = F.col("text")
     total = F.greatest(F.length(text), F.lit(1)).cast("double")
     n_tok = F.size(_tokens(text)).cast("double")
-    punct = (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast("double")
-    digits = (F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double")
+    # r6: regexp_count == length(text) - length(regexp_replace(text,
+    # cls, "")) exactly for a single-character class (one match per
+    # matching char), without allocating the replaced string per row
+    punct = F.regexp_count(text, F.lit(PUNCT_CLASS)).cast("double")
+    digits = F.regexp_count(text, F.lit("[0-9]")).cast("double")
     toks = F.transform(_tokens(F.lower(text)), lambda t: t)
     stops = F.size(F.filter(toks, lambda t: t.isin(*STOP))).cast("double")
     len_score = F.least(n_tok / 100.0, F.lit(1.0))

@@ -42,7 +42,10 @@ def punct_ratio(c: Column) -> Column:
 
 def digit_ratio(c: Column) -> Column:
     total = F.length(c)
-    digits = total - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    # r6: regexp_count of a single-char class == the old
+    # length - length(regexp_replace(...)) exactly, without allocating
+    # the replaced string per row
+    digits = F.regexp_count(c, F.lit(r"[0-9]"))
     return F.when(total == 0, F.lit(0.0)).otherwise(
         digits.cast("double") / total.cast("double")
     )
@@ -50,7 +53,7 @@ def digit_ratio(c: Column) -> Column:
 
 def upper_ratio(c: Column) -> Column:
     total = F.length(c)
-    uppers = total - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    uppers = F.regexp_count(c, F.lit(r"[A-Z]"))
     return F.when(total == 0, F.lit(0.0)).otherwise(
         uppers.cast("double") / total.cast("double")
     )

@@ -457,8 +457,11 @@ def extract_features(pairs: DataFrame, features: dict | None = None) -> DataFram
     bools already cast to double)."""
     feats = features or STANDARD_FEATURES
     out = ensure_derived(pairs)
-    for name, fn in feats.items():
-        out = out.withColumn(name, fn())
+    # one withColumns call: feature expressions never reference other
+    # feature columns, so batch-adding is plan-identical to the chained
+    # per-feature withColumn while paying one py4j plan-wrap instead of
+    # len(feats) of them (driver wall inside the TIMED scoring section)
+    out = out.withColumns({name: fn() for name, fn in feats.items()})
     return out.withColumn("features", F.array(*[F.col(n) for n in feats]))
 
 
