@@ -1361,9 +1361,19 @@ def q_dedup_minhash_lsh(spark, sf):
 
     # r6: spread the single-row-group scan so the shingle+md5+perm-min
     # pipeline (the dominant cost) runs N-wide; every downstream
-    # aggregate (min per id, collect per bucket) is order-independent
-    docs = _spread(_t(spark, sf, "documents")).selectExpr(
-        "cast(doc_id as string) doc_id", "text"
+    # aggregate (min per id, collect per bucket) is order-independent.
+    # HASH-partitioned on the post-cast doc_id (not round-robin): the
+    # signature groupBy(_id) is then already clustered, so its partial
+    # rows (33 bigint columns per doc per map partition) never shuffle
+    # — one exchange of the raw docs replaces raw-exchange + 42 MB
+    # partial-agg exchange (measured at sf0.1), same distribution of
+    # the per-row compute, and doc_id is unique so no skew.
+    docs = (
+        _t(spark, sf, "documents")
+        .selectExpr("cast(doc_id as string) doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
     )
     return minhash_dedup_pairs(
         docs, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
