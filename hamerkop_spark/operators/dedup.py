@@ -59,6 +59,24 @@ def _word_tokens(text_col: str) -> F.Column:
     )
 
 
+def _shingles_sql(cname: str, k: int = 3) -> str:
+    """SQL-string form of _shingles_of over a NAMED token-array column —
+    one py4j round-trip via F.expr instead of ~18 Column-operator
+    round-trips (driver wall; see the r6 construct-split measurements).
+    Same expression tree: arrays_zip's SQL field names are positional
+    ('0','1',...) where the Column form aliased them t0..tk-1, but the
+    zipped struct is consumed positionally by the same concat_ws, so
+    values are bit-identical."""
+    m = f"(size({cname}) - {k - 1})"
+    slices = ", ".join(f"slice({cname}, {j + 1}, {m})" for j in range(k))
+    fields = ", ".join(f"st.`{j}`" for j in range(k))
+    grams = f"transform(arrays_zip({slices}), st -> concat_ws(' ', {fields}))"
+    return (
+        f"CASE WHEN size({cname}) < {k} "
+        f"THEN array(array_join({cname}, ' ')) ELSE {grams} END"
+    )
+
+
 def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     """Word k-shingles of a token array via k shifted slices + arrays_zip.
 
@@ -126,7 +144,9 @@ def minhash_doc_bands(
         )
         .select(
             "_id",
-            F.array_distinct(_shingles_of(F.col("toks"), shingle_k)).alias("sh"),
+            F.expr(
+                f"array_distinct({_shingles_sql('toks', shingle_k)})"
+            ).alias("sh"),
         )
         # deliberately NO `.where(size(sh) > 0)`: the downstream
         # minhash_signature explodes `sh`, and explode() of an empty or
@@ -186,15 +206,12 @@ def minhash_dedup_pairs(
     )
     # ordered index pairs (i < j) over the value-sorted ids == the
     # self-join's src < dst pairs (ids are distinct within a bucket:
-    # one band row per (_id, band))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
+    # one band row per (_id, band)); single F.expr (named_struct ==
+    # the Column struct(src, dst), same fields same order)
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('src', x, 'dst', y))))"
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
